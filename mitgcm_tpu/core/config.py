@@ -1,0 +1,419 @@
+"""Runtime configuration: the model parameter set.
+
+Mirrors the reference's ~600 PARM01-05 runtime parameters (declared in
+model/inc/PARAMS.h, defaults in model/src/set_defaults.F, namelist input in
+model/src/ini_parms.F, derived values in model/src/set_parms.F) as a plain
+Python dataclass. Only parameters wired into implemented physics are listed;
+unknown namelist entries are kept in `extra` so configs never fail silently.
+
+The config is static: it is closed over by jit-compiled step functions, so
+every flag is a Python (trace-time) constant and XLA sees fully specialized
+code — the analog of the reference's compile-time CPP selection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from mitgcm_tpu.core import nml
+
+UNSET = None
+
+
+@dataclass
+class Config:
+    # --- domain size (SIZE.h analog) ---
+    nx: int = 0
+    ny: int = 0
+    nr: int = 1
+    olx: int = 2
+    oly: int = 2
+
+    # --- PARM01: continuous equation ---
+    viscAh: float = 0.0
+    viscA4: float = 0.0
+    viscAz: float = UNSET          # vertical viscosity (m2/s), z-coords
+    viscAr: float = 0.0
+    diffKhT: float = 0.0
+    diffK4T: float = 0.0
+    diffKzT: float = UNSET
+    diffKrT: float = 0.0
+    diffKhS: float = 0.0
+    diffK4S: float = 0.0
+    diffKzS: float = UNSET
+    diffKrS: float = 0.0
+    f0: float = 0.0
+    beta: float = 0.0
+    fPrime: float = 0.0
+    omega: float = UNSET           # default 2pi/86164 s (set_parms)
+    rotationPeriod: float = 86164.0
+    rhoConst: float = 999.8
+    rhoNil: float = 999.8
+    gravity: float = 9.81
+    gBaro: float = UNSET           # defaults to gravity
+    rigidLid: bool = False
+    implicitFreeSurface: bool = True
+    eosType: str = "LINEAR"
+    tAlpha: float = 2.0e-4
+    sBeta: float = 7.4e-4
+    tRef: Tuple[float, ...] = ()
+    sRef: Tuple[float, ...] = ()
+    tRefFile: str = ""
+    sRefFile: str = ""
+    no_slip_sides: bool = True
+    no_slip_bottom: bool = True
+    sideDragFactor: float = 2.0
+    bottomDragLinear: float = 0.0
+    bottomDragQuadratic: float = 0.0
+    selectBotDragQuadr: int = -1
+    momViscosity: bool = True
+    momAdvection: bool = True
+    momForcing: bool = True
+    momStepping: bool = True
+    momPressureForcing: bool = True
+    metricTerms: bool = True
+    selectMetricTerms: int = UNSET
+    useNHMTerms: bool = False
+    implicitDiffusion: bool = False
+    implicitViscosity: bool = False
+    tempStepping: bool = True
+    saltStepping: bool = True
+    tempAdvection: bool = True
+    saltAdvection: bool = True
+    tempForcing: bool = True
+    saltForcing: bool = True
+    vectorInvariantMomentum: bool = False
+    staggerTimeStep: bool = False
+    useRealFreshWaterFlux: bool = False
+    exactConserv: bool = False
+    nonlinFreeSurf: int = 0
+    select_rStar: int = 0
+    implicSurfPress: float = 1.0
+    implicDiv2Dflow: float = 1.0
+    hFacMin: float = 1.0
+    hFacMinDr: float = 0.0
+    hFacInf: float = 0.2
+    hFacSup: float = 2.0
+    useMin4hFacEdges: bool = False
+    selectCoriScheme: int = UNSET
+    useJamartWetPoints: bool = False
+    useEnergyConservingCoriolis: bool = False
+    selectKEscheme: int = 0
+    selectVortScheme: int = UNSET
+    useAbsVorticity: bool = False
+    upwindVorticity: bool = False
+    highOrderVorticity: bool = False
+    selectAddFluid: int = 0
+    uniformLin_PhiSurf: bool = True
+    linFSConserveTr: bool = False
+    convertFW2Salt: float = UNSET
+    temp_EvPrRn: float = UNSET
+    salt_EvPrRn: float = 0.0
+    readBinaryPrec: int = 32
+    writeBinaryPrec: int = 32
+    writeStatePrec: int = 64
+    globalFiles: bool = True
+    debugLevel: int = 1
+    ivdc_kappa: float = 0.0
+    cAdjFreq: float = 0.0
+    hMixCriteria: float = -0.8
+    rSphere: float = 6.37e6
+    tempAdvScheme: int = 2
+    saltAdvScheme: int = 2
+    tempVertAdvScheme: int = UNSET
+    saltVertAdvScheme: int = UNSET
+    multiDimAdvection: bool = True
+    tempImplVertAdv: bool = False
+    saltImplVertAdv: bool = False
+    viscAhGrid: float = 0.0
+    viscA4Grid: float = 0.0
+    viscAhMax: float = 1.0e21
+    viscA4Max: float = 1.0e21
+    viscA4GridMax: float = 1.0e21  # factor applied as coeff*rA^2/dt caps
+    viscA4GridMin: float = 0.0
+    viscC2leith: float = 0.0
+    viscC2leithD: float = 0.0
+    viscC4leith: float = 0.0
+    viscC4leithD: float = 0.0
+    viscC2smag: float = 0.0
+    viscC4smag: float = 0.0
+    useFullLeith: bool = False
+    useSmag3D: bool = False
+    useStrainTensionVisc: bool = False
+    quasiHydrostatic: bool = False
+    nonHydrostatic: bool = False
+    use3dCoriolis: bool = True
+    select3dCoriScheme: int = UNSET
+    rhoConstFresh: float = UNSET
+    allowFreezing: bool = False
+    usingPCoords: bool = False
+    usingZCoords: bool = True
+    fluidIsAir: bool = False
+    fluidIsWater: bool = True
+    celsius2K: float = 273.15
+    atm_Cp: float = 1004.0
+    atm_Rd: float = UNSET
+    atm_Po: float = 1.0e5
+    HeatCapacity_Cp: float = 3994.0
+    gravitySign: float = -1.0
+    rkSign: float = -1.0
+
+    # --- PARM02: elliptic solver ---
+    cg2dMaxIters: int = 150
+    cg2dTargetResidual: float = 1.0e-7
+    cg2dTargetResWunit: float = -1.0
+    cg2dpcOffDFac: float = 0.51
+    cg2dUseMinResSol: int = UNSET
+    cg2dPreCondFreq: int = 1
+    printResidualFreq: int = 0
+    useSRCGSolver: bool = False
+
+    # --- PARM03: time stepping ---
+    nIter0: int = 0
+    nTimeSteps: int = 0
+    deltaT: float = 0.0
+    deltaTMom: float = 0.0
+    deltaTTracer: float = 0.0
+    deltaTFreeSurf: float = 0.0
+    deltaTClock: float = 0.0
+    abEps: float = 0.01
+    alph_AB: float = 0.5
+    beta_AB: float = 5.0 / 12.0
+    momForcingOutAB: int = UNSET
+    tracForcingOutAB: int = UNSET
+    momDissip_In_AB: bool = True
+    doAB_onGtGs: bool = True
+    forcing_In_AB: bool = True
+    baseTime: float = 0.0
+    startTime: float = UNSET
+    endTime: float = UNSET
+    pChkptFreq: float = 0.0
+    chkptFreq: float = 0.0
+    dumpFreq: float = 0.0
+    monitorFreq: float = UNSET
+    monitorSelect: int = UNSET
+    externForcingPeriod: float = 0.0
+    externForcingCycle: float = 0.0
+    periodicExternalForcing: bool = False
+    pickupStrictlyMatch: bool = True
+    pickupSuff: str = ""
+    tauThetaClimRelax: float = 0.0
+    tauSaltClimRelax: float = 0.0
+
+    # --- PARM04: gridding ---
+    usingCartesianGrid: bool = False
+    usingSphericalPolarGrid: bool = False
+    usingCylindricalGrid: bool = False
+    usingCurvilinearGrid: bool = False
+    delX: Tuple[float, ...] = ()
+    delY: Tuple[float, ...] = ()
+    delR: Tuple[float, ...] = ()
+    delRc: Tuple[float, ...] = ()
+    delRFile: str = ""
+    xgOrigin: float = 0.0
+    ygOrigin: float = 0.0
+    rSphereC: float = UNSET
+    phiMin: float = 0.0
+    thetaMin: float = 0.0
+    deepAtmosphere: bool = False
+    seaLev_Z: float = 0.0
+    horizGridFile: str = ""
+    radius_fromHorizGrid: float = UNSET
+
+    # --- PARM05: input files ---
+    bathyFile: str = ""
+    topoFile: str = ""
+    hydrogThetaFile: str = ""
+    hydrogSaltFile: str = ""
+    zonalWindFile: str = ""
+    meridWindFile: str = ""
+    thetaClimFile: str = ""
+    saltClimFile: str = ""
+    surfQFile: str = ""
+    surfQnetFile: str = ""
+    surfQswFile: str = ""
+    EmPmRFile: str = ""
+    saltFluxFile: str = ""
+    pLoadFile: str = ""
+    uVelInitFile: str = ""
+    vVelInitFile: str = ""
+    pSurfInitFile: str = ""
+    checkIniTemp: bool = True
+    checkIniSalt: bool = True
+
+    # --- packages on/off (data.pkg analog) ---
+    useMONITOR: bool = True
+    useMNC: bool = False
+    useGMRedi: bool = False
+    useKPP: bool = False
+    useGGL90: bool = False
+    useSEAICE: bool = False
+    useEXF: bool = False
+    useCAL: bool = False
+    useOBCS: bool = False
+    usePTRACERS: bool = False
+    useDiagnostics: bool = False
+
+    # run-directory context + overflow storage
+    run_dir: str = "."
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    # ---------------- derived (filled by finalize) ----------------
+    mass2rUnit: float = 0.0
+    rUnit2mass: float = 0.0
+    freeSurfFac: float = 1.0
+    recip_rhoConst: float = 0.0
+
+    def finalize(self) -> "Config":
+        """Resolve UNSET/derived parameters (ini_parms.F / set_parms.F)."""
+        c = self
+        if c.gBaro is UNSET:
+            c.gBaro = c.gravity
+        if c.omega is UNSET:
+            c.omega = 2.0 * math.pi / c.rotationPeriod if c.rotationPeriod else 0.0
+        if c.startTime is UNSET and c.nIter0 is not None:
+            c.startTime = c.baseTime + c.nIter0 * (c.deltaT or 0.0)
+        # deltaT family (ini_parms.F): any unset member defaults to deltaT
+        dt = c.deltaT or c.deltaTMom or c.deltaTTracer or c.deltaTClock
+        c.deltaT = c.deltaT or dt
+        c.deltaTMom = c.deltaTMom or dt
+        c.deltaTTracer = c.deltaTTracer or dt
+        c.deltaTFreeSurf = c.deltaTFreeSurf or c.deltaTMom
+        c.deltaTClock = c.deltaTClock or dt
+        if c.nTimeSteps == 0 and c.endTime is not UNSET and c.endTime and dt:
+            c.nTimeSteps = int(round((c.endTime - c.startTime) / dt))
+        # vertical mixing coefficient aliases (z-coords)
+        if c.viscAz is not UNSET:
+            c.viscAr = c.viscAz
+        if c.diffKzT is not UNSET:
+            c.diffKrT = c.diffKzT
+        if c.diffKzS is not UNSET:
+            c.diffKrS = c.diffKzS
+        # freeSurfFac (ini_parms.F:473)
+        c.freeSurfFac = 0.0 if c.rigidLid else 1.0
+        # mass <-> r-unit conversion (ini_parms.F:1542-1545)
+        c.recip_rhoConst = 1.0 / c.rhoConst
+        if c.usingPCoords:
+            c.mass2rUnit = c.gravity
+        else:
+            c.mass2rUnit = c.recip_rhoConst
+        c.rUnit2mass = 1.0 / c.mass2rUnit
+        # AB forcing placement (ini_parms.F:1065)
+        if c.momForcingOutAB is UNSET:
+            c.momForcingOutAB = 0 if c.forcing_In_AB else 1
+        if c.tracForcingOutAB is UNSET:
+            c.tracForcingOutAB = 0 if c.forcing_In_AB else 1
+        # Coriolis scheme (ini_parms.F:648)
+        if c.selectCoriScheme is UNSET:
+            s = 0
+            if c.useJamartWetPoints:
+                s = 1
+            if c.useEnergyConservingCoriolis and not c.vectorInvariantMomentum:
+                s += 2
+            c.selectCoriScheme = s
+        if c.select3dCoriScheme is UNSET:
+            c.select3dCoriScheme = 0  # quasi/non-hydrostatic only
+        if c.selectMetricTerms is UNSET:
+            c.selectMetricTerms = 1 if c.metricTerms else 0
+        # cg2d min-residual solution (ini_parms.F:1557)
+        if c.cg2dUseMinResSol is UNSET:
+            c.cg2dUseMinResSol = (
+                1 if (not c.topoFile and not c.bathyFile and c.usingCartesianGrid)
+                else 0
+            )
+        if c.monitorFreq is UNSET:
+            c.monitorFreq = c.deltaTClock
+        if c.monitorSelect is UNSET:
+            c.monitorSelect = 2
+        # reference profiles
+        if not c.tRef:
+            c.tRef = tuple([20.0] * c.nr)
+        elif len(c.tRef) < c.nr:
+            c.tRef = tuple(list(c.tRef) + [c.tRef[-1]] * (c.nr - len(c.tRef)))
+        if not c.sRef:
+            c.sRef = tuple([30.0] * c.nr)
+        elif len(c.sRef) < c.nr:
+            c.sRef = tuple(list(c.sRef) + [c.sRef[-1]] * (c.nr - len(c.sRef)))
+        if c.convertFW2Salt is UNSET:
+            c.convertFW2Salt = -1.0 if c.useRealFreshWaterFlux else 35.0
+        return c
+
+
+# namelist name (lower) -> Config attribute; identity unless listed
+_ALIASES = {
+    "viscah": "viscAh",
+    "visca4": "viscA4",
+    "viscaz": "viscAz",
+    "viscar": "viscAr",
+    "diffkht": "diffKhT",
+    "diffkzt": "diffKzT",
+    "diffkrt": "diffKrT",
+    "diffkhs": "diffKhS",
+    "diffkzs": "diffKzS",
+    "diffkrs": "diffKrS",
+}
+
+
+def _set_attr(cfg: Config, key: str, val: Any) -> None:
+    key_l = key.lower()
+    # strip any array-index suffix e.g. fields(1,1)
+    if "(" in key_l:
+        cfg.extra[key] = val
+        return
+    target = None
+    for f in dataclasses.fields(Config):
+        if f.name.lower() == key_l:
+            target = f.name
+            break
+    if target is None:
+        target = _ALIASES.get(key_l)
+    if target is None:
+        cfg.extra[key] = val
+        return
+    cur = getattr(cfg, target)
+    if isinstance(cur, tuple) or target in ("tRef", "sRef", "delX", "delY", "delR", "delRc"):
+        if not isinstance(val, list):
+            val = [val]
+        setattr(cfg, target, tuple(float(v) for v in val))
+    elif isinstance(cur, str):
+        if isinstance(val, list):
+            val = val[0] if val else ""
+        setattr(cfg, target, str(val) if val is not None else "")
+    elif isinstance(val, list):
+        setattr(cfg, target, tuple(val) if val else cur)
+    else:
+        setattr(cfg, target, val)
+
+
+def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
+                    olx: int = 2, oly: int = 2) -> Config:
+    """Build a Config from a reference-format experiment input directory.
+
+    Reads `data` (PARM01-05) and `data.pkg` (PACKAGES); the domain size is
+    inferred from delX/delY/delR lengths when not given (the reference bakes
+    it into SIZE.h at compile time instead).
+    """
+    cfg = Config()
+    cfg.run_dir = input_dir
+    data = nml.read_namelist(os.path.join(input_dir, "data"))
+    for grp in ("PARM01", "PARM02", "PARM03", "PARM04", "PARM05"):
+        for k, v in data.get(grp, {}).items():
+            _set_attr(cfg, k, v)
+    pkg_path = os.path.join(input_dir, "data.pkg")
+    if os.path.exists(pkg_path):
+        pk = nml.read_namelist(pkg_path)
+        for k, v in pk.get("PACKAGES", {}).items():
+            _set_attr(cfg, k, v)
+    cfg.nx = nx or len(cfg.delX)
+    cfg.ny = ny or len(cfg.delY)
+    cfg.nr = nr or max(len(cfg.delR), 1)
+    cfg.olx = olx
+    cfg.oly = oly
+    if not (cfg.usingCartesianGrid or cfg.usingSphericalPolarGrid
+            or cfg.usingCylindricalGrid or cfg.usingCurvilinearGrid):
+        cfg.usingSphericalPolarGrid = True  # reference default when unset
+    return cfg.finalize()

@@ -1,0 +1,468 @@
+"""Grid generation: C-grid metrics, partial-cell geometry, masks.
+
+Reimplements the reference's grid initialization chain
+(model/src/ini_grid.F -> ini_cartesian_grid.F / ini_spherical_polar_grid.F,
+model/src/ini_depths.F, model/src/ini_masks_etc.F, model/src/ini_cori.F,
+model/src/ini_linear_phisurf.F) as host-side numpy (float64) producing a
+pytree of jnp arrays.
+
+All horizontal arrays are halo-padded [ny+2*oly, nx+2*olx]; 3-D arrays are
+[nr, ny+2*oly, nx+2*olx]. Array index [j, i] corresponds to the reference's
+(i - 1 + olx, j - 1 + oly) Fortran tile index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.io import mds
+
+DEG2RAD = math.pi / 180.0
+
+
+@dataclass(frozen=True)
+class Grid:
+    """All time-invariant geometry arrays (reference: model/inc/GRID.h)."""
+
+    # vertical (1-D)
+    rF: jnp.ndarray          # [nr+1] cell interface r
+    rC: jnp.ndarray          # [nr]   cell center r
+    drF: jnp.ndarray         # [nr]
+    drC: jnp.ndarray         # [nr+1]
+    recip_drF: jnp.ndarray
+    recip_drC: jnp.ndarray
+
+    # horizontal metrics (2-D padded)
+    xG: jnp.ndarray
+    yG: jnp.ndarray
+    xC: jnp.ndarray
+    yC: jnp.ndarray
+    dxF: jnp.ndarray
+    dyF: jnp.ndarray
+    dxG: jnp.ndarray
+    dyG: jnp.ndarray
+    dxC: jnp.ndarray
+    dyC: jnp.ndarray
+    dxV: jnp.ndarray
+    dyU: jnp.ndarray
+    rA: jnp.ndarray
+    rAw: jnp.ndarray
+    rAs: jnp.ndarray
+    rAz: jnp.ndarray
+    recip_dxF: jnp.ndarray
+    recip_dyF: jnp.ndarray
+    recip_dxG: jnp.ndarray
+    recip_dyG: jnp.ndarray
+    recip_dxC: jnp.ndarray
+    recip_dyC: jnp.ndarray
+    recip_dxV: jnp.ndarray
+    recip_dyU: jnp.ndarray
+    recip_rA: jnp.ndarray
+    recip_rAw: jnp.ndarray
+    recip_rAs: jnp.ndarray
+    recip_rAz: jnp.ndarray
+    tanPhiAtU: jnp.ndarray
+    tanPhiAtV: jnp.ndarray
+    cosFacU: jnp.ndarray     # 2-D (constant in i), anisotropic visc scaling
+    cosFacV: jnp.ndarray
+    sqCosFacU: jnp.ndarray
+    sqCosFacV: jnp.ndarray
+    angleCosC: jnp.ndarray   # grid-direction rotation (curvilinear); 1 else
+    angleSinC: jnp.ndarray
+
+    # Coriolis
+    fCori: jnp.ndarray
+    fCoriG: jnp.ndarray
+    fCoriCos: jnp.ndarray
+
+    # bathymetry / partial cells
+    R_low: jnp.ndarray
+    Ro_surf: jnp.ndarray
+    recip_Rcol: jnp.ndarray
+    hFacC: jnp.ndarray       # [nr, ...]
+    hFacW: jnp.ndarray
+    hFacS: jnp.ndarray
+    recip_hFacC: jnp.ndarray
+    recip_hFacW: jnp.ndarray
+    recip_hFacS: jnp.ndarray
+    maskC: jnp.ndarray
+    maskW: jnp.ndarray
+    maskS: jnp.ndarray
+    maskInC: jnp.ndarray
+    maskInW: jnp.ndarray
+    maskInS: jnp.ndarray
+    kSurfC: jnp.ndarray      # int, 1-based like the reference; nr+1 = dry
+    kSurfW: jnp.ndarray
+    kSurfS: jnp.ndarray
+    kLowC: jnp.ndarray
+
+    # linear free surface factors (ini_linear_phisurf.F)
+    Bo_surf: jnp.ndarray
+    recip_Bo: jnp.ndarray
+
+    # anelastic/deep factors (identity for boussinesq shallow ocean)
+    deepFacC: jnp.ndarray    # [nr]
+    deepFacF: jnp.ndarray    # [nr+1]
+    deepFac2C: jnp.ndarray
+    deepFac2F: jnp.ndarray
+    recip_deepFacC: jnp.ndarray
+    recip_deepFac2C: jnp.ndarray
+    recip_deepFac2F: jnp.ndarray
+    rhoFacC: jnp.ndarray
+    rhoFacF: jnp.ndarray
+    recip_rhoFacC: jnp.ndarray
+    recip_rhoFacF: jnp.ndarray
+
+    globalArea: jnp.ndarray  # scalar
+
+
+jax.tree_util.register_dataclass(
+    Grid,
+    data_fields=[f.name for f in dataclasses.fields(Grid)],
+    meta_fields=[],
+)
+
+
+def _extend_spacing(vals: np.ndarray, ol: int) -> np.ndarray:
+    """Extend a global spacing vector into halos by edge replication."""
+    return np.concatenate([np.full(ol, vals[0]), vals, np.full(ol, vals[-1])])
+
+
+def _safe_recip(a: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(a)
+    nz = a != 0.0
+    out[nz] = 1.0 / a[nz]
+    return out
+
+
+def _cyc(a: np.ndarray, oly: int, olx: int) -> np.ndarray:
+    """Host-side cyclic halo fill (numpy twin of stencil.cyclic_fill_halo)."""
+    ny = a.shape[-2] - 2 * oly
+    nx = a.shape[-1] - 2 * olx
+    interior = a[..., oly:oly + ny, olx:olx + nx]
+    t = np.concatenate(
+        [interior[..., :, nx - olx:], interior, interior[..., :, :olx]], axis=-1)
+    return np.concatenate(
+        [t[..., ny - oly:, :], t, t[..., :oly, :]], axis=-2)
+
+
+def _hfac_column(rlow, rsurf, rF, drF, recip_drF, hFacMin, hFacMinDr):
+    """Two-stage partial-cell fraction (ini_masks_etc.F:73-120).
+
+    rlow/rsurf: 2-D padded; returns hFac [nr, ...].
+    """
+    nr = drF.shape[0]
+    hFac = np.zeros((nr,) + rlow.shape)
+    for k in range(nr):
+        hFacMnSz = max(hFacMin, min(hFacMinDr * recip_drF[k], 1.0))
+        # lower (bottom) clip
+        h1 = (rF[k] - rlow) * recip_drF[k]
+        h1 = np.minimum(np.maximum(h1, 0.0), 1.0)
+        low = np.where(
+            (h1 < hFacMnSz * 0.5) | (rlow >= rsurf),
+            0.0,
+            np.maximum(h1, hFacMnSz),
+        )
+        # upper (surface) clip
+        h2 = (rF[k] - rsurf) * recip_drF[k]
+        h = low - np.maximum(h2, 0.0)
+        h = np.maximum(h, 0.0)
+        hFac[k] = np.where(h < hFacMnSz * 0.5, 0.0, np.maximum(h, hFacMnSz))
+    return hFac
+
+
+def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
+               dtype=jnp.float64) -> Grid:
+    """Construct the full grid for cartesian / spherical-polar geometries.
+
+    bathy: optional [ny, nx] bathymetry (r-units, negative depths); when
+    None, read from cfg.bathyFile (big-endian, cfg.readBinaryPrec) or a flat
+    bottom at rF[nr].
+    """
+    nx, ny, nr = cfg.nx, cfg.ny, cfg.nr
+    olx, oly = cfg.olx, cfg.oly
+    pshape = (ny + 2 * oly, nx + 2 * olx)
+
+    # ---- vertical grid (ini_vertical_grid.F) ----
+    delR = np.asarray(cfg.delR, dtype=np.float64)
+    if delR.size == 0:
+        delR = np.full(nr, 1.0)
+    if delR.size < nr:
+        delR = np.concatenate([delR, np.full(nr - delR.size, delR[-1])])
+    rF = np.zeros(nr + 1)
+    rF[0] = cfg.seaLev_Z
+    for k in range(nr):
+        rF[k + 1] = rF[k] - delR[k]          # z-coords: downward negative
+    drF = delR.copy()
+    rC = 0.5 * (rF[:-1] + rF[1:])
+    drC = np.zeros(nr + 1)
+    drC[0] = 0.5 * drF[0]
+    drC[1:nr] = rC[:-1] - rC[1:]
+    drC[nr] = 0.5 * drF[nr - 1]
+
+    # ---- horizontal coordinates ----
+    delX = _extend_spacing(np.asarray(cfg.delX, dtype=np.float64), olx)
+    delY = _extend_spacing(np.asarray(cfg.delY, dtype=np.float64), oly)
+    # corner coordinates: xg1[i] for i in [-olx .. nx+olx] (len nx+2olx+1)
+    xg1 = np.zeros(nx + 2 * olx + 1)
+    xg1[olx] = cfg.xgOrigin
+    for i in range(olx, nx + 2 * olx):
+        xg1[i + 1] = xg1[i] + delX[i]
+    for i in range(olx, 0, -1):
+        xg1[i - 1] = xg1[i] - delX[i - 1]
+    yg1 = np.zeros(ny + 2 * oly + 1)
+    yg1[oly] = cfg.ygOrigin
+    for j in range(oly, ny + 2 * oly):
+        yg1[j + 1] = yg1[j] + delY[j]
+    for j in range(oly, 0, -1):
+        yg1[j - 1] = yg1[j] - delY[j - 1]
+
+    xG2, yG2 = np.meshgrid(xg1, yg1)          # [ny+2oly+1, nx+2olx+1]
+    xG = xG2[:-1, :-1]
+    yG = yG2[:-1, :-1]
+    xC = 0.25 * (xG2[:-1, :-1] + xG2[:-1, 1:] + xG2[1:, :-1] + xG2[1:, 1:])
+    yC = 0.25 * (yG2[:-1, :-1] + yG2[:-1, 1:] + yG2[1:, :-1] + yG2[1:, 1:])
+
+    dX2 = np.broadcast_to(delX[None, :], pshape).copy()
+    dY2 = np.broadcast_to(delY[:, None], pshape).copy()
+
+    ones1d = np.ones(pshape)
+    if cfg.usingCartesianGrid:
+        dxF = dX2.copy(); dyF = dY2.copy()
+        dxG = dX2.copy(); dyG = dY2.copy()
+        rA = dxF * dyF
+        tanU = np.zeros(pshape); tanV = np.zeros(pshape)
+        cosU = ones1d.copy(); cosV = ones1d.copy()
+    elif cfg.usingSphericalPolarGrid:
+        R = cfg.rSphere
+        latC = yC
+        dxF = R * np.cos(latC * DEG2RAD) * dX2 * DEG2RAD
+        dyF = R * dY2 * DEG2RAD
+        latG = 0.5 * (yG2[:-1, :-1] + yG2[:-1, 1:])   # lat of south edge
+        dxG = R * np.cos(DEG2RAD * latG) * dX2 * DEG2RAD
+        dxG = np.where(dxG < 1.0, 0.0, dxG)
+        dyG = R * dY2 * DEG2RAD
+        lat_s = latG
+        rA = (R * R * dX2 * DEG2RAD
+              * np.abs(np.sin((lat_s + dY2) * DEG2RAD) - np.sin(lat_s * DEG2RAD)))
+        latU = 0.5 * (yG2[:-1, :-1] + yG2[1:, :-1])
+        tanU = np.tan(latU * DEG2RAD)
+        tanV = np.tan(latG * DEG2RAD)
+        cosPower = 0.0
+        cosU = ones1d.copy(); cosV = ones1d.copy()
+        if cosPower != 0.0:
+            cosU = np.abs(np.cos(latU * DEG2RAD)) ** cosPower
+            cosV = np.abs(np.cos(latG * DEG2RAD)) ** cosPower
+    else:
+        raise NotImplementedError(
+            "grid type not yet supported (curvilinear comes with exch2 slice)")
+
+    dxC = np.zeros(pshape); dyC = np.zeros(pshape)
+    dxV = np.zeros(pshape); dyU = np.zeros(pshape)
+    dxC[:, 1:] = 0.5 * (dxF[:, 1:] + dxF[:, :-1])
+    dyC[1:, :] = 0.5 * (dyF[1:, :] + dyF[:-1, :])
+    dxV[1:, 1:] = 0.5 * (dxG[1:, 1:] + dxG[1:, :-1])
+    dyU[1:, 1:] = 0.5 * (dyG[1:, 1:] + dyG[:-1, 1:])
+    # edge rows: extend from nearest computed value (only used with cyclic
+    # wrap, where exchange would fill them; exact for uniform spacing)
+    dxC[:, 0] = dxC[:, 1]; dyC[0, :] = dyC[1, :]
+    dxV[:, 0] = dxV[:, 1]; dxV[0, :] = dxV[1, :]
+    dyU[:, 0] = dyU[:, 1]; dyU[0, :] = dyU[1, :]
+
+    if cfg.usingCartesianGrid:
+        rAw = dxC * dyG
+        rAs = dxG * dyC
+        rAz = dxV * dyU
+    else:
+        R = cfg.rSphere
+        rAw = np.zeros(pshape)
+        rAw[:, 1:] = 0.5 * (rA[:, 1:] + rA[:, :-1])
+        rAw[:, 0] = rAw[:, 1]
+        dlat_s = np.zeros(pshape)
+        dlat_s[1:, :] = 0.5 * (dY2[1:, :] + dY2[:-1, :])
+        dlat_s[0, :] = dlat_s[1, :]
+        latCC = yC
+        rAs = (R * R * dX2 * DEG2RAD
+               * np.abs(np.sin(latCC * DEG2RAD) - np.sin((latCC - dlat_s) * DEG2RAD)))
+        rAs = np.where(
+            (np.abs(latCC) > 90.0) | (np.abs(latCC - dlat_s) > 90.0), 0.0, rAs)
+        dlon_w = np.zeros(pshape)
+        dlon_w[:, 1:] = 0.5 * (dX2[:, 1:] + dX2[:, :-1])
+        dlon_w[:, 0] = dlon_w[:, 1]
+        latZ = 0.5 * (yG2[:-1, :-1] + yG2[1:, :-1])
+        rAz = (R * R * dlon_w * DEG2RAD
+               * np.abs(np.sin(latZ * DEG2RAD) - np.sin((latZ - dlat_s) * DEG2RAD)))
+        rAz = np.where(
+            (np.abs(latZ) > 90.0) | (np.abs(latZ - dlat_s) > 90.0), 0.0, rAz)
+
+    # ---- Coriolis (ini_cori.F) ----
+    selectCoriMap = 1 if (cfg.usingCartesianGrid and cfg.beta != 0.0) else (
+        2 if cfg.usingSphericalPolarGrid else (1 if cfg.beta != 0.0 else 0))
+    if cfg.usingCartesianGrid and cfg.beta == 0.0:
+        selectCoriMap = 0
+    if selectCoriMap == 0:
+        fCori = np.full(pshape, cfg.f0)
+        fCoriG = np.full(pshape, cfg.f0)
+        fCoriCos = np.full(pshape, cfg.fPrime)
+    elif selectCoriMap == 1:
+        facGrid = DEG2RAD * cfg.rSphere if cfg.usingSphericalPolarGrid else 1.0
+        fCori = cfg.f0 + cfg.beta * yC * facGrid
+        fCoriG = cfg.f0 + cfg.beta * yG * facGrid
+        fCoriCos = np.full(pshape, cfg.fPrime)
+    else:
+        fCori = 2.0 * cfg.omega * np.sin(yC * DEG2RAD)
+        fCoriG = 2.0 * cfg.omega * np.sin(yG * DEG2RAD)
+        fCoriCos = 2.0 * cfg.omega * np.cos(yC * DEG2RAD)
+
+    # ---- bathymetry & partial cells (ini_depths.F, ini_masks_etc.F) ----
+    if bathy is None:
+        if cfg.bathyFile:
+            prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
+            bathy = mds.read_raw(
+                os.path.join(cfg.run_dir, cfg.bathyFile), (ny, nx), prec
+            ).astype(np.float64)
+        else:
+            bathy = np.full((ny, nx), rF[nr])
+    R_low = np.zeros(pshape)
+    R_low[oly:oly + ny, olx:olx + nx] = bathy
+    R_low = _cyc(R_low, oly, olx)
+    # no closed-ocean cells above sea level (ini_depths.F clamps to <= 0)
+    R_low = np.minimum(R_low, rF[0])
+    Ro_surf = np.full(pshape, rF[0])
+
+    recip_drF = _safe_recip(drF)
+    recip_drC = _safe_recip(drC)
+
+    # W/S-face envelope BEFORE column regularization (ini_masks_etc.F:40-68)
+    rLowW = np.zeros(pshape); rSurfW = np.zeros(pshape)
+    rLowS = np.zeros(pshape); rSurfS = np.zeros(pshape)
+    rLowW[:, 1:] = np.maximum(R_low[:, 1:], R_low[:, :-1])
+    rSurfW[:, 1:] = np.minimum(Ro_surf[:, 1:], Ro_surf[:, :-1])
+    rLowS[1:, :] = np.maximum(R_low[1:, :], R_low[:-1, :])
+    rSurfS[1:, :] = np.minimum(Ro_surf[1:, :], Ro_surf[:-1, :])
+    rLowW[:, 0] = rF[nr]; rSurfW[:, 0] = rF[nr]   # rEmpty
+    rLowS[0, :] = rF[nr]; rSurfS[0, :] = rF[nr]
+
+    hFacC = _hfac_column(R_low, Ro_surf, rF, drF, recip_drF,
+                         cfg.hFacMin, cfg.hFacMinDr)
+    # regularize R_low then re-clip vs Ro_surf (ini_masks_etc.F:90-120)
+    colsum = np.tensordot(drF, hFacC, axes=(0, 0))
+    R_low = rF[0] - colsum
+    for k in range(nr):
+        hFacMnSz = max(cfg.hFacMin, min(cfg.hFacMinDr * recip_drF[k], 1.0))
+        h2 = (rF[k] - Ro_surf) * recip_drF[k]
+        h = hFacC[k] - np.maximum(h2, 0.0)
+        h = np.maximum(h, 0.0)
+        hFacC[k] = np.where(h < hFacMnSz * 0.5, 0.0, np.maximum(h, hFacMnSz))
+    colsum = np.tensordot(drF, hFacC, axes=(0, 0))
+    Ro_surf = R_low + colsum
+
+    kSurfC = np.full(pshape, nr + 1, dtype=np.int32)
+    kLowC = np.zeros(pshape, dtype=np.int32)
+    for k in range(nr - 1, -1, -1):
+        kSurfC = np.where(hFacC[k] != 0.0, k + 1, kSurfC)
+    for k in range(nr):
+        kLowC = np.where(hFacC[k] != 0.0, k + 1, kLowC)
+    maskInC = (kSurfC <= nr).astype(np.float64)
+
+    recip_Rcol = _safe_recip(np.maximum(Ro_surf - R_low, 0.0))
+
+    if cfg.useMin4hFacEdges:
+        hFacW = np.zeros_like(hFacC); hFacS = np.zeros_like(hFacC)
+        hFacW[:, :, 1:] = np.minimum(hFacC[:, :, 1:], hFacC[:, :, :-1])
+        hFacS[:, 1:, :] = np.minimum(hFacC[:, 1:, :], hFacC[:, :-1, :])
+    else:
+        hFacW = _hfac_column(rLowW, rSurfW, rF, drF, recip_drF,
+                             cfg.hFacMin, cfg.hFacMinDr)
+        hFacS = _hfac_column(rLowS, rSurfS, rF, drF, recip_drF,
+                             cfg.hFacMin, cfg.hFacMinDr)
+    hFacW = _cyc(hFacW, oly, olx)
+    hFacS = _cyc(hFacS, oly, olx)
+    hFacC = _cyc(hFacC, oly, olx)
+    R_low = _cyc(R_low, oly, olx)
+    Ro_surf = _cyc(Ro_surf, oly, olx)
+    kSurfC = _cyc(kSurfC, oly, olx)
+    kLowC = _cyc(kLowC, oly, olx)
+    maskInC = _cyc(maskInC, oly, olx)
+    recip_Rcol = _cyc(recip_Rcol, oly, olx)
+
+    kSurfW = np.full(pshape, nr + 1, dtype=np.int32)
+    kSurfS = np.full(pshape, nr + 1, dtype=np.int32)
+    for k in range(nr - 1, -1, -1):
+        kSurfW = np.where(hFacW[k] != 0.0, k + 1, kSurfW)
+        kSurfS = np.where(hFacS[k] != 0.0, k + 1, kSurfS)
+    maskInW = (kSurfW <= nr).astype(np.float64)
+    maskInS = (kSurfS <= nr).astype(np.float64)
+
+    maskC = (hFacC > 0.0).astype(np.float64)
+    maskW = (hFacW > 0.0).astype(np.float64)
+    maskS = (hFacS > 0.0).astype(np.float64)
+    recip_hFacC = _safe_recip(hFacC)
+    recip_hFacW = _safe_recip(hFacW)
+    recip_hFacS = _safe_recip(hFacS)
+
+    # ---- linear free surface factor (ini_linear_phisurf.F) ----
+    if cfg.usingZCoords:
+        Bo_surf = np.full(pshape, cfg.gBaro)
+        recip_Bo = np.full(pshape, 1.0 / cfg.gBaro)
+    else:
+        Bo_surf = np.full(pshape, cfg.recip_rhoConst)
+        recip_Bo = np.full(pshape, cfg.rhoConst)
+
+    inmask = np.zeros(pshape)
+    inmask[oly:oly + ny, olx:olx + nx] = 1.0
+    globalArea = float(np.sum(rA * maskInC * inmask))
+
+    onesC = np.ones(nr)
+    onesF = np.ones(nr + 1)
+
+    def J(a):
+        return jnp.asarray(a, dtype=dtype)
+
+    def JI(a):
+        return jnp.asarray(a)
+
+    return Grid(
+        rF=J(rF), rC=J(rC), drF=J(drF), drC=J(drC),
+        recip_drF=J(recip_drF), recip_drC=J(recip_drC),
+        xG=J(xG), yG=J(yG), xC=J(xC), yC=J(yC),
+        dxF=J(dxF), dyF=J(dyF), dxG=J(dxG), dyG=J(dyG),
+        dxC=J(dxC), dyC=J(dyC), dxV=J(dxV), dyU=J(dyU),
+        rA=J(rA), rAw=J(rAw), rAs=J(rAs), rAz=J(rAz),
+        recip_dxF=J(_safe_recip(dxF)), recip_dyF=J(_safe_recip(dyF)),
+        recip_dxG=J(_safe_recip(dxG)), recip_dyG=J(_safe_recip(dyG)),
+        recip_dxC=J(_safe_recip(dxC)), recip_dyC=J(_safe_recip(dyC)),
+        recip_dxV=J(_safe_recip(dxV)), recip_dyU=J(_safe_recip(dyU)),
+        recip_rA=J(_safe_recip(rA)), recip_rAw=J(_safe_recip(rAw)),
+        recip_rAs=J(_safe_recip(rAs)), recip_rAz=J(_safe_recip(rAz)),
+        tanPhiAtU=J(tanU), tanPhiAtV=J(tanV),
+        cosFacU=J(cosU), cosFacV=J(cosV),
+        sqCosFacU=J(np.sqrt(cosU)), sqCosFacV=J(np.sqrt(cosV)),
+        angleCosC=J(np.ones(pshape)), angleSinC=J(np.zeros(pshape)),
+        fCori=J(fCori), fCoriG=J(fCoriG), fCoriCos=J(fCoriCos),
+        R_low=J(R_low), Ro_surf=J(Ro_surf), recip_Rcol=J(recip_Rcol),
+        hFacC=J(hFacC), hFacW=J(hFacW), hFacS=J(hFacS),
+        recip_hFacC=J(recip_hFacC), recip_hFacW=J(recip_hFacW),
+        recip_hFacS=J(recip_hFacS),
+        maskC=J(maskC), maskW=J(maskW), maskS=J(maskS),
+        maskInC=J(maskInC), maskInW=J(maskInW), maskInS=J(maskInS),
+        kSurfC=JI(kSurfC), kSurfW=JI(kSurfW), kSurfS=JI(kSurfS),
+        kLowC=JI(kLowC),
+        Bo_surf=J(Bo_surf), recip_Bo=J(recip_Bo),
+        deepFacC=J(onesC), deepFacF=J(onesF),
+        deepFac2C=J(onesC), deepFac2F=J(onesF),
+        recip_deepFacC=J(onesC), recip_deepFac2C=J(onesC),
+        recip_deepFac2F=J(onesF),
+        rhoFacC=J(onesC), rhoFacF=J(onesF),
+        recip_rhoFacC=J(onesC), recip_rhoFacF=J(onesF),
+        globalArea=J(globalArea),
+    )

