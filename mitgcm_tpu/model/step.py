@@ -138,7 +138,7 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
 
 
 def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
-                       uStar, vStar, psum=None, fill=None):
+                       uStar, vStar, psum=None, fill=None, pmax=None):
     """model/src/solve_for_pressure.F: cg2d for the new free surface."""
     dt = uStar.dtype
     imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx, dt)
@@ -158,7 +158,8 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
                        / cfg.deltaTMom / cfg.deltaTFreeSurf) * eta_src
     cg2d_b = cg2d_b * imask
 
-    res = cg2d_mod.cg2d(cfg, grid, op, cg2d_b, cg2d_x, psum=psum, fill=fill)
+    res = cg2d_mod.cg2d(cfg, grid, op, cg2d_b, cg2d_x, psum=psum,
+                        fill=fill, pmax=pmax)
     etaN = grid.recip_Bo * res.x
     diag = StepDiag(cg2d_init_res=res.first_residual,
                     cg2d_last_res=res.last_residual,
@@ -230,7 +231,7 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
-                 myIter, fill=None, psum=None) -> Tuple[State, StepDiag]:
+                 myIter, fill=None, psum=None, pmax=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -254,7 +255,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     vStar = fill(vStar)
 
     etaN, diag = solve_for_pressure(cfg, grid, op, state, uStar, vStar,
-                                    psum=psum, fill=fill)
+                                    psum=psum, fill=fill, pmax=pmax)
 
     u, v = momentum_correction_step(cfg, grid, etaN, uStar, vStar)
     u = fill(u)

@@ -1,0 +1,148 @@
+"""Distributed runner: shard_map domain decomposition over a device mesh.
+
+The TPU-native analog of the reference's nPx x nPy process grid
+(eesupp/src/ini_procs.F MPI_CART_CREATE): the horizontal domain is tiled
+over a 2-D jax.sharding.Mesh ("py","px"); every field is stored as stacked
+per-device halo-padded local blocks [npy, npx, ..., nyl+2oly, nxl+2olx],
+so grid metrics carry their halos statically and only prognostic fields
+are exchanged (lax.ppermute) each step — mirroring the reference's
+one-blocking-exchange-per-step design (model/src/do_fields_blocking_exchanges.F).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.core.grid import Grid
+from mitgcm_tpu.core.state import Forcing, State
+from mitgcm_tpu.model import step as step_mod
+from mitgcm_tpu.parallel import halo
+
+
+def choose_layout(n_devices: int, ny: int, nx: int) -> Tuple[int, int]:
+    """Pick (npy, npx) with npy*npx = n, each dividing the domain evenly."""
+    best = None
+    for npy in range(1, n_devices + 1):
+        if n_devices % npy:
+            continue
+        npx = n_devices // npy
+        if ny % npy or nx % npx:
+            continue
+        score = abs(npy - npx)
+        if best is None or score < best[0]:
+            best = (score, npy, npx)
+    if best is None:
+        raise ValueError(f"cannot tile {ny}x{nx} over {n_devices} devices")
+    return best[1], best[2]
+
+
+def tile_with_halo(a, npy: int, npx: int, oly: int, olx: int):
+    """Global halo-padded array -> stacked local halo-padded blocks.
+
+    a: [..., ny+2oly, nx+2olx] -> [npy, npx, ..., nyl+2oly, nxl+2olx].
+    Local halos are copied from the (already exchanged) global array, so
+    static fields never need a runtime exchange.
+    """
+    a = np.asarray(a)
+    if a.ndim < 2:   # 1-D vertical profiles & scalars: replicate
+        return np.broadcast_to(a, (npy, npx) + a.shape).copy()
+    ny = a.shape[-2] - 2 * oly
+    nx = a.shape[-1] - 2 * olx
+    nyl, nxl = ny // npy, nx // npx
+    blocks = np.empty((npy, npx) + a.shape[:-2] + (nyl + 2 * oly, nxl + 2 * olx),
+                      dtype=a.dtype)
+    for iy in range(npy):
+        for ix in range(npx):
+            blocks[iy, ix] = a[..., iy * nyl:iy * nyl + nyl + 2 * oly,
+                               ix * nxl:ix * nxl + nxl + 2 * olx]
+    return blocks
+
+
+def untile(blocks, oly: int, olx: int):
+    """Stacked local blocks -> global interior [..., ny, nx]."""
+    blocks = np.asarray(blocks)
+    npy, npx = blocks.shape[:2]
+    core = blocks[..., oly:blocks.shape[-2] - oly, olx:blocks.shape[-1] - olx]
+    rows = [np.concatenate(list(core[iy]), axis=-1) for iy in range(npy)]
+    return np.concatenate(rows, axis=-2)
+
+
+class DistModel:
+    """Sharded model: same numerics, ppermute halos, psum reductions."""
+
+    def __init__(self, cfg: Config, grid: Grid, op, mesh: Mesh):
+        self.cfg, self.mesh = cfg, mesh
+        npy = mesh.shape["py"]
+        npx = mesh.shape["px"]
+        self.npy, self.npx = npy, npx
+        t = partial(tile_with_halo, npy=npy, npx=npx,
+                    oly=cfg.oly, olx=cfg.olx)
+        spec = P("py", "px")
+        sh = NamedSharding(mesh, spec)
+        self.grid = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(t(a)), sh), grid)
+        self.op = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(t(a)), sh), op)
+        self._step = None
+
+    def shard(self, pytree):
+        t = partial(tile_with_halo, npy=self.npy, npx=self.npx,
+                    oly=self.cfg.oly, olx=self.cfg.olx)
+        sh = NamedSharding(self.mesh, P("py", "px"))
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(t(a)), sh), pytree)
+
+    def step_fn(self):
+        if self._step is not None:
+            return self._step
+        cfg = self.cfg
+        oly, olx = cfg.oly, cfg.olx
+
+        def fill(a):
+            return halo.exchange(a, oly, olx)
+
+        def psum(x):
+            return halo.psum_all(x)
+
+        def pmax(x):
+            return halo.pmax_all(x)
+
+        def local_step(grid_blk, op_blk, state_blk, forcing_blk, myIter):
+            sq = lambda a: a.reshape(a.shape[2:])
+            grid_l = jax.tree.map(sq, grid_blk)
+            op_l = jax.tree.map(sq, op_blk)
+            state_l = jax.tree.map(sq, state_blk)
+            forcing_l = jax.tree.map(sq, forcing_blk)
+            new_state, diag = step_mod.forward_step(
+                cfg, grid_l, op_l, state_l, forcing_l, myIter,
+                fill=fill, psum=psum, pmax=pmax)
+            unsq = lambda a: a.reshape((1, 1) + a.shape)
+            return jax.tree.map(unsq, new_state), diag
+
+        blk = P("py", "px")
+        step = jax.jit(jax.shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(blk, blk, blk, blk, P()),
+            out_specs=(blk, P()),
+            check_vma=False,
+        ))
+        self._step = step
+        return step
+
+    def run(self, state_blocks, forcing_blocks, n_steps: int,
+            n_iter0: int = 0):
+        step = self.step_fn()
+        diags = []
+        for i in range(n_steps):
+            state_blocks, diag = step(
+                self.grid, self.op, state_blocks, forcing_blocks,
+                jnp.asarray(n_iter0 + i))
+            diags.append(diag)
+        return state_blocks, diags

@@ -76,6 +76,11 @@ def psum_all(x, axis_y: str = "py", axis_x: str = "px"):
     return lax.psum(lax.psum(x, axis_x), axis_y)
 
 
+def pmax_all(x, axis_y: str = "py", axis_x: str = "px"):
+    """Global max (the reference's _GLOBAL_MAX_RL)."""
+    return lax.pmax(lax.pmax(x, axis_x), axis_y)
+
+
 def pad_local(a: jnp.ndarray, oly: int, olx: int) -> jnp.ndarray:
     """Zero-pad a local interior block out to halo-padded shape."""
     pad = [(0, 0)] * (a.ndim - 2) + [(oly, oly), (olx, olx)]

@@ -111,7 +111,7 @@ class CG2DResult(NamedTuple):
 
 
 def cg2d(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
-         psum=None, fill=None) -> CG2DResult:
+         psum=None, fill=None, pmax=None) -> CG2DResult:
     """Solve A x = b with first guess x0 (cg2d.F).
 
     psum: global-sum hook (identity on one device, lax.psum under
@@ -123,6 +123,8 @@ def cg2d(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
     imask = interior_mask(b.shape, oly, olx, dt)
     if psum is None:
         psum = lambda s: s
+    if pmax is None:
+        pmax = lambda s: s
     if fill is None:
         fill = lambda a: cyclic_fill_halo(a, oly, olx)
 
@@ -131,7 +133,7 @@ def cg2d(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
 
     # normalise RHS (cg2d.F:105-135)
     b = b * op.cg2dNorm
-    rhsMax = psum(jnp.max(jnp.abs(b) * imask))
+    rhsMax = pmax(jnp.max(jnp.abs(b) * imask))
     normalise = cfg.cg2dTargetResWunit <= 0.0
     if normalise:
         rhsNorm = jnp.where(rhsMax != 0.0, 1.0 / rhsMax, 1.0)

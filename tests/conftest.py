@@ -12,6 +12,9 @@ os.environ["JAX_ENABLE_X64"] = "1"
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Force computations onto the (8-virtual-device) CPU backend even when a TPU
+# plugin grabs the default platform: tests need exact f64 and a device mesh.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 REFERENCE_DIR = "/root/reference"
 
