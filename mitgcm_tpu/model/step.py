@@ -146,12 +146,24 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
 
     cg2d_x = grid.Bo_surf * state.etaN
     # RHS: divergence of predicted transport (calc_div_ghat.F,
-    # implicDiv2Dflow=1 branch)
+    # implicDiv2Dflow=1 branch). Accumulated level-by-level in the
+    # reference's k = Nr..1 order (solve_for_pressure.F:146-152) so the
+    # roundoff of this cancellation-prone sum matches to the last digits.
     xA = grid.dyG * drF * grid.hFacW
     yA = grid.dxG * drF * grid.hFacS
-    pfx = jnp.sum(xA * uStar, axis=0) / cfg.deltaTMom
-    pfy = jnp.sum(yA * vStar, axis=0) / cfg.deltaTMom
-    cg2d_b = (sh(pfx, di=1) - pfx) + (sh(pfy, dj=1) - pfy)
+    pfx = xA * uStar / cfg.deltaTMom
+    pfy = yA * vStar / cfg.deltaTMom
+    dbx = sh(pfx, di=1) - pfx
+    dby = sh(pfy, dj=1) - pfy
+
+    def add_level(acc, inp):
+        bx, by = inp
+        acc = acc + bx
+        acc = acc + by
+        return acc, None
+
+    cg2d_b, _ = jax.lax.scan(
+        add_level, jnp.zeros_like(state.etaN), (dbx[::-1], dby[::-1]))
 
     eta_src = state.etaH if cfg.exactConserv else state.etaN
     cg2d_b = cg2d_b - (cfg.freeSurfFac * grid.rA
@@ -180,53 +192,63 @@ def momentum_correction_step(cfg: Config, grid: Grid, etaN, uStar, vStar):
 
 def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
                       myIter):
-    """model/src/integr_continuity.F + integrate_for_w.F."""
+    """model/src/integr_continuity.F + integrate_for_w.F + update_etah.F.
+
+    Returns (wVel, etaN', etaH', dEtaHdt'). With exactConserv (the
+    reference EXACT_CONSERV path) the free surface is re-integrated from
+    the exact volume divergence: etaN := etaH + dEtaHdt*deltaTFreeSurf and
+    etaH := etaN (implicDiv2Dflow = 1), overriding the cg2d etaN."""
     drF = grid.drF[:, None, None]
     uTrans = u * grid.dyG * drF * grid.hFacW
     vTrans = v * grid.dxG * drF * grid.hFacS
-    conv2d = -((sh(uTrans, di=1) - uTrans) + (sh(vTrans, dj=1) - vTrans))
-    cr = conv2d * grid.recip_rA
+    div2d = (sh(uTrans, di=1) - uTrans) + (sh(vTrans, dj=1) - vTrans)
+    cr = -div2d * grid.recip_rA
 
     if cfg.rigidLid:
-        maskpair = grid.maskC * jnp.concatenate(
+        mask_pair = grid.maskC * jnp.concatenate(
             [jnp.zeros_like(grid.maskC[:1]), grid.maskC[:-1]], axis=0)
-
-        def body(w_below, inp):
-            c, m = inp
-            w_here = (w_below + c) * m
-            return w_here, w_here
-        _, w_rev = jax.lax.scan(
-            body, jnp.zeros_like(cr[0]),
-            (cr[::-1], maskpair[::-1]))
-        w = w_rev[::-1]
-        w = w.at[0].set(0.0)
+        masks = mask_pair
     else:
-        def body(w_below, inp):
-            c, m = inp
-            w_here = (w_below + c) * m
-            return w_here, w_here
-        _, w_rev = jax.lax.scan(
-            body, jnp.zeros_like(cr[0]), (cr[::-1], grid.maskC[::-1]))
-        w = w_rev[::-1]
+        masks = grid.maskC
+
+    def body(w_below, inp):
+        c, m = inp
+        w_here = (w_below + c) * m
+        return w_here, w_here
+
+    _, w_rev = jax.lax.scan(
+        body, jnp.zeros_like(cr[0]), (cr[::-1], masks[::-1]))
+    w = w_rev[::-1]
+    if cfg.rigidLid:
+        w = w.at[0].set(0.0)
 
     if cfg.exactConserv:
-        hDiv = jnp.sum(-conv2d, axis=0)
-        dEtaHdt_new = jnp.where(
-            myIter == cfg.nIter0,
-            -hDiv * grid.recip_rA,
-            -hDiv * grid.recip_rA)  # EmPmR term comes with exf slice
-        etaHnm1 = etaH
-        etaH_new = jnp.where(
-            myIter == cfg.nIter0,
-            etaH,
-            etaN + (1.0 - cfg.implicDiv2Dflow) * dEtaHdt_new
-            * cfg.deltaTFreeSurf if cfg.implicDiv2Dflow != 1.0 else etaN)
-        etaN_new = jnp.where(
-            myIter == cfg.nIter0, etaN,
-            etaH_new + cfg.implicDiv2Dflow * dEtaHdt_new * cfg.deltaTFreeSurf
-            if cfg.implicDiv2Dflow != 1.0 else etaH_new)
-        # NOTE: with implicDiv2Dflow=1 (default): etaH=etaN after update_etah
-        return w, etaN, etaH_new if cfg.implicDiv2Dflow == 1.0 else etaN_new, dEtaHdt_new
+        # sequential k-ascending accumulation (integr_continuity.F:93-101)
+        def acc_level(acc, t):
+            return acc + t, None
+        hDivFlow, _ = jax.lax.scan(
+            acc_level, jnp.zeros_like(etaN), grid.maskC * div2d)
+        dEtaHdt_new = -hDivFlow * grid.recip_rA
+        if cfg.useRealFreshWaterFlux:
+            # facEmP*EmPmR term lands with the exf slice
+            pass
+        is_first = myIter == cfg.nIter0
+        dEtaHdt_new = jnp.where(is_first, dEtaHdt_new, dEtaHdt_new)
+        if cfg.implicDiv2Dflow == 1.0:
+            etaN_new = jnp.where(is_first, etaN,
+                                 etaH + dEtaHdt_new * cfg.deltaTFreeSurf)
+        else:
+            etaN_new = jnp.where(
+                is_first, etaN,
+                etaH + cfg.implicDiv2Dflow * dEtaHdt_new
+                * cfg.deltaTFreeSurf)
+        # update_etah.F (implicDiv2Dflow=1): etaH := etaN
+        if cfg.implicDiv2Dflow == 1.0:
+            etaH_new = etaN_new
+        else:
+            etaH_new = etaN_new + (1.0 - cfg.implicDiv2Dflow) \
+                * dEtaHdt_new * cfg.deltaTFreeSurf
+        return w, etaN_new, etaH_new, dEtaHdt_new
     return w, etaN, etaH, dEtaHdt
 
 
@@ -245,9 +267,15 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # stepped first — forward_step.F ordering)
     rhoInSitu = eos.find_rho(cfg, grid, state.theta, state.salt) * grid.maskC
 
+    # convective adjustment mask (model/src/calc_ivdc.F, do_oceanic_phys.F)
+    conv_count = None
+    if cfg.ivdc_kappa != 0.0:
+        conv_count = thermo_mod.calc_ivdc(cfg, grid, rhoInSitu,
+                                          state.theta, state.salt)
+
     # THERMODYNAMICS (tracers; no-op when temp/salt stepping disabled)
     theta, salt, gtNm1, gsNm1 = thermo_mod.thermodynamics(
-        cfg, grid, state, forcing, myIter)
+        cfg, grid, state, forcing, myIter, conv_count=conv_count)
 
     uStar, vStar, guNm1, gvNm1 = dynamics(
         cfg, grid, state, forcing, rhoInSitu, myIter)
@@ -261,8 +289,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     u = fill(u)
     v = fill(v)
 
+    # the reference increments myIter between DYNAMICS and the pressure
+    # solve (forward_step.F:806), so continuity sees nIter0+iloop
     w, etaN, etaH, dEtaHdt = integr_continuity(
-        cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, myIter)
+        cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, myIter + 1)
     w = fill(w)
 
     new_state = State(

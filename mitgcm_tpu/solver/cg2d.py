@@ -46,8 +46,15 @@ def build_cg2d(cfg: Config, grid: Grid) -> CG2DOperator:
     imask = interior_mask(grid.rA.shape, cfg.oly, cfg.olx, dt)
 
     fac = cfg.implicSurfPress * cfg.implicDiv2Dflow
-    aW = jnp.sum(grid.dyG * drF * grid.hFacW, axis=0) * fac * grid.recip_dxC
-    aS = jnp.sum(grid.dxG * drF * grid.hFacS, axis=0) * fac * grid.recip_dyC
+    # level-by-level accumulation in the reference's k-ascending order
+    # (ini_cg2d.F:88-103): aW += fac*faceArea*recip_dxC per level
+    termW = grid.dyG * drF * grid.hFacW * fac * grid.recip_dxC
+    termS = grid.dxG * drF * grid.hFacS * fac * grid.recip_dyC
+    aW = jnp.zeros_like(grid.rA)
+    aS = jnp.zeros_like(grid.rA)
+    for k in range(cfg.nr):
+        aW = aW + termW[k]
+        aS = aS + termS[k]
 
     myNorm = jnp.maximum(
         jnp.max(jnp.abs(aW) * imask), jnp.max(jnp.abs(aS) * imask))
