@@ -173,6 +173,10 @@ class Config:
     useSRCGSolver: bool = False
 
     # --- PARM03: time stepping ---
+    tauCD: float = 0.0
+    rCD: float = -1.0
+    epsAB_CD: float = UNSET
+    useCDscheme: bool = False
     nIter0: int = 0
     nTimeSteps: int = 0
     deltaT: float = 0.0
@@ -209,6 +213,8 @@ class Config:
     usingSphericalPolarGrid: bool = False
     usingCylindricalGrid: bool = False
     usingCurvilinearGrid: bool = False
+    dxSpacing: float = UNSET
+    dySpacing: float = UNSET
     delX: Tuple[float, ...] = ()
     delY: Tuple[float, ...] = ()
     delR: Tuple[float, ...] = ()
@@ -257,6 +263,10 @@ class Config:
     useOBCS: bool = False
     usePTRACERS: bool = False
     useDiagnostics: bool = False
+
+    # package parameter groups (loaded from data.<pkg>)
+    gmredi: Any = None
+    ptracers: Any = None
 
     # run-directory context + overflow storage
     run_dir: str = "."
@@ -340,6 +350,12 @@ class Config:
             c.sRef = tuple(list(c.sRef) + [c.sRef[-1]] * (c.nr - len(c.sRef)))
         if c.convertFW2Salt is UNSET:
             c.convertFW2Salt = -1.0 if c.useRealFreshWaterFlux else 35.0
+        if c.rhoConstFresh is UNSET:
+            c.rhoConstFresh = c.rhoConst
+        if c.epsAB_CD is UNSET:
+            c.epsAB_CD = c.abEps
+        if c.useCDscheme and c.tauCD == 0.0:
+            c.tauCD = c.deltaTMom
         return c
 
 
@@ -408,8 +424,25 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
         pk = nml.read_namelist(pkg_path)
         for k, v in pk.get("PACKAGES", {}).items():
             _set_attr(cfg, k, v)
+    gm_path = os.path.join(input_dir, "data.gmredi")
+    if cfg.useGMRedi and os.path.exists(gm_path):
+        from mitgcm_tpu.model import gmredi as gmredi_mod
+        gmnl = nml.read_namelist(gm_path)
+        cfg.gmredi = gmredi_mod.from_namelist(gmnl.get("GM_PARM01", {}))
+    pt_path = os.path.join(input_dir, "data.ptracers")
+    if cfg.usePTRACERS and os.path.exists(pt_path):
+        ptnl = nml.read_namelist(pt_path)
+        cfg.ptracers = ptnl.get("PTRACERS_PARM01", {})
     cfg.nx = nx or len(cfg.delX)
     cfg.ny = ny or len(cfg.delY)
+    if not cfg.delX and cfg.dxSpacing is not UNSET:
+        if not cfg.nx:
+            raise ValueError("dxSpacing given without delX: pass nx=")
+        cfg.delX = tuple([float(cfg.dxSpacing)] * cfg.nx)
+    if not cfg.delY and cfg.dySpacing is not UNSET:
+        if not cfg.ny:
+            raise ValueError("dySpacing given without delY: pass ny=")
+        cfg.delY = tuple([float(cfg.dySpacing)] * cfg.ny)
     cfg.nr = nr or max(len(cfg.delR), 1)
     cfg.olx = olx
     cfg.oly = oly

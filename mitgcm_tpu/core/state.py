@@ -35,6 +35,16 @@ class State:
     gvNm1: jnp.ndarray
     gtNm1: jnp.ndarray
     gsNm1: jnp.ndarray
+    # CD-scheme D-grid velocities (pkg/cd_code/CD_CODE_VARS.h); zeros when
+    # useCDscheme is off
+    uVelD: jnp.ndarray
+    vVelD: jnp.ndarray
+    uNM1: jnp.ndarray
+    vNM1: jnp.ndarray
+    etaNm1: jnp.ndarray
+    # passive tracers [nptr, nr, ny, nx] (pkg/ptracers); zero-size if unused
+    pTr: jnp.ndarray
+    gPtrNm1: jnp.ndarray
 
 
 jax.tree_util.register_dataclass(
@@ -46,6 +56,10 @@ jax.tree_util.register_dataclass(
 
 @dataclass
 class Forcing:
+    """Surface forcing records: leading axis = time record (1 when
+    constant; externForcingCycle/Period records when periodic —
+    model/src/external_fields_load.F)."""
+
     fu: jnp.ndarray       # zonal wind stress [N/m2] at W points
     fv: jnp.ndarray       # meridional wind stress at S points
     Qnet: jnp.ndarray     # net upward surface heat flux [W/m2]
@@ -74,16 +88,26 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
     sref = jnp.asarray(cfg.sRef, dtype=dtype)[:, None, None]
     theta = tref * jnp.ones_like(z3) * grid.maskC
     salt = sref * jnp.ones_like(z3) * grid.maskC
+    nptr = n_ptracers(cfg)
+    zp = jnp.zeros((nptr, cfg.nr, nyp, nxp), dtype=dtype)
     return State(
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
         etaN=z2, etaH=z2, dEtaHdt=z2,
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,
+        uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
+        pTr=zp, gPtrNm1=zp,
     )
+
+
+def n_ptracers(cfg: Config) -> int:
+    if not cfg.usePTRACERS or cfg.ptracers is None:
+        return 0
+    return int(cfg.ptracers.get("ptracers_numinuse", 0))
 
 
 def zero_forcing(cfg: Config, dtype=jnp.float64) -> Forcing:
     nyp = cfg.ny + 2 * cfg.oly
     nxp = cfg.nx + 2 * cfg.olx
-    z2 = jnp.zeros((nyp, nxp), dtype=dtype)
+    z2 = jnp.zeros((1, nyp, nxp), dtype=dtype)
     return Forcing(fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
                    saltFlux=z2, SST=z2, SSS=z2)

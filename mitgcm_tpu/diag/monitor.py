@@ -75,6 +75,13 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
         for k, v in st.items():
             out[f"dynstat_{name}_{k}"] = v
 
+    # passive tracer statistics (pkg/ptracers/ptracers_monitor.F)
+    for itr in range(state.pTr.shape[0]):
+        p_stats = calc_stats(cfg, state.pTr[itr], grid.hFacC, grid.maskInC,
+                             grid.rA, drF)
+        for k, v in p_stats.items():
+            out[f"trcstat_ptracer{itr + 1:02d}_{k}"] = v
+
     # advective CFL numbers (mon_advcfl.F): max |u|*recip_dx*dT over wet+halo
     dT = max(cfg.deltaTTracer, cfg.deltaTMom)
     out["advcfl_uvel_max"] = jnp.max(

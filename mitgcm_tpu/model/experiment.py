@@ -26,14 +26,21 @@ from mitgcm_tpu.ops.stencil import cyclic_fill_halo
 from mitgcm_tpu.solver import cg2d as cg2d_mod
 
 
-def _load_2d(cfg: Config, fname: str, dtype) -> Optional[jnp.ndarray]:
+def _load_2d(cfg: Config, fname: str, dtype, scale=1.0
+             ) -> Optional[jnp.ndarray]:
+    """Load all records of a 2-D forcing file -> [nrec, nyp, nxp]
+    (the reference reads records on demand, external_fields_load.F;
+    we keep the whole annual cycle resident and interpolate in-jit)."""
     path = os.path.join(cfg.run_dir, fname)
     if not fname or not os.path.exists(path):
         return None
     prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
-    arr = mds.read_raw(path, (cfg.ny, cfg.nx), prec).astype(np.float64)
-    padded = np.zeros((cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
-    padded[cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = arr
+    itemsize = 4 if cfg.readBinaryPrec == 32 else 8
+    nrec = os.path.getsize(path) // (itemsize * cfg.ny * cfg.nx)
+    arr = mds.read_raw(path, (nrec, cfg.ny, cfg.nx), prec).astype(np.float64)
+    arr = arr * scale
+    padded = np.zeros((nrec, cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
+    padded[:, cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = arr
     return cyclic_fill_halo(jnp.asarray(padded, dtype), cfg.oly, cfg.olx)
 
 
@@ -71,6 +78,9 @@ class Experiment:
         # initial condition files (model/src/ini_fields.F path)
         t0 = _load_3d(cfg, cfg.hydrogThetaFile, dtype)
         if t0 is not None:
+            if cfg.checkIniTemp and cfg.allowFreezing:
+                # ini_theta.F:130-144: clamp init temperature at freezing
+                t0 = jnp.maximum(t0, -1.9)
             state = State(**{**state.__dict__, "theta": t0 * grid.maskC})
         s0 = _load_3d(cfg, cfg.hydrogSaltFile, dtype)
         if s0 is not None:
@@ -88,7 +98,8 @@ class Experiment:
         qnet = _load_2d(cfg, cfg.surfQnetFile or cfg.surfQFile, dtype)
         if qnet is not None:
             forcing = Forcing(**{**forcing.__dict__, "Qnet": qnet})
-        empmr = _load_2d(cfg, cfg.EmPmRFile, dtype)
+        # EmPmR file in m/s -> kg/m2/s (external_fields_load.F:82)
+        empmr = _load_2d(cfg, cfg.EmPmRFile, dtype, scale=cfg.rhoConstFresh)
         if empmr is not None:
             forcing = Forcing(**{**forcing.__dict__, "EmPmR": empmr})
         sst = _load_2d(cfg, cfg.thetaClimFile, dtype)

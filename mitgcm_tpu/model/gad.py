@@ -194,44 +194,84 @@ def adv_flux_y(cfg: Config, grid: Grid, scheme: int, vTrans, vFld, tracer,
 
 def adv_flux_r(cfg: Config, grid: Grid, scheme: int, rTrans, wFld, tracer,
                deltaT):
-    """Vertical advective flux at interface k (zero at k=0 surface by the
-    rTrans mask; gad_c2_adv_r.F etc.). Returns [nr,...] interface array."""
+    """Vertical advective flux at interface k (gad_c2_adv_r.F,
+    gad_fluxlimit_adv_r.F, gad_dst3_adv_r.F, gad_dst3fl_adv_r.F).
+
+    Index convention: array index i0 = 1-based interface k=i0+1; the
+    surface interface (index 0) flux is forced to zero. Vertical neighbor
+    indices are CLAMPED at the column ends (km1=MAX(1,k-1) etc.).
+    """
     t = tracer
-    tkm1 = shift_k(t, -1)                  # tracer(k-1)
     mC = grid.maskC
-    mkm1 = shift_k(mC, -1)
+    # clamped vertical shifts
+    tkm1 = jnp.concatenate([t[:1], t[:-1]], axis=0)       # t(k-1)
+    tkm2 = jnp.concatenate([tkm1[:1], tkm1[:-1]], axis=0)  # t(k-2)
+    tkp1 = jnp.concatenate([t[1:], t[-1:]], axis=0)        # t(k+1)
+    mkm1 = jnp.concatenate([mC[:1], mC[:-1]], axis=0)
+    mkm2 = jnp.concatenate([mkm1[:1], mkm1[:-1]], axis=0)
+    mkp1 = jnp.concatenate([mC[1:], mC[-1:]], axis=0)
+    absT = jnp.abs(rTrans)
+    wCFL = jnp.abs(wFld * deltaT * grid.recip_drC[:cfg.nr, None, None])
+
     if scheme == ENUM_CENTERED_2ND:
         flx = mkm1 * rTrans * 0.5 * (t + tkm1)
     elif scheme in (ENUM_UPWIND_1RST, ENUM_DST2):
+        # gad_dst2u1_adv_r.F: rkSign flips the upwind direction in r
         if scheme == ENUM_UPWIND_1RST:
-            wLimit = 1.0
+            wLim = 1.0
         else:
-            wLimit = wFld * deltaT * grid.recip_drC[:cfg.nr, None, None]
-        flx = 0.5 * (rTrans * (t + tkm1)
-                     + jnp.abs(rTrans) * wLimit * (t - tkm1))
-        flx = flx * mkm1
+            wLim = wCFL
+        flx = mkm1 * 0.5 * (rTrans * (t + tkm1)
+                            + absT * wLim * (t - tkm1))
     elif scheme == ENUM_FLUX_LIMIT:
-        # gad_fluxlimit_adv_r.F; rkSign flips the upwind direction
-        tkm2 = shift_k(t, -2)
-        tkp1 = shift_k(t, 1)
-        mkp1 = shift_k(mC, 1)
-        mkm2 = shift_k(mC, -2)
-        Rjp = (t - tkp1) * mkp1
-        Rj = (tkm1 - t) * mkm1 * mC
-        Rjm = (tkm2 - tkm1) * mkm1 * mkm2
-        cfl = jnp.abs(wFld * deltaT * grid.recip_drC[:cfg.nr, None, None])
-        eps = jnp.asarray(1.0e-20, t.dtype)
-        den = jnp.where(jnp.abs(Rj) < eps,
-                        jnp.where(Rj >= 0.0, eps, -eps), Rj)
-        cr = jnp.where(rTrans < 0.0, Rjm, Rjp) / den
+        # gad_fluxlimit_adv_r.F
+        Rjp = (tkp1 - t) * mkp1
+        Rj = t - tkm1
+        Rjm = (tkm1 - tkm2) * mkm2
+        cr_raw = jnp.where(rTrans < 0.0, Rjm, Rjp)
+        sign_rj = jnp.where(Rj >= 0.0, 1.0, -1.0)
+        cr = jnp.where(
+            jnp.abs(Rj) * _CR_MAX <= jnp.abs(cr_raw),
+            jnp.where(cr_raw >= 0.0, _CR_MAX, -_CR_MAX) * sign_rj,
+            cr_raw / jnp.where(Rj == 0.0, 1.0, Rj))
         lim = _limiter(cr)
-        flx = (rTrans * 0.5 * (t + tkm1)
-               + jnp.abs(rTrans) * ((1.0 - lim) + cfl * lim) * Rj * 0.5)
-        flx = flx * mkm1
+        flx = mkm1 * (rTrans * (t + tkm1) * 0.5
+                      + absT * ((1.0 - lim) + wCFL * lim) * Rj * 0.5)
+    elif scheme in (ENUM_DST3, ENUM_DST3_FLUX_LIMIT, ENUM_UPWIND_3RD):
+        # gad_dst3_adv_r.F / gad_dst3fl_adv_r.F / gad_u3_adv_r.F
+        Rjp = (t - tkp1) * mkp1
+        Rj = (tkm1 - t) * mC * mkm1
+        Rjm = (tkm2 - tkm1) * mkm1
+        d0 = (2.0 - wCFL) * (1.0 - wCFL) * (1.0 / 6.0)
+        d1 = (1.0 - wCFL * wCFL) * (1.0 / 6.0)
+        if scheme == ENUM_UPWIND_3RD:
+            Rjj_p = Rjp - Rj
+            Rjj_m = Rj - Rjm
+            flx = (rTrans * (t + tkm1 - (Rjj_p + Rjj_m) * (1.0 / 6.0)) * 0.5
+                   - absT * (Rjj_p - Rjj_m) * (1.0 / 6.0) * 0.5)
+        elif scheme == ENUM_DST3:
+            flx = (0.5 * (rTrans + absT) * (t + (d0 * Rj + d1 * Rjm))
+                   + 0.5 * (rTrans - absT) * (tkm1 - (d0 * Rj + d1 * Rjp)))
+        else:
+            thetaP = jnp.where(
+                jnp.abs(Rj) * _THETA_MAX <= jnp.abs(Rjm),
+                jnp.where(Rjm * Rj >= 0.0, _THETA_MAX, -_THETA_MAX),
+                Rjm / jnp.where(Rj == 0.0, 1.0, Rj))
+            thetaM = jnp.where(
+                jnp.abs(Rj) * _THETA_MAX <= jnp.abs(Rjp),
+                jnp.where(Rjp * Rj >= 0.0, _THETA_MAX, -_THETA_MAX),
+                Rjp / jnp.where(Rj == 0.0, 1.0, Rj))
+            psiP = d0 + d1 * thetaP
+            psiP = jnp.maximum(0.0, jnp.minimum(
+                jnp.minimum(1.0, psiP),
+                thetaP * (1.0 - wCFL) / (wCFL + 1.0e-20)))
+            psiM = d0 + d1 * thetaM
+            psiM = jnp.maximum(0.0, jnp.minimum(
+                jnp.minimum(1.0, psiM),
+                thetaM * (1.0 - wCFL) / (wCFL + 1.0e-20)))
+            flx = (0.5 * (rTrans + absT) * (t + psiM * Rj)
+                   + 0.5 * (rTrans - absT) * (tkm1 - psiP * Rj))
     else:
-        # centered fall-back for higher-order vertical (reference defaults
-        # vertAdvScheme to the horizontal scheme; C2 covers the configs in
-        # the current test matrix)
         flx = mkm1 * rTrans * 0.5 * (t + tkm1)
     # zero surface (k=1) and mask
     flx = flx.at[0].set(0.0)
@@ -254,7 +294,7 @@ class GadResult(NamedTuple):
 def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
              scheme: int, vert_scheme: int, diffKh: float, diffK4: float,
              kappaR, deltaT, implicit_diffusion: bool,
-             calc_advection: bool = True) -> jnp.ndarray:
+             calc_advection: bool = True, gm_tensor=None) -> jnp.ndarray:
     """gad_calc_rhs.F: explicit tendency of one tracer, all levels."""
     dtype = tracer.dtype
     fZon = jnp.zeros_like(tracer)
@@ -283,6 +323,13 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
         fMer = fMer + (diffK4 * flow.yA * grid.recip_dyC
                        * (del2 - sh(del2, dj=-1)))
 
+    if gm_tensor is not None:
+        from mitgcm_tpu.model import gmredi
+        gx, gy = gmredi.xy_flux(cfg, grid, gm_tensor, flow.xA, flow.yA,
+                                tracer)
+        fZon = fZon + gx
+        fMer = fMer + gy
+
     # vertical fluxes at interface k (index k; surface = 0)
     fVer = jnp.zeros_like(tracer)
     if calc_advection:
@@ -290,6 +337,10 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
                                  tracer, deltaT) * grid.maskInC
     if not implicit_diffusion:
         fVer = fVer + diff_flux_r(cfg, grid, kappaR, flow.maskUp, tracer)
+    if gm_tensor is not None:
+        from mitgcm_tpu.model import gmredi
+        fVer = fVer + gmredi.r_flux(cfg, grid, gm_tensor, flow.maskUp,
+                                    tracer)
     fVerKp = jnp.concatenate([fVer[1:], jnp.zeros_like(fVer[:1])], axis=0)
 
     advFac = 1.0 if calc_advection else 0.0
@@ -306,3 +357,41 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
            - tracer * divTrans * grid.maskInC)
     )
     return gTr
+
+
+def multidim_advection(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w,
+                       tracer, scheme: int, vert_scheme: int, deltaT):
+    """Direction-split multi-dimensional advection
+    (pkg/generic_advdiff/gad_advection.F, default non-compressible form,
+    Cartesian-topology pass order X then Y then R).
+
+    Returns gTracer = (T_advected - T)/deltaT. The cubed-sphere 3-pass
+    variant with corner fills lands with the exch2 slice.
+    """
+    rhc = grid.recip_hFacC
+    rdrF = grid.recip_drF[:, None, None]
+    rrA = grid.recip_rA
+    mIn = grid.maskInC
+    uT, vT = flow.uTrans, flow.vTrans
+
+    # X pass
+    af = adv_flux_x(cfg, grid, scheme, uT, u, tracer, deltaT, grid.maskW)
+    localT = tracer - deltaT * rhc * rdrF * rrA * (
+        (sh(af, di=1) - af) - tracer * (sh(uT, di=1) - uT)) * mIn
+    # Y pass (on updated field; compensation still uses original tracer)
+    af = adv_flux_y(cfg, grid, scheme, vT, v, localT, deltaT, grid.maskS)
+    localT = localT - deltaT * rhc * rdrF * rrA * (
+        (sh(af, dj=1) - af) - tracer * (sh(vT, dj=1) - vT)) * mIn
+    # R pass on the post-horizontal field
+    fVer = adv_flux_r(cfg, grid, vert_scheme, flow.rTrans, w, localT, deltaT)
+    fVerKp = jnp.concatenate([fVer[1:], jnp.zeros_like(fVer[:1])], axis=0)
+    localT = localT - deltaT * rhc * rdrF * rrA * (
+        (fVerKp - fVer) - tracer * (flow.rTransKp - flow.rTrans)
+    ) * cfg.rkSign * mIn
+    return (localT - tracer) / deltaT
+
+
+def is_multidim(cfg: Config, scheme: int) -> bool:
+    """set_parms.F logic: non-linear schemes use the multi-dim driver when
+    multiDimAdvection is on."""
+    return cfg.multiDimAdvection and scheme in MULTIDIM_SCHEMES

@@ -1,0 +1,217 @@
+"""GM-Redi mesoscale eddy parameterization.
+
+Reference: pkg/gmredi — gmredi_calc_tensor.F (3x3 mixing tensor at W/U/V
+points), gmredi_slope_limit.F (slope limiting & tapering; 'gkw91'/'linear'/
+'dm95'/'ldd97' schemes), gmredi_xtransport.F / _ytransport.F /
+_rtransport.F (tracer flux contributions), gmredi_calc_diff.F (Kwz into
+the implicit vertical diffusivity).
+
+Scope: skew-flux form (GM_AdvForm=F, GM_skewflx=1), no Visbeck/Bates/GEOM
+variable-K (their hooks raise until implemented). All tensor components
+are computed vectorized over k as fused elementwise passes — the reference
+k-loop with per-level slope limiting maps onto a [nr,...] batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.core.grid import Grid
+from mitgcm_tpu.ops.stencil import shift as sh
+from mitgcm_tpu.ops.stencil import shift_k
+
+
+@dataclass(frozen=True)
+class GMParams:
+    background_K: float = 0.0
+    isopycK: float = -999.0
+    taper_scheme: str = ""
+    maxSlope: float = 1.0e-2
+    Kmin_horiz: float = 0.0
+    Scrit: float = 0.004
+    Sd: float = 0.001
+    small_number: float = 1.0e-20
+    slopeSqCutoff: float = 1.0e48
+    bigSlope: float = 99999.0
+    advForm: bool = False
+
+    def resolved_isopycK(self) -> float:
+        return self.background_K if self.isopycK == -999.0 else self.isopycK
+
+
+def from_namelist(nml_group: dict) -> GMParams:
+    g = {k.lower(): v for k, v in nml_group.items()}
+    return GMParams(
+        background_K=float(g.get("gm_background_k", 0.0)),
+        isopycK=float(g.get("gm_isopyck", -999.0)),
+        taper_scheme=str(g.get("gm_taper_scheme", "")),
+        maxSlope=float(g.get("gm_maxslope", 1.0e-2)),
+        Kmin_horiz=float(g.get("gm_kmin_horiz", 0.0)),
+        Scrit=float(g.get("gm_scrit", 0.004)),
+        Sd=float(g.get("gm_sd", 0.001)),
+        advForm=bool(g.get("gm_advform", False)),
+    )
+
+
+class GMTensor(NamedTuple):
+    Kux: jnp.ndarray   # [nr,...] at U points (horizontal along-x diffusivity)
+    Kvy: jnp.ndarray   # at V points
+    Kwx: jnp.ndarray   # [nr,...] at upper interfaces (k=1 row zero)
+    Kwy: jnp.ndarray
+    Kwz: jnp.ndarray
+
+
+def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr):
+    """gmredi_slope_limit.F tapering branch (z-coords, convSlopeUnit=1).
+
+    Returns (SlopeX, SlopeY, SlopeSqr, taperFct)."""
+    small = gm.small_number
+    dsr = jnp.where(
+        jnp.logical_and(dSigmaDr != 0.0, dSigmaDr <= small),
+        small, dSigmaDr)
+    big = gm.bigSlope
+    sx = jnp.where(
+        dsr == 0.0,
+        jnp.where(dSigmaDx != 0.0,
+                  jnp.where(dSigmaDx >= 0.0, big, -big), 0.0),
+        dSigmaDx / jnp.where(dsr == 0.0, 1.0, dsr))
+    sy = jnp.where(
+        dsr == 0.0,
+        jnp.where(dSigmaDy != 0.0,
+                  jnp.where(dSigmaDy >= 0.0, big, -big), 0.0),
+        dSigmaDy / jnp.where(dsr == 0.0, 1.0, dsr))
+    ssq = sx * sx + sy * sy
+    taper = jnp.ones_like(ssq)
+    cutoff = ssq >= gm.slopeSqCutoff
+    ssq = jnp.where(cutoff, gm.slopeSqCutoff, ssq)
+    taper = jnp.where(cutoff, 0.0, taper)
+
+    maxSlopeSqr = gm.maxSlope * gm.maxSlope
+    scheme = gm.taper_scheme
+    if scheme == "gkw91":
+        taper = jnp.where(
+            (ssq != 0.0) & (ssq > maxSlopeSqr) & (ssq < gm.slopeSqCutoff),
+            maxSlopeSqr / ssq, taper)
+    elif scheme == "linear":
+        taper = jnp.where(
+            (ssq != 0.0) & (ssq > maxSlopeSqr) & (ssq < gm.slopeSqCutoff),
+            jnp.sqrt(maxSlopeSqr / jnp.where(ssq == 0.0, 1.0, ssq)), taper)
+    elif scheme == "dm95":
+        smod = jnp.sqrt(ssq)
+        taper = jnp.where(
+            (ssq != 0.0) & (ssq < gm.slopeSqCutoff),
+            0.5 * (1.0 + jnp.tanh((gm.Scrit - smod) / gm.Sd)), taper)
+    elif scheme in ("", "clipping", "orig"):
+        # slope clipping (gmredi_slope_limit.F clipping branch): limit
+        # dSigmaDr so |S| <= maxSlope, no taper
+        mod = jnp.sqrt(dSigmaDx ** 2 + dSigmaDy ** 2)
+        rmax = 1.0 / gm.maxSlope if gm.maxSlope != 0.0 else 0.0
+        dsr_c = jnp.where(
+            (mod != 0.0) & (dSigmaDr <= mod * rmax), mod * rmax, dSigmaDr)
+        sx = jnp.where(mod == 0.0, 0.0,
+                       dSigmaDx / jnp.where(dsr_c == 0.0, 1.0, dsr_c))
+        sy = jnp.where(mod == 0.0, 0.0,
+                       dSigmaDy / jnp.where(dsr_c == 0.0, 1.0, dsr_c))
+        ssq = sx * sx + sy * sy
+        taper = jnp.ones_like(ssq)
+    else:
+        raise NotImplementedError(f"GM_taper_scheme={scheme}")
+    return sx, sy, ssq, taper
+
+
+def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
+                sigmaX, sigmaY, sigmaR) -> GMTensor:
+    """gmredi_calc_tensor.F (skew-flux form, constant K)."""
+    gsign = cfg.gravitySign
+    isoK = gm.resolved_isopycK()
+    bolK = gm.background_K
+    skew = 0.0 if gm.advForm else 1.0
+
+    # ---- W-interface components (loop k=Nr..2) ----
+    sigX_km1 = shift_k(sigmaX, -1)
+    sigY_km1 = shift_k(sigmaY, -1)
+    mC = grid.maskC
+    maskFk = mC * shift_k(mC, -1)            # maskC(k)*maskC(k-1)
+    dSxW = 0.25 * (sh(sigmaX, di=1) + sigmaX
+                   + sh(sigX_km1, di=1) + sigX_km1) * maskFk
+    dSyW = 0.25 * (sh(sigmaY, dj=1) + sigmaY
+                   + sh(sigY_km1, dj=1) + sigY_km1) * maskFk
+    dSrW = gsign * sigmaR
+    sx, sy, ssq, taper = _slope_limit(gm, dSxW, dSyW, dSrW)
+    sx = sx * maskFk
+    sy = sy * maskFk
+    ssq = ssq * maskFk
+    Kgm = isoK + skew * bolK
+    Kwx = Kgm * (-gsign * sx * taper)
+    Kwy = Kgm * (-gsign * sy * taper)
+    Kwz = isoK * (ssq * taper)
+    Kwx = Kwx.at[0].set(0.0)
+    Kwy = Kwy.at[0].set(0.0)
+    Kwz = Kwz.at[0].set(0.0)
+
+    # ---- U-point component (loop k=Nr..1, slope at cell center depth) ----
+    nr = cfg.nr
+    maskp1 = jnp.where(jnp.arange(nr)[:, None, None] == nr - 1, 0.0, 1.0)
+    sigR_kp1 = jnp.concatenate([sigmaR[1:], sigmaR[-1:]], axis=0)
+    dSxU = sigmaX * grid.maskW
+    dSyU = 0.25 * (sh(sigmaY, di=-1, dj=1) + sh(sigmaY, dj=1)
+                   + sh(sigmaY, di=-1) + sigmaY) * grid.maskW
+    dSrU = 0.25 * (sh(sigmaR, di=-1) + sigmaR
+                   + (sh(sigR_kp1, di=-1) + sigR_kp1) * maskp1
+                   ) * grid.maskW * gsign
+    _, _, _, taperU = _slope_limit(gm, dSxU, dSyU, dSrU)
+    Kux = jnp.maximum(isoK * taperU, gm.Kmin_horiz)
+
+    # ---- V-point component ----
+    dSxV = 0.25 * (sh(sigmaX, dj=-1, di=1) + sh(sigmaX, di=1)
+                   + sh(sigmaX, dj=-1) + sigmaX) * grid.maskS
+    dSyV = sigmaY * grid.maskS
+    dSrV = 0.25 * (sh(sigmaR, dj=-1) + sigmaR
+                   + (sh(sigR_kp1, dj=-1) + sigR_kp1) * maskp1
+                   ) * grid.maskS * gsign
+    _, _, _, taperV = _slope_limit(gm, dSxV, dSyV, dSrV)
+    Kvy = jnp.maximum(isoK * taperV, gm.Kmin_horiz)
+
+    return GMTensor(Kux=Kux, Kvy=Kvy, Kwx=Kwx, Kwy=Kwy, Kwz=Kwz)
+
+
+def xy_flux(cfg: Config, grid: Grid, tensor: GMTensor, xA, yA, tracer):
+    """gmredi_xtransport.F/_ytransport.F diagonal part: extra horizontal
+    diffusive fluxes (GM_ExtraDiag off: pure Kux/Kvy d(tr)/dx)."""
+    dfx = -(xA * tensor.Kux * grid.recip_dxC
+            * (tracer - sh(tracer, di=-1)))
+    dfy = -(yA * tensor.Kvy * grid.recip_dyC
+            * (tracer - sh(tracer, dj=-1)))
+    return dfx, dfy
+
+
+def r_flux(cfg: Config, grid: Grid, tensor: GMTensor, maskUp, tracer):
+    """gmredi_rtransport.F: off-diagonal vertical flux at interface k
+    (k>=2): -rA*maskInC*(Kwx*<dT/dx> + Kwy*<dT/dy>)*maskUp."""
+    t_km1 = shift_k(tracer, -1)
+    mW, mS = grid.maskW, grid.maskS
+    dTdx_k = 0.5 * (
+        sh(mW, di=1) * sh(grid.recip_dxC, di=1) * (sh(tracer, di=1) - tracer)
+        + mW * grid.recip_dxC * (tracer - sh(tracer, di=-1)))
+    mW_km1 = shift_k(mW, -1)
+    dTdx_km1 = 0.5 * (
+        sh(mW_km1, di=1) * sh(grid.recip_dxC, di=1)
+        * (sh(t_km1, di=1) - t_km1)
+        + mW_km1 * grid.recip_dxC * (t_km1 - sh(t_km1, di=-1)))
+    dTdx = 0.5 * (dTdx_k + dTdx_km1)
+    dTdy_k = 0.5 * (
+        sh(mS, dj=1) * sh(grid.recip_dyC, dj=1) * (sh(tracer, dj=1) - tracer)
+        + mS * grid.recip_dyC * (tracer - sh(tracer, dj=-1)))
+    mS_km1 = shift_k(mS, -1)
+    dTdy_km1 = 0.5 * (
+        sh(mS_km1, dj=1) * sh(grid.recip_dyC, dj=1)
+        * (sh(t_km1, dj=1) - t_km1)
+        + mS_km1 * grid.recip_dyC * (t_km1 - sh(t_km1, dj=-1)))
+    dTdy = 0.5 * (dTdy_k + dTdy_km1)
+    df = -(grid.rA * grid.maskInC
+           * (tensor.Kwx * dTdx + tensor.Kwy * dTdy) * maskUp)
+    return df.at[0].set(0.0)

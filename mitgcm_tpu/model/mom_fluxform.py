@@ -301,6 +301,14 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
         gV = gV - recip_rSphere * uAtV * uAtV * grid.tanPhiAtV
 
     # ---------------- Coriolis (mom_u_coriolis.F) ----------------
+    # with the CD scheme, Coriolis comes from the D-grid velocities in
+    # timestep.F instead (mom_fluxform.F:860 .NOT.useCDscheme guard)
+    if cfg.useCDscheme:
+        gU = gU * grid.maskW
+        gV = gV * grid.maskS
+        guDiss = guDiss * grid.maskW
+        gvDiss = gvDiss * grid.maskS
+        return MomTend(gU=gU, gV=gV, guDiss=guDiss, gvDiss=gvDiss)
     fC = grid.fCori
     if cfg.selectCoriScheme >= 2:
         uCf = 0.5 * (fC * 0.5 * (v + sh(v, dj=1))

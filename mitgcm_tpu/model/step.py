@@ -1,12 +1,14 @@
 """The forward timestep: dynamics -> pressure solve -> correction -> continuity.
 
 Reference call stack (model/src/forward_step.F:64):
-  DO_OCEANIC_PHYS (density)            do_oceanic_phys.F:731
-  THERMODYNAMICS (tracers)             thermodynamics.F:25
-  DYNAMICS (momentum + AB + u*)        dynamics.F:21, timestep.F
-  SOLVE_FOR_PRESSURE (cg2d -> etaN)    solve_for_pressure.F
-  MOMENTUM_CORRECTION_STEP (u^{n+1})   momentum_correction_step.F
-  INTEGR_CONTINUITY (w, etaH)          integr_continuity.F
+  LOAD_FIELDS_DRIVER (periodic forcing) external_fields_load.F
+  DO_OCEANIC_PHYS (freeze, density,     do_oceanic_phys.F
+    convection mask, GM tensor)
+  THERMODYNAMICS (tracers)              thermodynamics.F:25
+  DYNAMICS (momentum + AB + u*)         dynamics.F:21, timestep.F
+  SOLVE_FOR_PRESSURE (cg2d -> etaN)     solve_for_pressure.F
+  MOMENTUM_CORRECTION_STEP (u^{n+1})    momentum_correction_step.F
+  INTEGR_CONTINUITY (w, etaH)           integr_continuity.F
 The whole step is one pure jit-compiled function; `myIter` is a traced
 scalar so the step can run under lax.scan.
 """
@@ -21,12 +23,13 @@ import jax.numpy as jnp
 from mitgcm_tpu.core.config import Config
 from mitgcm_tpu.core.grid import Grid
 from mitgcm_tpu.core.state import Forcing, State
+from mitgcm_tpu.model import cd_code, gmredi
 from mitgcm_tpu.model import thermodynamics as thermo_mod
 from mitgcm_tpu.model.mom_fluxform import mom_fluxform
 from mitgcm_tpu.model.phihyd import calc_phi_hyd
 from mitgcm_tpu.ops import eos
 from mitgcm_tpu.ops.stencil import (cyclic_fill_halo, interior_mask,
-                                    shift as sh)
+                                    shift as sh, shift_k)
 from mitgcm_tpu.solver import cg2d as cg2d_mod
 
 
@@ -53,6 +56,30 @@ def adams_bashforth2(cfg: Config, g, gNm1, myIter, startAB: int = 0):
     return g + ab, g
 
 
+def load_fields(cfg: Config, forcing: Forcing, myTime) -> Forcing:
+    """Time interpolation of periodic forcing records
+    (model/src/external_fields_load.F + eesupp/src/get_periodic_interval.F).
+    Returns a Forcing whose arrays are instantaneous 2-D fields."""
+    if not cfg.periodicExternalForcing:
+        return jax.tree.map(lambda a: a[0], forcing)
+    cyc = cfg.externForcingCycle
+    per = cfg.externForcingPeriod
+    nrec = int(round(cyc / per))
+    locTime = myTime - per * 0.5 + cyc * (2 - jnp.round(myTime / cyc))
+    tmpTime = jnp.mod(locTime, cyc)
+    rec1 = jnp.floor(tmpTime / per).astype(jnp.int32)      # 0-based
+    rec2 = jnp.mod(rec1 + 1, nrec)
+    w2 = (tmpTime - per * rec1) / per
+    w1 = 1.0 - w2
+
+    def interp(a):
+        if a.shape[0] == 1:
+            return a[0]
+        return w1 * jnp.take(a, rec1, axis=0) + w2 * jnp.take(a, rec2, axis=0)
+
+    return jax.tree.map(interp, forcing)
+
+
 def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
     """Momentum surface forcing tendencies (model/src/apply_forcing.F
     APPLY_FORCING_U/V): wind stress into the surface cell."""
@@ -71,11 +98,9 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-             rhoInSitu, myIter) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                         jnp.ndarray, jnp.ndarray]:
-    """model/src/dynamics.F + timestep.F: returns (gU*, gV*, guNm1', gvNm1')
-    where gU* is the predicted velocity u* before the surface-pressure
-    correction."""
+             rhoInSitu, myIter):
+    """model/src/dynamics.F + timestep.F. Returns
+    (uStar, vStar, guNm1', gvNm1', cd_state')."""
     u, v, w = state.uVel, state.vVel, state.wVel
 
     # vertical viscosity profile (model/src/calc_viscosity.F): constant
@@ -117,6 +142,16 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         gU_ab = gU_ab + tend.guDiss
         gV_ab = gV_ab + tend.gvDiss
 
+    cd_state = cd_code.CDState(
+        uVelD=state.uVelD, vVelD=state.vVelD,
+        uNM1=state.uNM1, vNM1=state.vNM1, etaNm1=state.etaNm1)
+    if cfg.useCDscheme:
+        guCor, gvCor, cd_state = cd_code.cd_scheme(
+            cfg, grid, cd_state, state.etaN, dPhiHydX, dPhiHydY,
+            gU_ab, gV_ab, u, v, myIter)
+        gU_ab = gU_ab + guCor
+        gV_ab = gV_ab + gvCor
+
     # explicit part of surface pressure (zero when implicSurfPress=1)
     if cfg.implicSurfPress != 1.0 and not cfg.staggerTimeStep:
         psFac = (1.0 - cfg.implicSurfPress)
@@ -134,17 +169,26 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                                     grid.recip_hFacW, cfg.deltaTMom)
         vStar = thermo_mod.impldiff(cfg, grid, vStar, kappaRV,
                                     grid.recip_hFacS, cfg.deltaTMom)
-    return uStar, vStar, guNm1, gvNm1
+    return uStar, vStar, guNm1, gvNm1, cd_state
 
 
 def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
-                       uStar, vStar, psum=None, fill=None, pmax=None):
+                       uStar, vStar, forcing: Forcing,
+                       psum=None, fill=None, pmax=None):
     """model/src/solve_for_pressure.F: cg2d for the new free surface."""
     dt = uStar.dtype
     imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx, dt)
     drF = grid.drF[:, None, None]
 
     cg2d_x = grid.Bo_surf * state.etaN
+    # real fresh-water source term (solve_for_pressure.F:104-113)
+    if cfg.useRealFreshWaterFlux and cfg.fluidIsWater:
+        tmpFac = cfg.freeSurfFac * cfg.mass2rUnit * cfg.implicDiv2Dflow
+        cg2d_b0 = (tmpFac * grid.rA * forcing.EmPmR / cfg.deltaTMom
+                   * grid.maskInC)
+    else:
+        cg2d_b0 = jnp.zeros_like(state.etaN)
+
     # RHS: divergence of predicted transport (calc_div_ghat.F,
     # implicDiv2Dflow=1 branch). Accumulated level-by-level in the
     # reference's k = Nr..1 order (solve_for_pressure.F:146-152) so the
@@ -162,8 +206,7 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
         acc = acc + by
         return acc, None
 
-    cg2d_b, _ = jax.lax.scan(
-        add_level, jnp.zeros_like(state.etaN), (dbx[::-1], dby[::-1]))
+    cg2d_b, _ = jax.lax.scan(add_level, cg2d_b0, (dbx[::-1], dby[::-1]))
 
     eta_src = state.etaH if cfg.exactConserv else state.etaN
     cg2d_b = cg2d_b - (cfg.freeSurfFac * grid.rA
@@ -191,7 +234,7 @@ def momentum_correction_step(cfg: Config, grid: Grid, etaN, uStar, vStar):
 
 
 def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
-                      myIter):
+                      EmPmR, myIter):
     """model/src/integr_continuity.F + integrate_for_w.F + update_etah.F.
 
     Returns (wVel, etaN', etaH', dEtaHdt'). With exactConserv (the
@@ -205,9 +248,8 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
     cr = -div2d * grid.recip_rA
 
     if cfg.rigidLid:
-        mask_pair = grid.maskC * jnp.concatenate(
+        masks = grid.maskC * jnp.concatenate(
             [jnp.zeros_like(grid.maskC[:1]), grid.maskC[:-1]], axis=0)
-        masks = mask_pair
     else:
         masks = grid.maskC
 
@@ -229,23 +271,22 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
         hDivFlow, _ = jax.lax.scan(
             acc_level, jnp.zeros_like(etaN), grid.maskC * div2d)
         dEtaHdt_new = -hDivFlow * grid.recip_rA
-        if cfg.useRealFreshWaterFlux:
-            # facEmP*EmPmR term lands with the exf slice
-            pass
         is_first = myIter == cfg.nIter0
-        dEtaHdt_new = jnp.where(is_first, dEtaHdt_new, dEtaHdt_new)
+        if cfg.useRealFreshWaterFlux and cfg.fluidIsWater:
+            # facEmP term applies on all but the very first call
+            # (integr_continuity.F:124-146)
+            dEtaHdt_new = jnp.where(
+                is_first, dEtaHdt_new,
+                dEtaHdt_new - cfg.mass2rUnit * EmPmR)
         if cfg.implicDiv2Dflow == 1.0:
             etaN_new = jnp.where(is_first, etaN,
                                  etaH + dEtaHdt_new * cfg.deltaTFreeSurf)
+            etaH_new = etaN_new
         else:
             etaN_new = jnp.where(
                 is_first, etaN,
                 etaH + cfg.implicDiv2Dflow * dEtaHdt_new
                 * cfg.deltaTFreeSurf)
-        # update_etah.F (implicDiv2Dflow=1): etaH := etaN
-        if cfg.implicDiv2Dflow == 1.0:
-            etaH_new = etaN_new
-        else:
             etaH_new = etaN_new + (1.0 - cfg.implicDiv2Dflow) \
                 * dEtaHdt_new * cfg.deltaTFreeSurf
         return w, etaN_new, etaH_new, dEtaHdt_new
@@ -253,7 +294,8 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
-                 myIter, fill=None, psum=None, pmax=None) -> Tuple[State, StepDiag]:
+                 myIter, fill=None, psum=None, pmax=None
+                 ) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -262,28 +304,60 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     """
     if fill is None:
         fill = _default_fill(cfg)
-    # DO_OCEANIC_PHYS: in-situ density from start-of-step theta/salt
-    # (do_oceanic_phys.F:731; used by CALC_PHI_HYD even though tracers are
-    # stepped first — forward_step.F ordering)
-    rhoInSitu = eos.find_rho(cfg, grid, state.theta, state.salt) * grid.maskC
 
-    # convective adjustment mask (model/src/calc_ivdc.F, do_oceanic_phys.F)
+    # LOAD_FIELDS_DRIVER: interpolate periodic forcing to myTime
+    myTime = cfg.startTime + (myIter - cfg.nIter0) * cfg.deltaTClock
+    forc = load_fields(cfg, forcing, myTime)
+
+    # DO_OCEANIC_PHYS
+    theta0 = state.theta
+    if cfg.allowFreezing:
+        # model/src/freeze_surface.F: clamp surface temperature at -1.9C
+        theta0 = theta0.at[0].set(jnp.maximum(theta0[0], -1.9))
+        state = State(**{**state.__dict__, "theta": theta0})
+
+    # in-situ density from start-of-step theta/salt (do_oceanic_phys.F:731;
+    # used by CALC_PHI_HYD even though tracers step first)
+    rhoInSitu = eos.find_rho(cfg, grid, theta0, state.salt) * grid.maskC
+
+    # convective adjustment mask (model/src/calc_ivdc.F)
     conv_count = None
     if cfg.ivdc_kappa != 0.0:
         conv_count = thermo_mod.calc_ivdc(cfg, grid, rhoInSitu,
-                                          state.theta, state.salt)
+                                          theta0, state.salt)
+
+    # GM-Redi tensor from density gradients (do_oceanic_phys.F:1039)
+    gm_tensor = None
+    if cfg.useGMRedi:
+        sigmaX = (grid.maskW * grid.recip_dxC
+                  * (rhoInSitu - sh(rhoInSitu, di=-1)))
+        sigmaY = (grid.maskS * grid.recip_dyC
+                  * (rhoInSitu - sh(rhoInSitu, dj=-1)))
+        t_km1 = jnp.concatenate([theta0[:1], theta0[:-1]], axis=0)
+        s_km1 = jnp.concatenate([state.salt[:1], state.salt[:-1]], axis=0)
+        rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1)
+        mC = grid.maskC
+        m_km1 = jnp.concatenate([jnp.zeros_like(mC[:1]), mC[:-1]], axis=0)
+        sigmaR = (mC * m_km1 * grid.recip_drC[:cfg.nr, None, None]
+                  * cfg.rkSign * (rhoInSitu - rhoKm1))
+        sigmaR = sigmaR.at[0].set(0.0)
+        gm_tensor = gmredi.calc_tensor(cfg, grid, cfg.gmredi,
+                                       sigmaX, sigmaY, sigmaR)
 
     # THERMODYNAMICS (tracers; no-op when temp/salt stepping disabled)
-    theta, salt, gtNm1, gsNm1 = thermo_mod.thermodynamics(
-        cfg, grid, state, forcing, myIter, conv_count=conv_count)
+    theta, salt, gtNm1, gsNm1, pTr, gPtrNm1 = thermo_mod.thermodynamics(
+        cfg, grid, state, forc, myIter, conv_count=conv_count,
+        gm_tensor=gm_tensor)
 
-    uStar, vStar, guNm1, gvNm1 = dynamics(
-        cfg, grid, state, forcing, rhoInSitu, myIter)
+    uStar, vStar, guNm1, gvNm1, cd_state = dynamics(
+        cfg, grid, state, forc, rhoInSitu, myIter)
     uStar = fill(uStar)
     vStar = fill(vStar)
 
     etaN, diag = solve_for_pressure(cfg, grid, op, state, uStar, vStar,
-                                    psum=psum, fill=fill, pmax=pmax)
+                                    forc, psum=psum, fill=fill, pmax=pmax)
+    # solve_for_pressure.F:88 (ALLOW_CD_CODE): etaNm1 := pre-solve etaN
+    cd_state = cd_state._replace(etaNm1=state.etaN)
 
     u, v = momentum_correction_step(cfg, grid, etaN, uStar, vStar)
     u = fill(u)
@@ -292,7 +366,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # the reference increments myIter between DYNAMICS and the pressure
     # solve (forward_step.F:806), so continuity sees nIter0+iloop
     w, etaN, etaH, dEtaHdt = integr_continuity(
-        cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, myIter + 1)
+        cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, forc.EmPmR,
+        myIter + 1)
     w = fill(w)
 
     new_state = State(
@@ -302,5 +377,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         dEtaHdt=fill(dEtaHdt),
         guNm1=guNm1, gvNm1=gvNm1,
         gtNm1=gtNm1, gsNm1=gsNm1,
+        uVelD=fill(cd_state.uVelD), vVelD=fill(cd_state.vVelD),
+        uNM1=cd_state.uNM1, vNM1=cd_state.vNM1,
+        etaNm1=cd_state.etaNm1,
+        pTr=fill(pTr) if pTr.size else pTr,
+        gPtrNm1=gPtrNm1,
     )
     return new_state, diag

@@ -91,14 +91,31 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
     recip_Cp = 1.0 / cfg.HeatCapacity_Cp
     sfT = sfT - (forcing.Qnet - forcing.Qsw) * recip_Cp * cfg.mass2rUnit
     sfS = sfS - forcing.saltFlux * cfg.mass2rUnit
-    if not cfg.useRealFreshWaterFlux:
-        # virtual salt flux (external_forcing_surf.F:190-260)
-        if cfg.convertFW2Salt == -1.0:
-            sfS = sfS + forcing.EmPmR * state.salt[0] * cfg.mass2rUnit
-            sfT = sfT + forcing.EmPmR * state.theta[0] * cfg.mass2rUnit \
-                * 0.0  # temp_EvPrRn unset: no T virtual flux
-        else:
-            sfS = sfS + forcing.EmPmR * cfg.convertFW2Salt * cfg.mass2rUnit
+    # virtual E-P-R tracer flux (external_forcing_surf.F:130-208): the
+    # PmEpR branch applies only for nonlinear-FS/p-coords real-FW runs;
+    # the linear-FS branch applies in all other cases (incl. realFW)
+    if (cfg.nonlinFreeSurf > 0 or cfg.usingPCoords) \
+            and cfg.useRealFreshWaterFlux:
+        if cfg.temp_EvPrRn is not None:
+            sfT = sfT - forcing.EmPmR * (cfg.temp_EvPrRn
+                                         - state.theta[0]) * cfg.mass2rUnit
+        if cfg.salt_EvPrRn is not None:
+            sfS = sfS - forcing.EmPmR * (cfg.salt_EvPrRn
+                                         - state.salt[0]) * cfg.mass2rUnit
+    elif cfg.convertFW2Salt == -1.0:
+        if cfg.temp_EvPrRn is not None:
+            sfT = sfT + forcing.EmPmR * (state.theta[0]
+                                         - cfg.temp_EvPrRn) * cfg.mass2rUnit
+        if cfg.salt_EvPrRn is not None:
+            sfS = sfS + forcing.EmPmR * (state.salt[0]
+                                         - cfg.salt_EvPrRn) * cfg.mass2rUnit
+    else:
+        if cfg.temp_EvPrRn is not None:
+            sfT = sfT + forcing.EmPmR * (cfg.tRef[0]
+                                         - cfg.temp_EvPrRn) * cfg.mass2rUnit
+        if cfg.salt_EvPrRn is not None:
+            sfS = sfS + forcing.EmPmR * (cfg.convertFW2Salt
+                                         - cfg.salt_EvPrRn) * cfg.mass2rUnit
     return sfT, sfS
 
 
@@ -125,64 +142,117 @@ def calc_ivdc(cfg: Config, grid: Grid, rhoInSitu, theta, salt):
     return jnp.where(unstable, 1.0, 0.0)
 
 
-def tracer_kappa(cfg: Config, grid: Grid, conv_count, diffKr: float, dtype):
-    """calc_3d_diffusivity.F: interface diffusivity [nr,...]
-    (KPP/GGL90 contributions come with their slices)."""
+def tracer_kappa(cfg: Config, grid: Grid, conv_count, diffKr: float, dtype,
+                 gm_tensor=None):
+    """calc_3d_diffusivity.F: interface diffusivity [nr,...]; GM-Redi adds
+    its Kwz component for the implicit solve (gmredi_calc_diff.F)."""
     base = jnp.full((cfg.nr,) + grid.rA.shape, diffKr, dtype)
     if cfg.ivdc_kappa != 0.0 and conv_count is not None:
-        base = base + conv_count * cfg.ivdc_kappa
+        base = jnp.asarray(conv_count * cfg.ivdc_kappa + base)
+    if gm_tensor is not None:
+        base = base + gm_tensor.Kwz * grid.maskInC
     return base
 
 
 def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
                      tracer, gNm1, kappaR, sfc_forc, scheme: int,
                      vert_scheme: int, diffKh: float, diffK4: float,
-                     myIter):
+                     myIter, gm_tensor=None, interior_forc=None,
+                     deltaT=None):
     """temp_integrate.F for one tracer; returns (tracer', gNm1')."""
     from mitgcm_tpu.model.step import adams_bashforth2
 
-    gTr = gad.calc_rhs(
+    dt = cfg.deltaTTracer if deltaT is None else deltaT
+    multidim = gad.is_multidim(cfg, scheme)
+    if multidim:
+        gTr = gad.multidim_advection(
+            cfg, grid, flow, state.uVel, state.vVel, state.wVel, tracer,
+            scheme, vert_scheme, dt)
+    else:
+        gTr = jnp.zeros_like(tracer)
+
+    gTr = gTr + gad.calc_rhs(
         cfg, grid, flow, state.uVel, state.vVel, state.wVel, tracer,
-        scheme, vert_scheme, diffKh, diffK4, kappaR, cfg.deltaTTracer,
-        cfg.implicitDiffusion, calc_advection=True)
+        scheme, vert_scheme, diffKh, diffK4, kappaR, dt,
+        cfg.implicitDiffusion, calc_advection=not multidim,
+        gm_tensor=gm_tensor)
 
     # surface forcing into surface cell (apply_forcing.F APPLY_FORCING_T)
     gTr = gTr.at[0].add(sfc_forc * grid.recip_drF[0] * grid.recip_hFacC[0])
+    if interior_forc is not None:
+        gTr = gTr + interior_forc
 
-    if cfg.tracForcingOutAB != 1:
-        pass  # forcing already included before AB (default)
-    gTr_ab, gNm1_new = adams_bashforth2(cfg, gTr, gNm1, myIter)
+    # AB on the tendency only for linear schemes (gad_init_fixed.F:147-156:
+    # AdamsBashforthGt only for centered-2nd/upwind-3rd/centered-4th)
+    if scheme in (gad.ENUM_CENTERED_2ND, gad.ENUM_UPWIND_3RD,
+                  gad.ENUM_CENTERED_4TH) and cfg.doAB_onGtGs:
+        gTr_ab, gNm1_new = adams_bashforth2(cfg, gTr, gNm1, myIter)
+    else:
+        gTr_ab, gNm1_new = gTr, gNm1
 
-    tr_new = tracer + cfg.deltaTTracer * gTr_ab    # timestep_tracer.F
+    tr_new = tracer + dt * gTr_ab    # timestep_tracer.F
     if cfg.implicitDiffusion:
-        tr_new = impldiff(cfg, grid, tr_new, kappaR, grid.recip_hFacC,
-                          cfg.deltaTTracer)
+        tr_new = impldiff(cfg, grid, tr_new, kappaR, grid.recip_hFacC, dt)
     return tr_new, gNm1_new
 
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-                   myIter, conv_count=None
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                              jnp.ndarray]:
-    """model/src/thermodynamics.F: step theta and salt."""
+                   myIter, conv_count=None, gm_tensor=None):
+    """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
-    if not (cfg.tempStepping or cfg.saltStepping):
-        return theta, salt, gtNm1, gsNm1
+    pTr, gPtrNm1 = state.pTr, state.gPtrNm1
+    if not (cfg.tempStepping or cfg.saltStepping or pTr.shape[0]):
+        return theta, salt, gtNm1, gsNm1, pTr, gPtrNm1
 
     flow = gad.calc_adv_flow(cfg, grid, state.uVel, state.vVel, state.wVel)
     sfT, sfS = surface_forcing_ts(cfg, grid, state, forcing)
 
     if cfg.tempStepping:
-        kapT = tracer_kappa(cfg, grid, conv_count, cfg.diffKrT, theta.dtype)
+        kapT = tracer_kappa(cfg, grid, conv_count, cfg.diffKrT, theta.dtype,
+                            gm_tensor=gm_tensor)
         vscheme = cfg.tempVertAdvScheme or cfg.tempAdvScheme
         theta, gtNm1 = tracer_integrate(
             cfg, grid, flow, state, theta, state.gtNm1, kapT, sfT,
-            cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter)
+            cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,
+            gm_tensor=gm_tensor)
     if cfg.saltStepping:
-        kapS = tracer_kappa(cfg, grid, conv_count, cfg.diffKrS, salt.dtype)
+        kapS = tracer_kappa(cfg, grid, conv_count, cfg.diffKrS, salt.dtype,
+                            gm_tensor=gm_tensor)
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
         salt, gsNm1 = tracer_integrate(
             cfg, grid, flow, state, salt, state.gsNm1, kapS, sfS,
-            cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter)
-    return theta, salt, gtNm1, gsNm1
+            cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
+            gm_tensor=gm_tensor)
+
+    # passive tracers (pkg/ptracers/ptracers_integrate.F); the age-tracer
+    # source/relaxation follows tutorial_global_oce_latlon/code overrides
+    if pTr.shape[0]:
+        pt = cfg.ptracers or {}
+        scheme = int(pt.get("ptracers_advscheme", cfg.tempAdvScheme))
+        diffKh = float(pt.get("ptracers_diffkh", 0.0))
+        diffKr = float(pt.get("ptracers_diffkr", cfg.diffKrT))
+        names = pt.get("ptracers_names(1)", pt.get("ptracers_names", ""))
+        is_age = "age" in str(names).lower()
+        new_p, new_g = [], []
+        for itr in range(pTr.shape[0]):
+            kapP = tracer_kappa(cfg, grid, conv_count, diffKr,
+                                pTr.dtype, gm_tensor=gm_tensor)
+            if is_age and itr == 0:
+                # surface: 10-day relaxation to zero; interior: +1 s/s
+                sfP = (-pTr[itr, 0] / (10.0 * 86400.0)
+                       * grid.drF[0] * grid.hFacC[0])
+                intF = jnp.ones_like(pTr[itr]) * grid.maskC
+                intF = intF.at[0].set(0.0)
+            else:
+                sfP = jnp.zeros_like(sfT)
+                intF = None
+            trn, gn = tracer_integrate(
+                cfg, grid, flow, state, pTr[itr], gPtrNm1[itr], kapP, sfP,
+                scheme, scheme, diffKh, 0.0, myIter,
+                gm_tensor=gm_tensor, interior_forc=intF)
+            new_p.append(trn)
+            new_g.append(gn)
+        pTr = jnp.stack(new_p)
+        gPtrNm1 = jnp.stack(new_g)
+    return theta, salt, gtNm1, gsNm1, pTr, gPtrNm1

@@ -35,7 +35,7 @@ def rho_p0(t, s):
     rfresh = (c[0] + t * (c[1] + t * (c[2] + t * (c[3] + t * (c[4] + t * c[5])))))
     d = _EOS_JMDCSW
     rsalt = (s * (d[0] + t * (d[1] + t * (d[2] + t * (d[3] + t * d[4]))))
-             + s3o2 * (d[5] + t * (d[6] + t * t * d[7]))
+             + s3o2 * (d[5] + t * (d[6] + t * d[7]))
              + s * s * d[8])
     return rfresh + rsalt
 

@@ -57,6 +57,7 @@ def gyre_setup(cfg: Config, dtype=jnp.float32):
     fu[cfg.oly:cfg.oly + ny, cfg.olx:cfg.olx + nx] = taux
     forcing = type(forcing)(**{
         **forcing.__dict__,
-        "fu": cyclic_fill_halo(jnp.asarray(fu, dtype), cfg.oly, cfg.olx)})
+        "fu": cyclic_fill_halo(jnp.asarray(fu[None], dtype),
+                               cfg.oly, cfg.olx)})
     op = cg2d_mod.build_cg2d(cfg, grid)
     return grid, state, forcing, op
