@@ -119,6 +119,39 @@ class CG2DResult(NamedTuple):
 
 def cg2d(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
          psum=None, fill=None, pmax=None) -> CG2DResult:
+    """Differentiable preconditioned-CG solve.
+
+    Forward pass is `_cg2d_raw` below. Reverse mode uses the
+    implicit-function theorem: the solve is linear in b (the RHS
+    normalization cancels), and A is symmetric, so the VJP of x = A^-1 b
+    is b_bar = A^-1 x_bar — one more CG solve with the same operator.
+    This replaces the reference's TAF store/restore machinery around
+    cg2d.F (and the cg2d_nsa.F variant built for differentiability);
+    the initial guess x0 gets zero gradient (the converged solution is
+    independent of it), and the residual diagnostics are non-differentiable
+    auxiliaries.
+    """
+
+    @jax.custom_vjp
+    def solve(b_in, x0_in):
+        return _cg2d_raw(cfg, grid, op, b_in, x0_in, psum, fill, pmax)
+
+    def solve_fwd(b_in, x0_in):
+        res = _cg2d_raw(cfg, grid, op, b_in, x0_in, psum, fill, pmax)
+        return res, ()
+
+    def solve_bwd(_, ct):
+        xbar = ct.x
+        adj = _cg2d_raw(cfg, grid, op, xbar, jnp.zeros_like(xbar),
+                        psum, fill, pmax)
+        return adj.x, jnp.zeros_like(adj.x)
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve(b, x0)
+
+
+def _cg2d_raw(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
+              psum=None, fill=None, pmax=None) -> CG2DResult:
     """Solve A x = b with first guess x0 (cg2d.F).
 
     psum: global-sum hook (identity on one device, lax.psum under
