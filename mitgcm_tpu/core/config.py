@@ -205,6 +205,7 @@ class Config:
     periodicExternalForcing: bool = False
     pickupStrictlyMatch: bool = True
     pickupSuff: str = ""
+    startFromPickup: bool = False   # sets AB history validity (startAB=1)
     tauThetaClimRelax: float = 0.0
     tauSaltClimRelax: float = 0.0
 

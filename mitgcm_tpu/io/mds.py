@@ -118,7 +118,7 @@ def wrmds(
     write_raw(froot + ".data", a, dtype)
     lines = [f" nDims = [ {len(gdims):3d} ];", " dimList = ["]
     rows = [f" {n:5d},{1:5d},{n:5d}" for n in gdims]
-    lines.append(",\n".join(rows))
+    lines.append(";\n".join(rows))   # reference row separator (mdsio_write_meta.F)
     lines.append(" ];")
     lines.append(f" dataprec = [ '{dataprec}' ];")
     lines.append(f" nrecords = [ {nrecords:5d} ];")
@@ -148,6 +148,8 @@ def read_mflds(froot: str, itr: Optional[int] = None) -> Tuple[Dict[str, np.ndar
         froot_i = froot
     meta = parse_meta(froot_i + ".meta")
     dimrows = meta["dimList"]
+    if dimrows and not isinstance(dimrows[0], list):
+        dimrows = [dimrows]
     gdims = [int(r[0]) for r in dimrows]
     prec = meta.get("dataprec", "float64")
     if isinstance(prec, list):

@@ -179,3 +179,97 @@ class Experiment:
         final_state, diags = runner(self.state)
         self.state = final_state
         return final_state, diags
+
+
+# ----------------------------------------------------------------------
+# pickup (checkpoint) I/O — reference: model/src/write_pickup.F /
+# read_pickup.F; format: MDS multi-record f64 + .meta with fldList
+# ----------------------------------------------------------------------
+
+_PICKUP_3D = ["Uvel", "Vvel", "Theta", "Salt",
+              "GuNm1", "GvNm1", "GtNm1", "GsNm1"]
+_PICKUP_2D = ["EtaN", "dEtaHdt", "EtaH"]
+
+
+def _interior(cfg, a):
+    return np.asarray(a)[..., cfg.oly:-cfg.oly, cfg.olx:-cfg.olx]
+
+
+def write_pickup(exp: "Experiment", out_dir: str, myIter: int) -> str:
+    """Write pickup.<iter10>.data/.meta (write_pickup.F field set/order)."""
+    cfg, st = exp.cfg, exp.state
+    recs = []
+    for name in _PICKUP_3D:
+        fld = {"Uvel": st.uVel, "Vvel": st.vVel, "Theta": st.theta,
+               "Salt": st.salt, "GuNm1": st.guNm1, "GvNm1": st.gvNm1,
+               "GtNm1": st.gtNm1, "GsNm1": st.gsNm1}[name]
+        recs.append(_interior(cfg, fld))
+    recs3d = np.concatenate(recs, axis=0)
+    recs2d = np.stack([_interior(cfg, st.etaN),
+                       _interior(cfg, st.dEtaHdt),
+                       _interior(cfg, st.etaH)], axis=0)
+    stack = np.concatenate([recs3d, recs2d], axis=0)
+    froot = os.path.join(out_dir, "pickup")
+    mds.wrmds(froot, stack, itr=myIter, dataprec="float64",
+              nrecords=stack.shape[0],
+              fldlist=_PICKUP_3D + _PICKUP_2D,
+              timestep_number=myIter)
+    return froot
+
+
+def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
+    """Restore state from a pickup (read_pickup.F); sets startFromPickup."""
+    cfg = exp.cfg
+    froot = os.path.join(in_dir, "pickup")
+    fields, meta = mds.read_mflds(froot, itr=myIter)
+    stack = fields["__records__"]
+    dtype = exp.state.etaN.dtype
+    nr = cfg.nr
+
+    def pad3(a):
+        out = np.zeros((nr, cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
+        out[:, cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = a
+        return cyclic_fill_halo(jnp.asarray(out, dtype), cfg.oly, cfg.olx)
+
+    def pad2(a):
+        out = np.zeros((cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
+        out[cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = a
+        return cyclic_fill_halo(jnp.asarray(out, dtype), cfg.oly, cfg.olx)
+
+    vals3 = {}
+    for i, name in enumerate(_PICKUP_3D):
+        vals3[name] = pad3(stack[i * nr:(i + 1) * nr])
+    off = len(_PICKUP_3D) * nr
+    vals2 = {name: pad2(stack[off + i]) for i, name in enumerate(_PICKUP_2D)}
+    exp.state = State(**{
+        **exp.state.__dict__,
+        "uVel": vals3["Uvel"], "vVel": vals3["Vvel"],
+        "theta": vals3["Theta"], "salt": vals3["Salt"],
+        "guNm1": vals3["GuNm1"], "gvNm1": vals3["GvNm1"],
+        "gtNm1": vals3["GtNm1"], "gsNm1": vals3["GsNm1"],
+        "etaN": vals2["EtaN"], "dEtaHdt": vals2["dEtaHdt"],
+        "etaH": vals2["EtaH"],
+    })
+    exp.cfg.startFromPickup = True
+    exp.cfg.nIter0 = myIter
+    # initialise_varia.F:336: recompute wVel (and, with exactConserv,
+    # dEtaHdt) from the restored velocities — wVel is not in the pickup
+    w, etaN, etaH, dEtaHdt = step_mod.integr_continuity(
+        exp.cfg, exp.grid, exp.state.uVel, exp.state.vVel,
+        exp.state.etaN, exp.state.etaH, exp.state.dEtaHdt,
+        jnp.zeros_like(exp.state.etaN), jnp.asarray(myIter))
+    fill = lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)
+    exp.state = State(**{**exp.state.__dict__,
+                         "wVel": fill(w), "dEtaHdt": fill(dEtaHdt)})
+
+
+def write_state(exp: "Experiment", out_dir: str, myIter: int) -> None:
+    """Snapshot output U/V/W/T/S/Eta (model/src/write_state.F), one MDS
+    file per field like the reference's dumpFreq output."""
+    cfg, st = exp.cfg, exp.state
+    for name, fld in (("U", st.uVel), ("V", st.vVel), ("W", st.wVel),
+                      ("T", st.theta), ("S", st.salt)):
+        mds.wrmds(os.path.join(out_dir, name), _interior(cfg, fld),
+                  itr=myIter, dataprec="float64", timestep_number=myIter)
+    mds.wrmds(os.path.join(out_dir, "Eta"), _interior(cfg, st.etaN),
+              itr=myIter, dataprec="float64", timestep_number=myIter)

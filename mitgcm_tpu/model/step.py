@@ -43,12 +43,15 @@ def _default_fill(cfg: Config):
     return lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)
 
 
-def adams_bashforth2(cfg: Config, g, gNm1, myIter, startAB: int = 0):
+def adams_bashforth2(cfg: Config, g, gNm1, myIter, startAB: int = None):
     """AB2 extrapolation (model/src/adams_bashforth2.F, kArg!=0 path).
 
     Returns (g_extrap, gNm1_new): gNm1_new = g (unextrapolated tendency),
-    g_extrap = g + abFac*(g - gNm1); abFac = 0 on the cold-start first step.
+    g_extrap = g + abFac*(g - gNm1); abFac = 0 on the cold-start first step
+    (startAB=0); restarts from pickup carry valid tendencies (startAB=1).
     """
+    if startAB is None:
+        startAB = 1 if cfg.startFromPickup else 0
     abFac = jnp.where(
         jnp.logical_and(myIter == cfg.nIter0, startAB == 0),
         0.0, 0.5 + cfg.abEps).astype(g.dtype)
