@@ -1,0 +1,312 @@
+"""Vector-invariant momentum (reference: pkg/mom_vecinv/mom_vecinv.F).
+
+gU = + (f + zeta) x u terms (mom_vi_coriolis.F planetary part,
+      mom_vi_u/v_coriolis.F relative-vorticity part, selectVortScheme
+      0 = Sadourny enstrophy-conserving / 1 = wet-point average /
+      2 = energy-conserving)
+     - grad KE            (mom_vi_u/v_grad_ke.F)
+     - w du/dz            (mom_vi_u/v_vertshear.F)
+guDiss = divergence/vorticity-form dissipation (mom_vi_hdissip.F)
+       + vertical viscous fluxes + side drag + bottom drag (mom_common).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.core.grid import Grid
+from mitgcm_tpu.model.mom_fluxform import MomTend, calc_hfacz, calc_ke
+from mitgcm_tpu.ops.stencil import shift as sh
+from mitgcm_tpu.ops.stencil import shift_k
+
+
+def calc_relvort3(cfg: Config, grid: Grid, u, v):
+    """Relative vorticity at corner points (mom_common/mom_calc_relvort3.F)."""
+    return grid.recip_rAz * (
+        (v * grid.dyC - sh(v * grid.dyC, di=-1))
+        - (u * grid.dxC - sh(u * grid.dxC, dj=-1)))
+
+
+def calc_hdiv(cfg: Config, grid: Grid, u, v):
+    """Horizontal divergence (hDivFlow form, mom_common/mom_calc_hdiv.F)."""
+    drF = grid.drF[:, None, None]
+    uT = u * grid.dyG * drF * grid.hFacW
+    vT = v * grid.dxG * drF * grid.hFacS
+    return ((sh(uT, di=1) - uT) + (sh(vT, dj=1) - vT)) \
+        * grid.recip_rA * grid.recip_drF[:, None, None] \
+        * grid.recip_hFacC * grid.maskC
+
+
+def _vort_coriolis_u(cfg: Config, grid: Grid, scheme: int, v, omega3,
+                     hFacZ, r_hFacZ):
+    """mom_vi_u_coriolis.F: +<omega3 * vTrans>/dxC at U points."""
+    vdxh = v * grid.dxG * grid.hFacS
+    if scheme == 0:
+        vBarXY = 0.25 * ((vdxh + sh(vdxh, di=-1))
+                         + (sh(vdxh, dj=1) + sh(vdxh, di=-1, dj=1)))
+        vort3u = 0.5 * (omega3 * r_hFacZ
+                        + sh(omega3 * r_hFacZ, dj=1))
+        return vort3u * vBarXY * grid.recip_dxC * grid.maskW
+    if scheme == 1:
+        eps = 9.0e-9 if False else 1.0e-9
+        vdx = v * grid.dxG
+        num = 0.5 * ((vdx * hFacZ + sh(vdx, di=-1) * hFacZ)
+                     + (sh(vdx, dj=1) * sh(hFacZ, dj=1)
+                        + sh(vdx, di=-1, dj=1) * sh(hFacZ, dj=1)))
+        den = jnp.maximum(eps, hFacZ + sh(hFacZ, dj=1))
+        vBarXY = num / den
+        vort3u = 0.5 * (omega3 + sh(omega3, dj=1))
+        return vort3u * vBarXY * grid.recip_dxC * grid.maskW
+    if scheme == 2:
+        vBarXm = 0.5 * (vdxh + sh(vdxh, di=-1))
+        vBarXp = 0.5 * (sh(vdxh, dj=1) + sh(vdxh, di=-1, dj=1))
+        vort3u = 0.5 * (vBarXm * r_hFacZ * omega3
+                        + vBarXp * sh(r_hFacZ * omega3, dj=1))
+        return vort3u * grid.recip_dxC * grid.maskW
+    raise NotImplementedError(f"selectVortScheme={scheme}")
+
+
+def _vort_coriolis_v(cfg: Config, grid: Grid, scheme: int, u, omega3,
+                     hFacZ, r_hFacZ):
+    """mom_vi_v_coriolis.F: -<omega3 * uTrans>/dyC at V points."""
+    udyh = u * grid.dyG * grid.hFacW
+    if scheme == 0:
+        uBarXY = 0.25 * ((udyh + sh(udyh, dj=-1))
+                         + (sh(udyh, di=1) + sh(udyh, di=1, dj=-1)))
+        vort3v = 0.5 * (omega3 * r_hFacZ
+                        + sh(omega3 * r_hFacZ, di=1))
+        return -vort3v * uBarXY * grid.recip_dyC * grid.maskS
+    if scheme == 1:
+        eps = 1.0e-9
+        udy = u * grid.dyG
+        num = 0.5 * ((udy * hFacZ + sh(udy, dj=-1) * hFacZ)
+                     + (sh(udy, di=1) * sh(hFacZ, di=1)
+                        + sh(udy, di=1, dj=-1) * sh(hFacZ, di=1)))
+        den = jnp.maximum(eps, hFacZ + sh(hFacZ, di=1))
+        uBarXY = num / den
+        vort3v = 0.5 * (omega3 + sh(omega3, di=1))
+        return -vort3v * uBarXY * grid.recip_dyC * grid.maskS
+    if scheme == 2:
+        uBarYm = 0.5 * (udyh + sh(udyh, dj=-1))
+        uBarYp = 0.5 * (sh(udyh, di=1) + sh(udyh, di=1, dj=-1))
+        vort3v = 0.5 * (uBarYm * r_hFacZ * omega3
+                        + uBarYp * sh(r_hFacZ * omega3, di=1))
+        return -vort3v * grid.recip_dyC * grid.maskS
+    raise NotImplementedError(f"selectVortScheme={scheme}")
+
+
+def _planetary_coriolis(cfg: Config, grid: Grid, u, v):
+    """mom_vi_coriolis.F: f at vorticity points x transports."""
+    scheme = cfg.selectCoriScheme
+    fG = grid.fCoriG
+    vdx = v * grid.dxG
+    udy = u * grid.dyG
+    vdxh = vdx * grid.hFacS
+    udyh = udy * grid.hFacW
+    if scheme == 0:
+        vBarXY = 0.25 * ((vdx + sh(vdx, di=-1))
+                         + (sh(vdx, dj=1) + sh(vdx, di=-1, dj=1)))
+        uCf = (0.5 * (fG + sh(fG, dj=1)) * vBarXY
+               * grid.recip_dxC * grid.maskW)
+        uBarXY = 0.25 * ((udy + sh(udy, dj=-1))
+                         + (sh(udy, di=1) + sh(udy, di=1, dj=-1)))
+        vCf = (-0.5 * (fG + sh(fG, di=1)) * uBarXY
+               * grid.recip_dyC * grid.maskS)
+        return uCf, vCf
+    if scheme == 1:
+        eps = 1.0e-9
+        numU = ((vdxh + sh(vdxh, di=-1))
+                + (sh(vdxh, dj=1) + sh(vdxh, di=-1, dj=1)))
+        denU = jnp.maximum(eps, (grid.hFacS + sh(grid.hFacS, di=-1))
+                           + (sh(grid.hFacS, dj=1)
+                              + sh(grid.hFacS, di=-1, dj=1)))
+        uCf = (0.5 * (fG + sh(fG, dj=1)) * numU / denU
+               * grid.recip_dxC * grid.maskW)
+        numV = ((udyh + sh(udyh, dj=-1))
+                + (sh(udyh, di=1) + sh(udyh, di=1, dj=-1)))
+        denV = jnp.maximum(eps, (grid.hFacW + sh(grid.hFacW, dj=-1))
+                           + (sh(grid.hFacW, di=1)
+                              + sh(grid.hFacW, di=1, dj=-1)))
+        vCf = (-0.5 * (fG + sh(fG, di=1)) * numV / denV
+               * grid.recip_dyC * grid.maskS)
+        return uCf, vCf
+    if scheme == 2:
+        vBarXY = 0.25 * ((vdxh + sh(vdxh, di=-1))
+                         + (sh(vdxh, dj=1) + sh(vdxh, di=-1, dj=1)))
+        uCf = (0.5 * (fG + sh(fG, dj=1)) * vBarXY
+               * grid.recip_dxC * grid.recip_hFacW)
+        uBarXY = 0.25 * ((udyh + sh(udyh, dj=-1))
+                         + (sh(udyh, di=1) + sh(udyh, di=1, dj=-1)))
+        vCf = (-0.5 * (fG + sh(fG, di=1)) * uBarXY
+               * grid.recip_dyC * grid.recip_hFacS)
+        return uCf, vCf
+    if scheme == 3:
+        vBarXm = 0.5 * (vdxh + sh(vdxh, di=-1))
+        vBarXp = 0.5 * (sh(vdxh, dj=1) + sh(vdxh, di=-1, dj=1))
+        uCf = (0.5 * (vBarXm * fG + vBarXp * sh(fG, dj=1))
+               * grid.recip_dxC * grid.recip_hFacW)
+        uBarYm = 0.5 * (udyh + sh(udyh, dj=-1))
+        uBarYp = 0.5 * (sh(udyh, di=1) + sh(udyh, di=1, dj=-1))
+        vCf = (-0.5 * (uBarYm * fG + uBarYp * sh(fG, di=1))
+               * grid.recip_dyC * grid.recip_hFacS)
+        return uCf, vCf
+    raise NotImplementedError(f"selectCoriScheme={scheme}")
+
+
+def mom_vecinv(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
+    nr = cfg.nr
+    dt = u.dtype
+    drF = grid.drF[:, None, None]
+    recip_drF = grid.recip_drF[:, None, None]
+
+    hFacZ = calc_hfacz(grid)
+    r_hFacZ = jnp.where(hFacZ == 0.0, 0.0,
+                        1.0 / jnp.where(hFacZ == 0.0, 1.0, hFacZ))
+    KE = calc_ke(cfg, grid, u, v)
+    vort3 = calc_relvort3(cfg, grid, u, v)
+    sideMaskFac = cfg.sideDragFactor if cfg.no_slip_sides else 0.0
+    vort3 = jnp.where(hFacZ == 0.0, sideMaskFac * vort3, vort3)
+
+    guDiss = jnp.zeros_like(u)
+    gvDiss = jnp.zeros_like(v)
+
+    if cfg.momViscosity:
+        hDiv = calc_hdiv(cfg, grid, u, v)
+        # harmonic dissipation in divergence/vorticity form
+        # (mom_vi_hdissip.F, constant-viscosity branch)
+        viscAhD = cfg.viscAh
+        viscAhZ = cfg.viscAh
+        Z = hFacZ * vort3
+        uD2 = (viscAhD * grid.cosFacU * (hDiv - sh(hDiv, di=-1))
+               * grid.recip_dxC
+               - viscAhZ * grid.recip_hFacW * (sh(Z, dj=1) - Z)
+               * grid.recip_dyG * grid.cosFacU)
+        vD2 = (viscAhZ * grid.recip_hFacS * grid.cosFacV
+               * (sh(Z, di=1) - Z) * grid.recip_dxG
+               + viscAhD * (hDiv - sh(hDiv, dj=-1)) * grid.recip_dyC
+               * grid.cosFacV)
+        guDiss = uD2 * grid.maskW
+        gvDiss = vD2 * grid.maskS
+        if cfg.viscA4 != 0.0:
+            raise NotImplementedError(
+                "biharmonic dissipation in vector-invariant form "
+                "(mom_vi_del2uv) not yet implemented")
+
+        if not cfg.implicitViscosity:
+            rvU_mid = (-kappaRU[1:nr] * grid.rAw
+                       * (u[1:] - u[:-1]) * cfg.rkSign
+                       * grid.recip_drC[1:nr, None, None]
+                       * grid.maskW[1:] * grid.maskW[:-1])
+            rvV_mid = (-kappaRV[1:nr] * grid.rAs
+                       * (v[1:] - v[:-1]) * cfg.rkSign
+                       * grid.recip_drC[1:nr, None, None]
+                       * grid.maskS[1:] * grid.maskS[:-1])
+            z1 = jnp.zeros_like(u[:1])
+            rViscU = jnp.concatenate([z1, rvU_mid, z1], axis=0)
+            rViscV = jnp.concatenate([z1, rvV_mid, z1], axis=0)
+            guDiss = guDiss - (
+                grid.recip_hFacW * recip_drF * grid.recip_rAw
+                * (rViscU[1:] - rViscU[:-1]) * cfg.rkSign)
+            gvDiss = gvDiss - (
+                grid.recip_hFacS * recip_drF * grid.recip_rAs
+                * (rViscV[1:] - rViscV[:-1]) * cfg.rkSign)
+
+        if cfg.no_slip_sides:
+            # mom_u_sidedrag.F (as in the flux-form path; del2u=0 here
+            # without biharmonic)
+            hClosedS = grid.hFacW - hFacZ
+            hClosedN = grid.hFacW - sh(hFacZ, dj=1)
+            guDiss = guDiss - (
+                grid.recip_hFacW * recip_drF * grid.recip_rAw
+                * (hClosedS * grid.dxV * grid.recip_dyU
+                   + hClosedN * sh(grid.dxV, dj=1) * sh(grid.recip_dyU, dj=1))
+                * drF * cfg.sideDragFactor * (viscAhZ * u)) * grid.maskW
+            hClosedW = grid.hFacS - hFacZ
+            hClosedE = grid.hFacS - sh(hFacZ, di=1)
+            gvDiss = gvDiss - (
+                grid.recip_hFacS * recip_drF * grid.recip_rAs
+                * (hClosedW * grid.dyU * grid.recip_dxV
+                   + hClosedE * sh(grid.dyU, di=1) * sh(grid.recip_dxV, di=1))
+                * drF * cfg.sideDragFactor * (viscAhZ * v * grid.cosFacV)
+            ) * grid.maskS
+
+        if (cfg.no_slip_bottom or cfg.selectBotDragQuadr >= 0
+                or cfg.bottomDragLinear != 0.0):
+            viscFac = 2.0 if cfg.no_slip_bottom else 0.0
+            recDr = jnp.concatenate(
+                [grid.recip_drC[1:nr], grid.recip_drF[nr - 1:nr]]
+            )[:, None, None]
+            kU_low = jnp.concatenate([kappaRU[1:nr], kappaRU[nr:nr + 1]],
+                                     axis=0)
+            kV_low = jnp.concatenate([kappaRV[1:nr], kappaRV[nr:nr + 1]],
+                                     axis=0)
+            cDragU = jnp.full_like(u, cfg.bottomDragLinear)
+            cDragV = jnp.full_like(v, cfg.bottomDragLinear)
+            if cfg.no_slip_bottom:
+                cDragU = cDragU + kU_low * recDr * viscFac
+                cDragV = cDragV + kV_low * recDr * viscFac
+            maskW_dn = jnp.concatenate(
+                [grid.maskW[1:], jnp.ones_like(u[:1])], axis=0)
+            maskS_dn = jnp.concatenate(
+                [grid.maskS[1:], jnp.ones_like(v[:1])], axis=0)
+            karr = jnp.arange(nr)[:, None, None]
+            bottomW = grid.maskW * jnp.where(karr == nr - 1, 1.0,
+                                             1.0 - maskW_dn)
+            bottomS = grid.maskS * jnp.where(karr == nr - 1, 1.0,
+                                             1.0 - maskS_dn)
+            guDiss = guDiss - cDragU * bottomW * u \
+                * grid.recip_hFacW * recip_drF
+            gvDiss = gvDiss - cDragV * bottomS * v \
+                * grid.recip_hFacS * recip_drF
+
+    # ---- Coriolis + vorticity advection ----
+    gU = jnp.zeros_like(u)
+    gV = jnp.zeros_like(v)
+    if not cfg.useCDscheme:
+        uCf, vCf = _planetary_coriolis(cfg, grid, u, v)
+        gU = uCf
+        gV = vCf
+
+    if cfg.momAdvection:
+        vs = cfg.selectVortScheme if cfg.selectVortScheme is not None else 1
+        gU = gU + _vort_coriolis_u(cfg, grid, vs, v, vort3, hFacZ, r_hFacZ)
+        gV = gV + _vort_coriolis_v(cfg, grid, vs, u, vort3, hFacZ, r_hFacZ)
+
+        # vertical shear -w du/dz (mom_vi_u_vertshear.F, area-weighted)
+        karr = jnp.arange(nr)[:, None, None]
+        mask_km1 = jnp.where(karr == 0, 0.0, 1.0)
+        mask_kp1 = jnp.where(karr == nr - 1, 0.0, 1.0)
+        mC_km1 = shift_k(grid.maskC, -1)
+        wrA = w * grid.rA
+        wrA_kp1 = jnp.concatenate([wrA[1:], jnp.zeros_like(wrA[:1])], axis=0)
+        wBarXm = (0.5 * (wrA * mC_km1 + sh(wrA * mC_km1, di=-1))
+                  * mask_km1 * grid.recip_rAw)
+        wBarXp = (0.5 * (wrA_kp1 + sh(wrA_kp1, di=-1))
+                  * mask_kp1 * grid.recip_rAw)
+        u_km1 = shift_k(u, -1)
+        u_kp1 = jnp.concatenate([u[1:], jnp.zeros_like(u[:1])], axis=0)
+        uZm = (u - mask_km1 * u_km1) * cfg.rkSign
+        uZp = (mask_kp1 * u_kp1 - u) * cfg.rkSign
+        gU = gU - 0.5 * (wBarXp * uZp + wBarXm * uZm) \
+            * grid.recip_hFacW * recip_drF
+        wBarYm = (0.5 * (wrA * mC_km1 + sh(wrA * mC_km1, dj=-1))
+                  * mask_km1 * grid.recip_rAs)
+        wBarYp = (0.5 * (wrA_kp1 + sh(wrA_kp1, dj=-1))
+                  * mask_kp1 * grid.recip_rAs)
+        v_km1 = shift_k(v, -1)
+        v_kp1 = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+        vZm = (v - mask_km1 * v_km1) * cfg.rkSign
+        vZp = (mask_kp1 * v_kp1 - v) * cfg.rkSign
+        gV = gV - 0.5 * (wBarYp * vZp + wBarYm * vZm) \
+            * grid.recip_hFacS * recip_drF
+
+        # -grad KE (mom_vi_u_grad_ke.F)
+        gU = gU - grid.recip_dxC * (KE - sh(KE, di=-1)) * grid.maskW
+        gV = gV - grid.recip_dyC * (KE - sh(KE, dj=-1)) * grid.maskS
+
+    gU = gU * grid.maskW
+    gV = gV * grid.maskS
+    guDiss = guDiss * grid.maskW
+    gvDiss = gvDiss * grid.maskS
+    return MomTend(gU=gU, gV=gV, guDiss=guDiss, gvDiss=gvDiss)

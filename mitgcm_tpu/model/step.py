@@ -26,6 +26,7 @@ from mitgcm_tpu.core.state import Forcing, State
 from mitgcm_tpu.model import cd_code, gmredi
 from mitgcm_tpu.model import thermodynamics as thermo_mod
 from mitgcm_tpu.model.mom_fluxform import mom_fluxform
+from mitgcm_tpu.model.mom_vecinv import mom_vecinv
 from mitgcm_tpu.model.phihyd import calc_phi_hyd
 from mitgcm_tpu.ops import eos
 from mitgcm_tpu.ops.stencil import (cyclic_fill_halo, interior_mask,
@@ -115,7 +116,10 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
 
     _, dPhiHydX, dPhiHydY = calc_phi_hyd(cfg, grid, rhoInSitu)
 
-    tend = mom_fluxform(cfg, grid, u, v, w, kappaRU, kappaRV)
+    if cfg.vectorInvariantMomentum:
+        tend = mom_vecinv(cfg, grid, u, v, w, kappaRU, kappaRV)
+    else:
+        tend = mom_fluxform(cfg, grid, u, v, w, kappaRU, kappaRV)
     gU, gV = tend.gU, tend.gV
 
     # --- timestep.F assembly ---
@@ -155,8 +159,17 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         gU_ab = gU_ab + guCor
         gV_ab = gV_ab + gvCor
 
-    # explicit part of surface pressure (zero when implicSurfPress=1)
-    if cfg.implicSurfPress != 1.0 and not cfg.staggerTimeStep:
+    # pressure gradients applied after AB (timestep.F:276-290):
+    # staggered stepping keeps dPhiHyd out of the AB extrapolation;
+    # explicit surface-pressure part only when implicSurfPress < 1
+    if cfg.staggerTimeStep:
+        psFac = (1.0 - cfg.implicSurfPress)
+        BoEta = grid.Bo_surf * state.etaN
+        phiSurfX = grid.recip_dxC * (BoEta - sh(BoEta, di=-1))
+        phiSurfY = grid.recip_dyC * (BoEta - sh(BoEta, dj=-1))
+        gU_ab = gU_ab - dPhiHydX - psFac * phiSurfX
+        gV_ab = gV_ab - dPhiHydY - psFac * phiSurfY
+    elif cfg.implicSurfPress != 1.0:
         psFac = (1.0 - cfg.implicSurfPress)
         BoEta = grid.Bo_surf * state.etaN
         phiSurfX = grid.recip_dxC * (BoEta - sh(BoEta, di=-1))
@@ -347,10 +360,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         gm_tensor = gmredi.calc_tensor(cfg, grid, cfg.gmredi,
                                        sigmaX, sigmaY, sigmaR)
 
-    # THERMODYNAMICS (tracers; no-op when temp/salt stepping disabled)
-    theta, salt, gtNm1, gsNm1, pTr, gPtrNm1 = thermo_mod.thermodynamics(
-        cfg, grid, state, forc, myIter, conv_count=conv_count,
-        gm_tensor=gm_tensor)
+    # THERMODYNAMICS before dynamics (non-staggered ordering only;
+    # staggerTimeStep moves it after the pressure correction,
+    # forward_step.F:1010-1032)
+    if not cfg.staggerTimeStep:
+        theta, salt, gtNm1, gsNm1, pTr, gPtrNm1 = thermo_mod.thermodynamics(
+            cfg, grid, state, forc, myIter, conv_count=conv_count,
+            gm_tensor=gm_tensor)
 
     uStar, vStar, guNm1, gvNm1, cd_state = dynamics(
         cfg, grid, state, forc, rhoInSitu, myIter)
@@ -372,6 +388,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, forc.EmPmR,
         myIter + 1)
     w = fill(w)
+
+    if cfg.staggerTimeStep:
+        stag_state = State(**{**state.__dict__,
+                              "uVel": u, "vVel": v, "wVel": w})
+        theta, salt, gtNm1, gsNm1, pTr, gPtrNm1 = thermo_mod.thermodynamics(
+            cfg, grid, stag_state, forc, myIter, conv_count=conv_count,
+            gm_tensor=gm_tensor)
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,
