@@ -150,14 +150,20 @@ class Config:
     select3dCoriScheme: int = UNSET
     rhoConstFresh: float = UNSET
     allowFreezing: bool = False
+    buoyancyRelation: str = "OCEANIC"
+    atm_Rq: float = 0.0
+    top_Pres: float = 0.0
     usingPCoords: bool = False
     usingZCoords: bool = True
     fluidIsAir: bool = False
     fluidIsWater: bool = True
+    nFaces: int = 1                # 6 for the cubed sphere
     celsius2K: float = 273.15
     atm_Cp: float = 1004.0
     atm_Rd: float = UNSET
+    atm_kappa: float = 2.0 / 7.0
     atm_Po: float = 1.0e5
+    thetaConst: float = UNSET
     HeatCapacity_Cp: float = 3994.0
     gravitySign: float = -1.0
     rkSign: float = -1.0
@@ -282,8 +288,26 @@ class Config:
     def finalize(self) -> "Config":
         """Resolve UNSET/derived parameters (ini_parms.F / set_parms.F)."""
         c = self
+        # buoyancy relation -> coordinate system (set_parms.F)
+        br = (c.buoyancyRelation or "OCEANIC").upper()
+        if br == "ATMOSPHERIC":
+            c.fluidIsAir = True
+            c.fluidIsWater = False
+            c.usingPCoords = True
+            c.usingZCoords = False
+            c.gravitySign = 1.0
+        elif br == "OCEANICP":
+            c.usingPCoords = True
+            c.usingZCoords = False
+            c.gravitySign = 1.0
+        if c.usingCurvilinearGrid:
+            c.nFaces = 6
         if c.gBaro is UNSET:
             c.gBaro = c.gravity
+        if c.atm_Rd is UNSET:
+            c.atm_Rd = c.atm_Cp * c.atm_kappa     # ini_parms.F:490
+        else:
+            c.atm_kappa = c.atm_Rd / c.atm_Cp
         if c.omega is UNSET:
             c.omega = 2.0 * math.pi / c.rotationPeriod if c.rotationPeriod else 0.0
         if c.startTime is UNSET and c.nIter0 is not None:

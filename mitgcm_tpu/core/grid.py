@@ -466,3 +466,235 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         recip_rhoFacC=J(onesC), recip_rhoFacF=J(onesF),
         globalArea=J(globalArea),
     )
+
+
+def build_cs_grid(cfg: Config, dtype=jnp.float64):
+    """Cubed-sphere grid from .mitgrid face files
+    (model/src/ini_curvilinear_grid.F + pkg/mdsio/mdsio_facef_read.F),
+    in the stacked-face layout [.., 6*nyp, nxp].
+
+    Returns (grid, cs_fill) where cs_fill is the CSFill exchange hook set.
+    """
+    from mitgcm_tpu.parallel import cs as cs_mod
+
+    n = cfg.nx // 6 if cfg.nx == 6 * cfg.ny else cfg.ny
+    assert cfg.ny == n, "cubed-sphere faces must be square"
+    ol = cfg.olx
+    assert cfg.oly == ol
+    nyp = n + 2 * ol
+
+    if cfg.horizGridFile:
+        paths = [os.path.join(cfg.run_dir,
+                              f"{cfg.horizGridFile}.face{f + 1:03d}.bin")
+                 for f in range(6)]
+    else:
+        paths = [os.path.join(cfg.run_dir, f"tile{f + 1:03d}.mitgrid")
+                 for f in range(6)]
+    faces = [cs_mod.read_mitgrid(p, n) for p in paths]
+    ex = cs_mod.CSExchange(faces, n, ol)
+    fillers = cs_mod.CSFill(ex)
+    # jit the host-side fills: eager dispatch of the many small index ops
+    # in fill_UV_cgrid costs ~10s/call, one fused compile ~1s
+    jit_fill_C = jax.jit(ex.fill_C)
+    jit_fill_Z = jax.jit(ex.fill_Z)
+    jit_fill_UV = jax.jit(
+        lambda uu, vv: ex.fill_UV_cgrid(uu, vv, with_sign=False))
+
+    # radius rescaling (ini_curvilinear_grid.F radius_fromHorizGrid)
+    if cfg.radius_fromHorizGrid not in (None, 0.0):
+        lsc = cfg.rSphere / cfg.radius_fromHorizGrid
+    else:
+        lsc = 1.0
+    asc = lsc * lsc
+
+    def stackC(name, scale=1.0):
+        a = np.zeros((6, nyp, nyp))
+        for f, g in enumerate(faces):
+            a[f, ol:ol + n, ol:ol + n] = g[name][:n, :n] * scale
+        return np.asarray(jit_fill_C(jnp.asarray(a))).reshape(6 * nyp, nyp)
+
+    def stackUV(nameU, nameV, scale=1.0):
+        au = np.zeros((6, nyp, nyp))
+        av = np.zeros((6, nyp, nyp))
+        for f, g in enumerate(faces):
+            au[f, ol:ol + n, ol:ol + n] = g[nameU][:n, :n] * scale
+            av[f, ol:ol + n, ol:ol + n] = g[nameV][:n, :n] * scale
+        fu, fv = jit_fill_UV(jnp.asarray(au), jnp.asarray(av))
+        return (np.asarray(fu).reshape(6 * nyp, nyp),
+                np.asarray(fv).reshape(6 * nyp, nyp))
+
+    def stackZ(name, scale=1.0):
+        # corner records are complete (n+1)^2; load the owned n+1 range
+        a = np.zeros((6, nyp, nyp))
+        for f, g in enumerate(faces):
+            a[f, ol:ol + n + 1, ol:ol + n + 1] = g[name] * scale
+        return np.asarray(jit_fill_Z(jnp.asarray(a))).reshape(6 * nyp, nyp)
+
+    xC = stackC("xC")
+    yC = stackC("yC")
+    dxF = stackC("dxF", lsc)
+    dyF = stackC("dyF", lsc)
+    rA = stackC("rA", asc)
+    xG = stackZ("xG")
+    yG = stackZ("yG")
+    # dxV / dyU live at Z (corner) points on the C grid
+    dxV = stackZ("dxV", lsc)
+    dyU = stackZ("dyU", lsc)
+    rAz = stackZ("rAz", asc)
+    dxC, dyC = stackUV("dxC", "dyC", lsc)
+    rAw, rAs = stackUV("rAw", "rAs", asc)
+    dyG, dxG = stackUV("dyG", "dxG", lsc)
+
+    # vertical grid (ini_vertical_grid.F; p-coords build from top_Pres up)
+    nr = cfg.nr
+    delR = np.asarray(cfg.delR, np.float64)
+    if delR.size < nr:
+        delR = np.concatenate([delR, np.full(nr - delR.size, delR[-1])])
+    drF = delR.copy()
+    rF = np.zeros(nr + 1)
+    if cfg.usingPCoords:
+        rF[nr] = cfg.top_Pres
+        for k in range(nr - 1, -1, -1):
+            rF[k] = rF[k + 1] + drF[k]
+    else:
+        rF[0] = cfg.seaLev_Z
+        for k in range(nr):
+            rF[k + 1] = rF[k] - drF[k]
+    rC = 0.5 * (rF[:-1] + rF[1:])
+    drC = np.zeros(nr + 1)
+    drC[0] = 0.5 * drF[0]
+    drC[1:nr] = rC[:-1] - rC[1:]
+    drC[nr] = 0.5 * drF[nr - 1]
+    recip_drF = _safe_recip(drF)
+    recip_drC = _safe_recip(drC)
+
+    pshape = (6 * nyp, nyp)
+    # bathymetry: global CS files store facets contiguously ([6n, n],
+    # exch2 W2_useE2ioLayOut)
+    if cfg.bathyFile:
+        prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
+        braw = mds.read_raw(os.path.join(cfg.run_dir, cfg.bathyFile),
+                            (6 * n, n), prec).astype(np.float64)
+        bfaces = np.stack([braw[f * n:(f + 1) * n, :] for f in range(6)])
+        R_low_in = bfaces
+    else:
+        R_low_in = np.full((6, n, n), rF[nr])
+    R_low = np.zeros((6, nyp, nyp))
+    R_low[:, ol:ol + n, ol:ol + n] = np.minimum(R_low_in, rF[0]) \
+        if cfg.usingZCoords else R_low_in
+    R_low = np.asarray(jit_fill_C(jnp.asarray(R_low))).reshape(pshape)
+    Ro_surf = np.full(pshape, rF[0])
+
+    rLowW = np.maximum(R_low, np.roll(R_low, 1, axis=-1))
+    rSurfW = np.minimum(Ro_surf, np.roll(Ro_surf, 1, axis=-1))
+    rLowS = np.maximum(R_low, np.roll(R_low, 1, axis=-2))
+    rSurfS = np.minimum(Ro_surf, np.roll(Ro_surf, 1, axis=-2))
+
+    hFacC = _hfac_column(R_low, Ro_surf, rF, drF, recip_drF,
+                         cfg.hFacMin, cfg.hFacMinDr)
+    if cfg.usingZCoords:
+        # ini_masks_etc.F:126-143: R_low snapped to the clipped cells
+        R_low = rF[0] - np.tensordot(drF, hFacC, axes=(0, 0))
+    hFacW = _hfac_column(rLowW, rSurfW, rF, drF, recip_drF,
+                         cfg.hFacMin, cfg.hFacMinDr)
+    hFacS = _hfac_column(rLowS, rSurfS, rF, drF, recip_drF,
+                         cfg.hFacMin, cfg.hFacMinDr)
+
+    def exC3(a):
+        a6 = a.reshape(nr, 6, nyp, nyp)
+        return np.asarray(jit_fill_C(jnp.asarray(a6))
+                          ).reshape(nr, 6 * nyp, nyp)
+
+    def exUV3(au, av):
+        au6 = au.reshape(nr, 6, nyp, nyp)
+        av6 = av.reshape(nr, 6, nyp, nyp)
+        fu, fv = jit_fill_UV(jnp.asarray(au6), jnp.asarray(av6))
+        return (np.asarray(fu).reshape(nr, 6 * nyp, nyp),
+                np.asarray(fv).reshape(nr, 6 * nyp, nyp))
+
+    # hFacC is never exchanged (ini_masks_etc.F computes it over the full
+    # padded range from the exchanged R_low/Ro_surf); hFacW/S are
+    # exchanged as a no-sign C-grid pair (ini_masks_etc.F:402)
+    hFacW, hFacS = exUV3(hFacW, hFacS)
+
+    kSurfC = np.full(pshape, nr + 1, dtype=np.int32)
+    kLowC = np.zeros(pshape, dtype=np.int32)
+    for k in range(nr - 1, -1, -1):
+        kSurfC = np.where(hFacC[k] != 0.0, k + 1, kSurfC)
+    for k in range(nr):
+        kLowC = np.where(hFacC[k] != 0.0, k + 1, kLowC)
+    maskInC = (kSurfC <= nr).astype(np.float64)
+    kSurfW = np.full(pshape, nr + 1, dtype=np.int32)
+    kSurfS = np.full(pshape, nr + 1, dtype=np.int32)
+    for k in range(nr - 1, -1, -1):
+        kSurfW = np.where(hFacW[k] != 0.0, k + 1, kSurfW)
+        kSurfS = np.where(hFacS[k] != 0.0, k + 1, kSurfS)
+    maskInW = (kSurfW <= nr).astype(np.float64)
+    maskInS = (kSurfS <= nr).astype(np.float64)
+    maskC = (hFacC > 0.0).astype(np.float64)
+    maskW = (hFacW > 0.0).astype(np.float64)
+    maskS = (hFacS > 0.0).astype(np.float64)
+
+    # Coriolis (ini_cori.F selectCoriMap=2 for curvilinear)
+    fCori = 2.0 * cfg.omega * np.sin(np.deg2rad(yC))
+    fCoriG = 2.0 * cfg.omega * np.sin(np.deg2rad(yG))
+    fCoriCos = 2.0 * cfg.omega * np.cos(np.deg2rad(yC))
+
+    if cfg.usingZCoords:
+        Bo_surf = np.full(pshape, cfg.gBaro)
+        recip_Bo = np.full(pshape, 1.0 / cfg.gBaro)
+    else:
+        Bo_surf = np.full(pshape, cfg.recip_rhoConst)
+        recip_Bo = np.full(pshape, cfg.rhoConst)
+
+    imask = np.zeros(pshape)
+    for f in range(6):
+        imask[f * nyp + ol:f * nyp + ol + n, ol:ol + n] = 1.0
+    globalArea = float(np.sum(rA * maskInC * imask))
+
+    onesC = np.ones(nr)
+    onesF = np.ones(nr + 1)
+    pz = np.zeros(pshape)
+    po = np.ones(pshape)
+
+    def J(a):
+        return jnp.asarray(a, dtype=dtype)
+
+    grid = Grid(
+        rF=J(rF), rC=J(rC), drF=J(drF), drC=J(drC),
+        recip_drF=J(recip_drF), recip_drC=J(recip_drC),
+        xG=J(xG), yG=J(yG), xC=J(xC), yC=J(yC),
+        dxF=J(dxF), dyF=J(dyF), dxG=J(dxG), dyG=J(dyG),
+        dxC=J(dxC), dyC=J(dyC), dxV=J(dxV), dyU=J(dyU),
+        rA=J(rA), rAw=J(rAw), rAs=J(rAs), rAz=J(rAz),
+        recip_dxF=J(_safe_recip(dxF)), recip_dyF=J(_safe_recip(dyF)),
+        recip_dxG=J(_safe_recip(dxG)), recip_dyG=J(_safe_recip(dyG)),
+        recip_dxC=J(_safe_recip(dxC)), recip_dyC=J(_safe_recip(dyC)),
+        recip_dxV=J(_safe_recip(dxV)), recip_dyU=J(_safe_recip(dyU)),
+        recip_rA=J(_safe_recip(rA)), recip_rAw=J(_safe_recip(rAw)),
+        recip_rAs=J(_safe_recip(rAs)), recip_rAz=J(_safe_recip(rAz)),
+        tanPhiAtU=J(pz), tanPhiAtV=J(pz),
+        cosFacU=J(po), cosFacV=J(po), sqCosFacU=J(po), sqCosFacV=J(po),
+        angleCosC=J(po), angleSinC=J(pz),
+        fCori=J(fCori), fCoriG=J(fCoriG), fCoriCos=J(fCoriCos),
+        R_low=J(R_low), Ro_surf=J(Ro_surf),
+        recip_Rcol=J(_safe_recip(np.maximum(
+            np.abs(Ro_surf - R_low), 0.0))),
+        hFacC=J(hFacC), hFacW=J(hFacW), hFacS=J(hFacS),
+        recip_hFacC=J(_safe_recip(hFacC)),
+        recip_hFacW=J(_safe_recip(hFacW)),
+        recip_hFacS=J(_safe_recip(hFacS)),
+        maskC=J(maskC), maskW=J(maskW), maskS=J(maskS),
+        maskInC=J(maskInC), maskInW=J(maskInW), maskInS=J(maskInS),
+        kSurfC=jnp.asarray(kSurfC), kSurfW=jnp.asarray(kSurfW),
+        kSurfS=jnp.asarray(kSurfS), kLowC=jnp.asarray(kLowC),
+        Bo_surf=J(Bo_surf), recip_Bo=J(recip_Bo),
+        deepFacC=J(onesC), deepFacF=J(onesF),
+        deepFac2C=J(onesC), deepFac2F=J(onesF),
+        recip_deepFacC=J(onesC), recip_deepFac2C=J(onesC),
+        recip_deepFac2F=J(onesF),
+        rhoFacC=J(onesC), rhoFacF=J(onesF),
+        recip_rhoFacC=J(onesC), recip_rhoFacF=J(onesF),
+        globalArea=J(globalArea),
+    )
+    return grid, fillers

@@ -79,8 +79,9 @@ jax.tree_util.register_dataclass(
 
 def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
     """Cold-start state (model/src/ini_dynvars.F + ini_fields.F):
-    rest, theta/salt = reference profiles (masked), eta = 0."""
-    nyp = cfg.ny + 2 * cfg.oly
+    rest, theta/salt = reference profiles (masked), eta = 0.
+    Cubed-sphere runs stack the faces along j (nFaces j-blocks)."""
+    nyp = cfg.nFaces * (cfg.ny + 2 * cfg.oly)
     nxp = cfg.nx + 2 * cfg.olx
     z3 = jnp.zeros((cfg.nr, nyp, nxp), dtype=dtype)
     z2 = jnp.zeros((nyp, nxp), dtype=dtype)
@@ -106,7 +107,7 @@ def n_ptracers(cfg: Config) -> int:
 
 
 def zero_forcing(cfg: Config, dtype=jnp.float64) -> Forcing:
-    nyp = cfg.ny + 2 * cfg.oly
+    nyp = cfg.nFaces * (cfg.ny + 2 * cfg.oly)
     nxp = cfg.nx + 2 * cfg.olx
     z2 = jnp.zeros((1, nyp, nxp), dtype=dtype)
     return Forcing(fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,

@@ -21,7 +21,8 @@ from mitgcm_tpu.ops.stencil import interior_mask, shift as sh
 def calc_stats(cfg: Config, arr, hFac, mask2d, area, dr) -> Dict[str, jnp.ndarray]:
     """mon_calc_stats_rl.F. arr/hFac: [nr', ...]; mask2d/area: 2-D; dr: [nr']."""
     dt = arr.dtype
-    imask = interior_mask(arr.shape[-2:], cfg.oly, cfg.olx, dt)
+    imask = interior_mask(arr.shape[-2:], cfg.oly, cfg.olx, dt,
+                          n_faces=cfg.nFaces)
     tmpMask = mask2d * hFac * imask
     wet = tmpMask > 0.0
 
@@ -82,34 +83,44 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
         for k, v in p_stats.items():
             out[f"trcstat_ptracer{itr + 1:02d}_{k}"] = v
 
-    # advective CFL numbers (mon_advcfl.F): max |u|*recip_dx*dT over wet+halo
+    # advective CFL numbers: interior cells only (mon_advcfl.F:25-36)
+    imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx,
+                          state.etaN.dtype, n_faces=cfg.nFaces)
     dT = max(cfg.deltaTTracer, cfg.deltaTMom)
     out["advcfl_uvel_max"] = jnp.max(
-        jnp.abs(state.uVel) * grid.recip_dxC * dT)
+        jnp.abs(state.uVel) * grid.recip_dxC * dT * imask)
     out["advcfl_vvel_max"] = jnp.max(
-        jnp.abs(state.vVel) * grid.recip_dyC * dT)
-    out["advcfl_wvel_max"] = jnp.max(
-        jnp.abs(state.wVel) * grid.recip_drC[:cfg.nr, None, None] * dT)
-    out["advcfl_W_hf_max"] = jnp.max(
-        jnp.abs(state.wVel) * grid.recip_hFacC
-        * grid.recip_drF[:, None, None] * dT)
+        jnp.abs(state.vVel) * grid.recip_dyC * dT * imask)
+    # w CFLs run k=2..Nr only (mon_advcflw.F / mon_advcflw2.F)
+    wk = jnp.abs(state.wVel[1:]) if cfg.nr > 1 else jnp.zeros_like(
+        state.wVel[:0])
+    out["advcfl_wvel_max"] = (jnp.max(
+        wk * grid.recip_drC[1:cfg.nr, None, None] * dT * imask)
+        if cfg.nr > 1 else jnp.asarray(0.0, state.wVel.dtype))
+    rhf = grid.recip_hFacC * grid.recip_drF[:, None, None]
+    out["advcfl_W_hf_max"] = (jnp.max(
+        wk * jnp.maximum(rhf[1:], rhf[:-1]) * dT * imask)
+        if cfg.nr > 1 else jnp.asarray(0.0, state.wVel.dtype))
 
-    # kinetic energy (mon_ke.F): vol-weighted mean & max of
-    # 0.5*(u^2 at C + v^2 at C); plus total vol mean
-    imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx, state.etaN.dtype)
-    u2 = state.uVel ** 2
-    v2 = state.vVel ** 2
-    hw = grid.hFacW * grid.rAw
-    hs = grid.hFacS * grid.rAs
-    keVol = grid.rA * grid.hFacC * drF[:, None, None] * imask
-    ke = 0.25 * ((u2 * hw + sh(u2 * hw, di=1)) + (v2 * hs + sh(v2 * hs, dj=1))
-                 ) * grid.recip_rA * grid.recip_hFacC
-    ke = 0.5 * ke
+    # kinetic energy (mon_ke.F:68-127): per-cell mean of u^2/v^2 over the
+    # 4 surrounding faces weighted by the u/v control areas dyG*dxC /
+    # dxG*dyC and hFac; ke_mean is the volume-weighted mean (theVolMean),
+    # ke_max the pointwise max
+    u2w = state.uVel ** 2 * grid.dyG * grid.dxC * grid.hFacW
+    v2w = state.vVel ** 2 * grid.dxG * grid.dyC * grid.hFacS
+    tmp = 0.25 * ((u2w + sh(u2w, di=1)) + (v2w + sh(v2w, dj=1))
+                  ) * grid.maskInC * imask
+    ke_pt = tmp * grid.recip_hFacC * grid.recip_rA
+    keVol = grid.rA * grid.hFacC * drF[:, None, None] * grid.maskInC * imask
     volSum = jnp.sum(keVol)
+    out["ke_max"] = jnp.max(ke_pt)
     out["ke_mean"] = jnp.where(
-        volSum > 0, jnp.sum(2.0 * ke * keVol) / volSum * 0.5, 0.0)
-    out["ke_max"] = jnp.max(ke * (keVol > 0))
+        volSum > 0, jnp.sum(tmp * drF[:, None, None]) / volSum, 0.0)
     out["ke_vol"] = volSum
+    # surface potential energy (mon_ke.F:105-116, phi0surf = 0)
+    pe = 0.5 * grid.Bo_surf * state.etaN ** 2 * grid.rA * grid.maskInC \
+        * imask
+    out["pe_b_mean"] = jnp.where(volSum > 0, jnp.sum(pe) / volSum, 0.0)
     return out
 
 

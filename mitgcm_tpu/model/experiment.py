@@ -26,7 +26,29 @@ from mitgcm_tpu.ops.stencil import cyclic_fill_halo
 from mitgcm_tpu.solver import cg2d as cg2d_mod
 
 
-def _load_2d(cfg: Config, fname: str, dtype, scale=1.0
+def _pad_and_fill(cfg: Config, arr, dtype, cs_fill=None):
+    """Pad a [..., ny(*nFaces), nx] interior array into the halo layout and
+    fill halos. Global cubed-sphere files store each facet contiguously in
+    sequence (exch2 W2_useE2ioLayOut): [..., 6n, n] with faces along the
+    slow axis — verified against the reference monitor's salt statistics."""
+    oly, olx = cfg.oly, cfg.olx
+    if cfg.nFaces > 1:
+        n = cfg.ny
+        nyp = n + 2 * oly
+        lead = arr.shape[:-2]
+        faces = np.stack([arr[..., f * n:(f + 1) * n, :]
+                          for f in range(cfg.nFaces)], axis=-3)
+        padded = np.zeros(lead + (cfg.nFaces, nyp, n + 2 * olx))
+        padded[..., oly:oly + n, olx:olx + n] = faces
+        filled = cs_fill.ex.fill_C(jnp.asarray(padded, dtype))
+        return filled.reshape(lead + (cfg.nFaces * nyp, n + 2 * olx))
+    padded = np.zeros(arr.shape[:-2]
+                      + (cfg.ny + 2 * oly, cfg.nx + 2 * olx))
+    padded[..., oly:oly + cfg.ny, olx:olx + cfg.nx] = arr
+    return cyclic_fill_halo(jnp.asarray(padded, dtype), oly, olx)
+
+
+def _load_2d(cfg: Config, fname: str, dtype, cs_fill=None, scale=1.0
              ) -> Optional[jnp.ndarray]:
     """Load all records of a 2-D forcing file -> [nrec, nyp, nxp]
     (the reference reads records on demand, external_fields_load.F;
@@ -36,23 +58,22 @@ def _load_2d(cfg: Config, fname: str, dtype, scale=1.0
         return None
     prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
     itemsize = 4 if cfg.readBinaryPrec == 32 else 8
-    nrec = os.path.getsize(path) // (itemsize * cfg.ny * cfg.nx)
-    arr = mds.read_raw(path, (nrec, cfg.ny, cfg.nx), prec).astype(np.float64)
+    gy = cfg.ny * cfg.nFaces
+    nrec = os.path.getsize(path) // (itemsize * gy * cfg.nx)
+    arr = mds.read_raw(path, (nrec, gy, cfg.nx), prec).astype(np.float64)
     arr = arr * scale
-    padded = np.zeros((nrec, cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
-    padded[:, cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = arr
-    return cyclic_fill_halo(jnp.asarray(padded, dtype), cfg.oly, cfg.olx)
+    return _pad_and_fill(cfg, arr, dtype, cs_fill)
 
 
-def _load_3d(cfg: Config, fname: str, dtype) -> Optional[jnp.ndarray]:
+def _load_3d(cfg: Config, fname: str, dtype, cs_fill=None
+             ) -> Optional[jnp.ndarray]:
     path = os.path.join(cfg.run_dir, fname)
     if not fname or not os.path.exists(path):
         return None
     prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
-    arr = mds.read_raw(path, (cfg.nr, cfg.ny, cfg.nx), prec).astype(np.float64)
-    padded = np.zeros((cfg.nr, cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
-    padded[:, cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = arr
-    return cyclic_fill_halo(jnp.asarray(padded, dtype), cfg.oly, cfg.olx)
+    gy = cfg.ny * cfg.nFaces
+    arr = mds.read_raw(path, (cfg.nr, gy, cfg.nx), prec).astype(np.float64)
+    return _pad_and_fill(cfg, arr, dtype, cs_fill)
 
 
 @dataclass
@@ -64,6 +85,7 @@ class Experiment:
     op: cg2d_mod.CG2DOperator
     monitor_lines: List[str] = field(default_factory=list)
     diags: List[Dict[str, float]] = field(default_factory=list)
+    cs_fill: object = None   # CSFill hooks for cubed-sphere runs
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64, **size_kw):
@@ -72,52 +94,63 @@ class Experiment:
             # var can be pre-empted by platform plugins, so set it directly
             jax.config.update("jax_enable_x64", True)
         cfg = config_mod.load_experiment(input_dir, **size_kw)
-        grid = build_grid(cfg, dtype=dtype)
+        cs_fill = None
+        if cfg.usingCurvilinearGrid:
+            from mitgcm_tpu.core.grid import build_cs_grid
+            grid, cs_fill = build_cs_grid(cfg, dtype=dtype)
+        else:
+            grid = build_grid(cfg, dtype=dtype)
         state = init_state(cfg, grid, dtype=dtype)
 
         # initial condition files (model/src/ini_fields.F path)
-        t0 = _load_3d(cfg, cfg.hydrogThetaFile, dtype)
+        t0 = _load_3d(cfg, cfg.hydrogThetaFile, dtype, cs_fill)
         if t0 is not None:
             if cfg.checkIniTemp and cfg.allowFreezing:
                 # ini_theta.F:130-144: clamp init temperature at freezing
                 t0 = jnp.maximum(t0, -1.9)
             state = State(**{**state.__dict__, "theta": t0 * grid.maskC})
-        s0 = _load_3d(cfg, cfg.hydrogSaltFile, dtype)
+        s0 = _load_3d(cfg, cfg.hydrogSaltFile, dtype, cs_fill)
         if s0 is not None:
             state = State(**{**state.__dict__, "salt": s0 * grid.maskC})
 
         forcing = zero_forcing(cfg, dtype)
         # simple-path forcing files (model/src/external_fields_load.F with
         # periodicExternalForcing=F: loaded once, constant in time)
-        fu = _load_2d(cfg, cfg.zonalWindFile, dtype)
+        fu = _load_2d(cfg, cfg.zonalWindFile, dtype, cs_fill)
         if fu is not None:
             forcing = Forcing(**{**forcing.__dict__, "fu": fu})
-        fv = _load_2d(cfg, cfg.meridWindFile, dtype)
+        fv = _load_2d(cfg, cfg.meridWindFile, dtype, cs_fill)
         if fv is not None:
             forcing = Forcing(**{**forcing.__dict__, "fv": fv})
-        qnet = _load_2d(cfg, cfg.surfQnetFile or cfg.surfQFile, dtype)
+        qnet = _load_2d(cfg, cfg.surfQnetFile or cfg.surfQFile, dtype, cs_fill)
         if qnet is not None:
             forcing = Forcing(**{**forcing.__dict__, "Qnet": qnet})
         # EmPmR file in m/s -> kg/m2/s (external_fields_load.F:82)
-        empmr = _load_2d(cfg, cfg.EmPmRFile, dtype, scale=cfg.rhoConstFresh)
+        empmr = _load_2d(cfg, cfg.EmPmRFile, dtype, cs_fill, scale=cfg.rhoConstFresh)
         if empmr is not None:
             forcing = Forcing(**{**forcing.__dict__, "EmPmR": empmr})
-        sst = _load_2d(cfg, cfg.thetaClimFile, dtype)
+        sst = _load_2d(cfg, cfg.thetaClimFile, dtype, cs_fill)
         if sst is not None:
             forcing = Forcing(**{**forcing.__dict__, "SST": sst})
-        sss = _load_2d(cfg, cfg.saltClimFile, dtype)
+        sss = _load_2d(cfg, cfg.saltClimFile, dtype, cs_fill)
         if sss is not None:
             forcing = Forcing(**{**forcing.__dict__, "SSS": sss})
 
         op = cg2d_mod.build_cg2d(cfg, grid)
-        return cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op)
+        return cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
+                   cs_fill=cs_fill)
 
     # ------------------------------------------------------------------
     def make_step_fn(self):
         cfg, grid, op = self.cfg, self.grid, self.op
+        hooks = {}
+        if self.cs_fill is not None:
+            hooks = {"fill": self.cs_fill.fill,
+                     "fill_uv": self.cs_fill.fill_uv}
 
         def fn(state: State, forcing: Forcing, myIter):
-            return step_mod.forward_step(cfg, grid, op, state, forcing, myIter)
+            return step_mod.forward_step(cfg, grid, op, state, forcing,
+                                         myIter, **hooks)
 
         return jax.jit(fn)
 
@@ -165,9 +198,14 @@ class Experiment:
         n = n_steps if n_steps is not None else cfg.nTimeSteps
         forcing = self.forcing
 
+        hooks = {}
+        if self.cs_fill is not None:
+            hooks = {"fill": self.cs_fill.fill,
+                     "fill_uv": self.cs_fill.fill_uv}
+
         def body(state, myIter):
             new_state, diag = step_mod.forward_step(
-                cfg, grid, op, state, forcing, myIter)
+                cfg, grid, op, state, forcing, myIter, **hooks)
             return new_state, diag
 
         iters = cfg.nIter0 + jnp.arange(n)

@@ -22,10 +22,63 @@ from mitgcm_tpu.ops.stencil import shift_k
 
 
 def calc_relvort3(cfg: Config, grid: Grid, u, v):
-    """Relative vorticity at corner points (mom_common/mom_calc_relvort3.F)."""
-    return grid.recip_rAz * (
-        (v * grid.dyC - sh(v * grid.dyC, di=-1))
-        - (u * grid.dxC - sh(u * grid.dxC, dj=-1)))
+    """Relative vorticity at corner points (mom_common/mom_calc_relvort3.F).
+
+    On the cubed sphere the four cube-corner Z points of each face have
+    only 3 incident velocity faces; the reference replaces the curl there
+    with a 3-term circulation whose summation order depends on the face
+    number so all 3 faces sharing the corner agree to the last bit
+    (mom_calc_relvort3.F:100-290)."""
+    vdyC = v * grid.dyC
+    udxC = u * grid.dxC
+    vort3 = grid.recip_rAz * (
+        (vdyC - sh(vdyC, di=-1)) - (udxC - sh(udxC, dj=-1)))
+    if cfg.nFaces != 6:
+        return vort3
+    n, ol = cfg.nx, cfg.olx
+    nyp = cfg.ny + 2 * cfg.oly
+    for f in range(6):
+        face = f + 1                    # reference face number 1..6
+        b = f * nyp
+        rz = grid.recip_rAz
+        jS, jN = b + ol, b + ol + n
+        iW, iE = ol, ol + n
+        # SW (I=1,J=1): drop v(I-1,J); order (1+2)+3 on all faces
+        vort3 = vort3.at[..., jS, iW].set(rz[jS, iW] * (
+            (vdyC[..., jS, iW] - udxC[..., jS, iW])
+            + udxC[..., jS - 1, iW]))
+        # SE (I=sNx+1,J=1): drop v(I,J)
+        uIJ = udxC[..., jS, iE]
+        vM = vdyC[..., jS, iE - 1]
+        uJm = udxC[..., jS - 1, iE]
+        if face == 2:
+            val = (-uIJ - vM) + uJm
+        elif face == 4:
+            val = (-vM + uJm) - uIJ
+        else:
+            val = (uJm - uIJ) - vM
+        vort3 = vort3.at[..., jS, iE].set(rz[jS, iE] * val)
+        # NW (I=1,J=sNy+1): drop v(I-1,J)
+        uIJ = udxC[..., jN, iW]
+        uJm = udxC[..., jN - 1, iW]
+        vIJ = vdyC[..., jN, iW]
+        if face == 1:
+            val = (uJm + vIJ) - uIJ
+        elif face == 3:
+            val = (-uIJ + uJm) + vIJ
+        else:
+            val = (vIJ - uIJ) + uJm
+        vort3 = vort3.at[..., jN, iW].set(rz[jN, iW] * val)
+        # NE (I=sNx+1,J=sNy+1): drop v(I,J)
+        uIJ = udxC[..., jN, iE]
+        uJm = udxC[..., jN - 1, iE]
+        vM = vdyC[..., jN, iE - 1]
+        if face % 2 == 1:
+            val = (-uIJ - vM) + uJm
+        else:
+            val = (uJm - uIJ) - vM
+        vort3 = vort3.at[..., jN, iE].set(rz[jN, iE] * val)
+    return vort3
 
 
 def calc_hdiv(cfg: Config, grid: Grid, u, v):

@@ -193,7 +193,8 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
                        psum=None, fill=None, pmax=None):
     """model/src/solve_for_pressure.F: cg2d for the new free surface."""
     dt = uStar.dtype
-    imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx, dt)
+    imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx, dt,
+                          n_faces=cfg.nFaces)
     drF = grid.drF[:, None, None]
 
     cg2d_x = grid.Bo_surf * state.etaN
@@ -310,16 +311,20 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
-                 myIter, fill=None, psum=None, pmax=None
+                 myIter, fill=None, psum=None, pmax=None, fill_uv=None
                  ) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
     single-device cyclic wrap and identity; the distributed runner
-    (mitgcm_tpu/parallel/dist.py) passes ppermute/psum versions.
+    (mitgcm_tpu/parallel/dist.py) passes ppermute/psum versions; the
+    cubed-sphere runner passes CSFill.fill / CSFill.fill_uv (the vector
+    pair exchange with rotation+sign, exch_uv_xyz_rl analog).
     """
     if fill is None:
         fill = _default_fill(cfg)
+    if fill_uv is None:
+        fill_uv = lambda uu, vv: (fill(uu), fill(vv))  # noqa: E731
 
     # LOAD_FIELDS_DRIVER: interpolate periodic forcing to myTime
     myTime = cfg.startTime + (myIter - cfg.nIter0) * cfg.deltaTClock
@@ -333,8 +338,15 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         state = State(**{**state.__dict__, "theta": theta0})
 
     # in-situ density from start-of-step theta/salt (do_oceanic_phys.F:731;
-    # used by CALC_PHI_HYD even though tracers step first)
-    rhoInSitu = eos.find_rho(cfg, grid, theta0, state.salt) * grid.maskC
+    # used by CALC_PHI_HYD even though tracers step first). For an
+    # atmosphere, "rhoInSitu" holds the virtual potential temperature
+    # anomaly instead (do_atmospheric_phys.F:91).
+    if cfg.fluidIsAir:
+        tref = jnp.asarray(cfg.tRef, theta0.dtype)[:, None, None]
+        rhoInSitu = (theta0 * (state.salt * cfg.atm_Rq + 1.0)
+                     - tref) * grid.maskC
+    else:
+        rhoInSitu = eos.find_rho(cfg, grid, theta0, state.salt) * grid.maskC
 
     # convective adjustment mask (model/src/calc_ivdc.F)
     conv_count = None
@@ -370,8 +382,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
 
     uStar, vStar, guNm1, gvNm1, cd_state = dynamics(
         cfg, grid, state, forc, rhoInSitu, myIter)
-    uStar = fill(uStar)
-    vStar = fill(vStar)
+    uStar, vStar = fill_uv(uStar, vStar)
 
     etaN, diag = solve_for_pressure(cfg, grid, op, state, uStar, vStar,
                                     forc, psum=psum, fill=fill, pmax=pmax)
@@ -379,8 +390,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     cd_state = cd_state._replace(etaNm1=state.etaN)
 
     u, v = momentum_correction_step(cfg, grid, etaN, uStar, vStar)
-    u = fill(u)
-    v = fill(v)
+    u, v = fill_uv(u, v)
 
     # the reference increments myIter between DYNAMICS and the pressure
     # solve (forward_step.F:806), so continuity sees nIter0+iloop
@@ -403,7 +413,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         dEtaHdt=fill(dEtaHdt),
         guNm1=guNm1, gvNm1=gvNm1,
         gtNm1=gtNm1, gsNm1=gsNm1,
-        uVelD=fill(cd_state.uVelD), vVelD=fill(cd_state.vVelD),
+        # D-grid pair: vVelD lives at U points, uVelD at V points
+        # (cd_code_read_pickup.F exchange ordering)
+        vVelD=(duv := fill_uv(cd_state.vVelD, cd_state.uVelD))[0],
+        uVelD=duv[1],
         uNM1=cd_state.uNM1, vNM1=cd_state.vNM1,
         etaNm1=cd_state.etaNm1,
         pTr=fill(pTr) if pTr.size else pTr,

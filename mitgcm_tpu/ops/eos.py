@@ -78,4 +78,16 @@ def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None):
         rp0 = rho_p0(theta, salt)
         bm = bulkmod(p_bar, theta, salt)
         return rp0 / (1.0 - p_bar / bm) - cfg.rhoConst
+    if eos == "IDEALG":
+        # ideal gas (find_rho.F:238-258): rho = Po/(Rd*theta_v)*(p/Po)^(1-k)
+        # pressure_for_eos.F p-coords: locPres = rC(k)
+        p = grid.rC[:, None, None]
+        facPres = (p / cfg.atm_Po) ** (1.0 - cfg.atm_kappa)
+        theta_v = theta * (salt * cfg.atm_Rq + 1.0)
+        ok = (p > 0.0) & (theta > 0.0)
+        return jnp.where(
+            ok,
+            cfg.atm_Po * facPres / (cfg.atm_Rd * jnp.where(ok, theta_v, 1.0))
+            - cfg.rhoConst,
+            0.0)
     raise NotImplementedError(f"eosType={cfg.eosType}")

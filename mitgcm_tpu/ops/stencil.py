@@ -87,9 +87,17 @@ def set_interior(a: jnp.ndarray, values: jnp.ndarray, oly: int, olx: int) -> jnp
     return a.at[..., oly:a.shape[-2] - oly, olx:a.shape[-1] - olx].set(values)
 
 
-def interior_mask(shape_jihalo, oly: int, olx: int, dtype) -> jnp.ndarray:
-    """1.0 on interior cells, 0.0 on halo cells, for a padded 2-D shape."""
-    ny = shape_jihalo[-2] - 2 * oly
+def interior_mask(shape_jihalo, oly: int, olx: int, dtype,
+                  n_faces: int = 1) -> jnp.ndarray:
+    """1.0 on interior cells, 0.0 on halo cells, for a padded 2-D shape.
+
+    For the stacked-face cubed-sphere layout (n_faces > 1), the j axis
+    holds n_faces blocks each with its own halo ring."""
+    nyp_tot = shape_jihalo[-2]
     nx = shape_jihalo[-1] - 2 * olx
     m = jnp.zeros(shape_jihalo[-2:], dtype=dtype)
-    return m.at[oly:oly + ny, olx:olx + nx].set(1.0)
+    nyp = nyp_tot // n_faces
+    ny = nyp - 2 * oly
+    for f in range(n_faces):
+        m = m.at[f * nyp + oly:f * nyp + oly + ny, olx:olx + nx].set(1.0)
+    return m

@@ -43,6 +43,10 @@ def read_mitgrid(path: str, n: int) -> Dict[str, np.ndarray]:
     raw = np.fromfile(path, dtype=">f8")
     per = (n + 1) * (n + 1)
     nrec = raw.size // per
+    if nrec < 16:
+        raise ValueError(
+            f"{path}: {raw.size} f64 values is fewer than 16 records of "
+            f"({n + 1})x({n + 1}) — wrong face size n={n} for this file?")
     out = {}
     for irec in range(min(nrec, 18)):
         name = _RECORDS[irec] if irec < 16 else ("AngleCS", "AngleSN")[irec - 16]
@@ -166,7 +170,9 @@ class CSExchange:
         self.n, self.ol = n, ol
         self.topo = build_topology(faces, n)
         self._build_scalar_map()
+        self._build_scalar2_map()
         self._build_vector_map()
+        self.build_z_map()
 
     # ---------------- scalar (cell-center) ----------------
     def _halo_cells(self):
@@ -208,6 +214,135 @@ class CSExchange:
         out = jnp.take(flat, self.sc_idx, axis=-1)
         out = out.reshape(arr.shape)
         return out * self.sc_valid
+
+    # ------- two-pass scalar exchange with corner regions (exch2) -------
+    def _build_scalar2_map(self):
+        """Second-pass gather (EXCH_UPDATE_CORNERS semantics): the ol x ol
+        corner-diagonal blocks are written by the E/W neighbour entries
+        extended along the edge (exch2_get_scal_bounds.F:58-91), sourcing
+        the neighbour's post-pass-1 halo. exch2 processes neighbours in
+        N,S,E,W order (w2_set_tile2tiles.F edge loop) so the x-side entry
+        wins every corner block."""
+        if hasattr(self, "sc2_idx"):
+            return
+        n, ol = self.n, self.ol
+        nyp = nxp = n + 2 * ol
+        idx = np.arange(6 * nyp * nxp).reshape(6, nyp, nxp).copy()
+        ext = list(range(-ol, 0)) + list(range(n, n + ol))
+        for f in range(6):
+            for e in (E, W):
+                link = self.topo[(f, e)]
+                T, _, _ = _cell_map(e, link, n)
+                for d in range(1, ol + 1):
+                    ip = ol + n - 1 + d if e == E else ol - d
+                    for a in ext:
+                        jp = ol + a
+                        jg, ig = T(d, a)
+                        assert 0 <= jg + ol < nyp and 0 <= ig + ol < nxp
+                        idx[f, jp, ip] = (link.nbr * nyp + (jg + ol)) \
+                            * nxp + (ig + ol)
+        self.sc2_idx = jnp.asarray(idx.reshape(-1))
+
+    def fill_T2(self, arr):
+        """Scalar ('T ') exchange, two passes: edges then corner blocks
+        from the x-neighbours' pass-1 halos (exch2_uv_cgrid_3d_rx.template
+        :72-88 calls EXCH2_RX1_CUBE with IGNORE then UPDATE_CORNERS)."""
+        self._build_scalar2_map()
+        flat = arr.reshape(arr.shape[:-3] + (-1,))
+        o1 = jnp.take(flat, self.sc_idx, axis=-1)
+        o2 = jnp.take(o1, self.sc2_idx, axis=-1)
+        return o2.reshape(arr.shape)
+
+    def fill_UV_cgrid(self, u, v, with_sign: bool = True):
+        """C-grid vector-pair exchange, the exact reference sequence
+        (pkg/exch2/exch2_uv_cgrid_3d_rx.template):
+
+        1. exchange each component as a scalar, two passes (fill_T2);
+        2. per-face u<->v switch / sign / index shift on the rotated halo
+           sections (odd faces: North then West; even faces: East then
+           South);
+        3. near-corner edge fixes;
+        4. one extra valid u,v value next to each cube corner.
+        """
+        n, ol = self.n, self.ol
+        neg = -1.0 if with_sign else 1.0
+        uF = self.fill_T2(u)
+        vF = self.fill_T2(v)
+        rN = slice(ol + n, ol + n + ol)      # J = sNy+1 .. sNy+OLy
+        cW = slice(0, ol)                    # I = 1-OLx .. 0
+        cE = slice(ol + n, ol + n + ol)      # I = sNx+1 .. sNx+OLx
+        rS = slice(0, ol)                    # J = 1-OLy .. 0
+        us, vs = [], []
+        for f in range(6):
+            uf = uF[..., f, :, :]
+            vf = vF[..., f, :, :]
+            uo, vo = uf, vf
+            odd = (f % 2 == 0)               # reference face f+1 is odd
+            if odd:
+                # North: u <- v revsign shift i+1<-i ; v <- u
+                uo = uo.at[..., rN, 1:].set(vf[..., rN, :-1] * neg)
+                vo = vo.at[..., rN, :].set(uf[..., rN, :])
+                # West: u <- v ; v <- u revsign shift j+1<-j
+                uo = uo.at[..., :, cW].set(vf[..., :, cW])
+                vo = vo.at[..., 1:, cW].set(uf[..., :-1, cW] * neg)
+            else:
+                # East: u <- v ; v <- u revsign shift j+1<-j
+                uo = uo.at[..., :, cE].set(vf[..., :, cE])
+                vo = vo.at[..., 1:, cE].set(uf[..., :-1, cE] * neg)
+                # South: u <- v revsign shift i+1<-i ; v <- u
+                uo = uo.at[..., rS, 1:].set(vf[..., rS, :-1] * neg)
+                vo = vo.at[..., rS, :].set(uf[..., rS, :])
+            # -- step 3: fix edges near cube corners (in-place order) --
+            for i in range(1, ol + 1):
+                if odd:   # SW: v(1-i,1) = u(1,1-i)*neg
+                    vo = vo.at[..., ol, ol - i].set(
+                        uo[..., ol - i, ol] * neg)
+                else:     # SW: u(1,1-i) = v(1-i,1)*neg
+                    uo = uo.at[..., ol - i, ol].set(
+                        vo[..., ol, ol - i] * neg)
+            for i in range(1, ol + 1):
+                if odd:   # SE: u(sNx+1,1-i) = v(sNx+i,1)
+                    uo = uo.at[..., ol - i, ol + n].set(
+                        vo[..., ol, ol + n - 1 + i])
+                else:     # SE: v(sNx+i,1) = u(sNx+1,1-i)
+                    vo = vo.at[..., ol, ol + n - 1 + i].set(
+                        uo[..., ol - i, ol + n])
+            for i in range(1, ol + 1):
+                if odd:   # NE: v(sNx+i,sNy+1) = u(sNx+1,sNy+i)*neg
+                    vo = vo.at[..., ol + n, ol + n - 1 + i].set(
+                        uo[..., ol + n - 1 + i, ol + n] * neg)
+                else:     # NE: u(sNx+1,sNy+i) = v(sNx+i,sNy+1)*neg
+                    uo = uo.at[..., ol + n - 1 + i, ol + n].set(
+                        vo[..., ol + n, ol + n - 1 + i] * neg)
+            for i in range(1, ol + 1):
+                if odd:   # NW: u(1,sNy+i) = v(1-i,sNy+1)
+                    uo = uo.at[..., ol + n - 1 + i, ol].set(
+                        vo[..., ol + n, ol - i])
+                else:     # NW: v(1-i,sNy+1) = u(1,sNy+i)
+                    vo = vo.at[..., ol + n, ol - i].set(
+                        uo[..., ol + n - 1 + i, ol])
+            # -- step 4: one extra valid u,v value next to each corner --
+            # SW: u(0,0)=v(1,0); v(0,0)=u(0,1)
+            uo = uo.at[..., ol - 1, ol - 1].set(vo[..., ol - 1, ol])
+            vo = vo.at[..., ol - 1, ol - 1].set(uo[..., ol, ol - 1])
+            # NW: u(0,sNy+1)=v(1,sNy+2)*neg; v(0,sNy+2)=u(0,sNy)*neg
+            uo = uo.at[..., ol + n, ol - 1].set(
+                vo[..., ol + n + 1, ol] * neg)
+            vo = vo.at[..., ol + n + 1, ol - 1].set(
+                uo[..., ol + n - 1, ol - 1] * neg)
+            # SE: u(sNx+2,0)=v(sNx,0)*neg; v(sNx+1,0)=u(sNx+2,1)*neg
+            uo = uo.at[..., ol - 1, ol + n + 1].set(
+                vo[..., ol - 1, ol + n - 1] * neg)
+            vo = vo.at[..., ol - 1, ol + n].set(
+                uo[..., ol, ol + n + 1] * neg)
+            # NE: u(sNx+2,sNy+1)=v(sNx,sNy+2); v(sNx+1,sNy+2)=u(sNx+2,sNy)
+            uo = uo.at[..., ol + n, ol + n + 1].set(
+                vo[..., ol + n + 1, ol + n - 1])
+            vo = vo.at[..., ol + n + 1, ol + n].set(
+                uo[..., ol + n, ol + n + 1])
+            us.append(uo)
+            vs.append(vo)
+        return jnp.stack(us, axis=-3), jnp.stack(vs, axis=-3)
 
     # ---------------- C-grid vector (u at W faces, v at S faces) -------
     def _build_vector_map(self):
@@ -366,6 +501,8 @@ class CSExchange:
                             jp, ip = ol + a, ol + n + d
                         else:
                             jp, ip = ol + a, ol - d
+                        if not (0 <= jp < nyp and 0 <= ip < nxp):
+                            continue   # Z halo is one shallower on N/E
                         jg, ig = Tz(d, a)
                         if 0 <= jg <= n and 0 <= ig <= n:
                             idx[f, jp, ip] = (link.nbr * nyp + (jg + ol)) \
@@ -406,8 +543,8 @@ class CSFill:
         return _from_faces(self.ex.fill_C(_to_faces(a, self.nyp)))
 
     def fill_uv(self, u, v, with_sign=True):
-        uf, vf = self.ex.fill_UV(_to_faces(u, self.nyp),
-                                 _to_faces(v, self.nyp), with_sign)
+        uf, vf = self.ex.fill_UV_cgrid(_to_faces(u, self.nyp),
+                                       _to_faces(v, self.nyp), with_sign)
         return _from_faces(uf), _from_faces(vf)
 
     def fill_z(self, a):

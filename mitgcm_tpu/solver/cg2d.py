@@ -43,7 +43,8 @@ def build_cg2d(cfg: Config, grid: Grid) -> CG2DOperator:
     """ini_cg2d.F: vertically-integrated transmissibilities + SOR-ish precond."""
     dt = grid.rA.dtype
     drF = grid.drF[:, None, None]
-    imask = interior_mask(grid.rA.shape, cfg.oly, cfg.olx, dt)
+    imask = interior_mask(grid.rA.shape, cfg.oly, cfg.olx, dt,
+                          n_faces=cfg.nFaces)
 
     fac = cfg.implicSurfPress * cfg.implicDiv2Dflow
     # level-by-level accumulation in the reference's k-ascending order
@@ -160,7 +161,7 @@ def _cg2d_raw(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
     """
     dt = b.dtype
     oly, olx = cfg.oly, cfg.olx
-    imask = interior_mask(b.shape, oly, olx, dt)
+    imask = interior_mask(b.shape, oly, olx, dt, n_faces=cfg.nFaces)
     if psum is None:
         psum = lambda s: s
     if pmax is None:

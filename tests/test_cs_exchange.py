@@ -205,3 +205,55 @@ def test_streamfunction_velocity_exchange_exact(faces, ex):
         want = v_ext[NCS, :]
         assert np.allclose(got, want, rtol=1e-12, atol=1e-22), (
             f, np.abs(got - want).max(), np.abs(want).max())
+
+
+def test_cgrid_recipe_exchange(faces, ex):
+    """fill_UV_cgrid (the exact exch2_uv_cgrid_3d_rx.template sequence)
+    must reproduce the owned shared-edge values exactly and agree with the
+    independent geometric exchange on all depth-1 halo strips except the
+    near-corner cells where the reference imposes its own convention
+    (template steps 3-4)."""
+    import jax.numpy as jnp
+    nyp = NCS + 2 * OL
+    omega = 1.0e-5
+
+    def psi_of(g):
+        return -omega * np.sin(np.deg2rad(g["yG"]))
+
+    u = np.zeros((6, nyp, nyp))
+    v = np.zeros((6, nyp, nyp))
+    for f, g in enumerate(faces):
+        psi = psi_of(g)
+        uu = (psi[:-1, :] - psi[1:, :]) / g["dyG"][:NCS, :]
+        vv = (psi[:, 1:] - psi[:, :-1]) / g["dxG"][:, :NCS]
+        u[f, OL:OL + NCS, OL:OL + NCS] = uu[:NCS, :NCS]
+        v[f, OL:OL + NCS, OL:OL + NCS] = vv[:NCS, :NCS]
+    u1, v1 = ex.fill_UV(jnp.asarray(u), jnp.asarray(v))
+    u2, v2 = ex.fill_UV_cgrid(jnp.asarray(u), jnp.asarray(v))
+    u1, v1, u2, v2 = map(np.asarray, (u1, v1, u2, v2))
+
+    for f, g in enumerate(faces):
+        psi = psi_of(g)
+        u_ext = (psi[:-1, :] - psi[1:, :]) / g["dyG"][:NCS, :]
+        v_ext = (psi[:, 1:] - psi[:, :-1]) / g["dxG"][:, :NCS]
+        assert np.allclose(u2[f, OL:OL + NCS, OL + NCS], u_ext[:, NCS],
+                           rtol=1e-12, atol=0)
+        assert np.allclose(v2[f, OL + NCS, OL:OL + NCS], v_ext[NCS, :],
+                           rtol=1e-12, atol=0)
+
+    m = np.zeros((6, nyp, nyp), bool)
+    m[:, OL:OL + NCS, OL - 1] = True
+    m[:, OL:OL + NCS, OL + NCS] = True
+    m[:, OL - 1, OL:OL + NCS] = True
+    m[:, OL + NCS, OL:OL + NCS] = True
+    # reference-convention cells (template step 3): one per face each
+    for f in range(6):
+        if f % 2 == 0:
+            m[f, OL + NCS, OL] = False      # u: NW corner fix
+            m[f, OL, OL - 1] = False        # v: SW corner fix
+        else:
+            m[f, OL - 1, OL] = False        # u: SW corner fix
+            m[f, OL, OL + NCS] = False      # v: SE corner fix
+    scale = np.abs(u1).max()
+    assert np.abs((u1 - u2)[m]).max() < 1e-12 * scale
+    assert np.abs((v1 - v2)[m]).max() < 1e-12 * scale
