@@ -158,9 +158,17 @@ class Config:
     fluidIsAir: bool = False
     fluidIsWater: bool = True
     nFaces: int = 1                # 6 for the cubed sphere
+    custom_forcing_uv: object = None   # f(cfg,grid,state)->(gu,gv) 3-D adds
+    custom_forcing_t: object = None    # f(cfg,grid,state)->gT 3-D add
+    useSHAP_FILT: bool = False
+    shap: object = None                # ShapParams (data.shap)
+    grid_dir: str = ""                 # where tile*.mitgrid live
     celsius2K: float = 273.15
     atm_Cp: float = 1004.0
     atm_Rd: float = UNSET
+    alph_AB: float = UNSET         # set -> Adams-Bashforth-3 time stepping
+    beta_AB: float = UNSET
+    useAB3: bool = False
     atm_kappa: float = 2.0 / 7.0
     atm_Po: float = 1.0e5
     thetaConst: float = UNSET
@@ -191,8 +199,6 @@ class Config:
     deltaTFreeSurf: float = 0.0
     deltaTClock: float = 0.0
     abEps: float = 0.01
-    alph_AB: float = 0.5
-    beta_AB: float = 5.0 / 12.0
     momForcingOutAB: int = UNSET
     tracForcingOutAB: int = UNSET
     momDissip_In_AB: bool = True
@@ -304,6 +310,10 @@ class Config:
             c.nFaces = 6
         if c.gBaro is UNSET:
             c.gBaro = c.gravity
+        if c.alph_AB is not UNSET:
+            c.useAB3 = True
+            if c.beta_AB is UNSET:
+                c.beta_AB = 5.0 / 12.0    # set_defaults.F:319
         if c.atm_Rd is UNSET:
             c.atm_Rd = c.atm_Cp * c.atm_kappa     # ini_parms.F:490
         else:
@@ -431,7 +441,7 @@ def _set_attr(cfg: Config, key: str, val: Any) -> None:
 
 
 def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
-                    olx: int = 2, oly: int = 2) -> Config:
+                    olx: int = 2, oly: int = 2, grid_dir: str = "") -> Config:
     """Build a Config from a reference-format experiment input directory.
 
     Reads `data` (PARM01-05) and `data.pkg` (PACKAGES); the domain size is
@@ -440,6 +450,7 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
     """
     cfg = Config()
     cfg.run_dir = input_dir
+    cfg.grid_dir = grid_dir or input_dir
     data = nml.read_namelist(os.path.join(input_dir, "data"))
     for grp in ("PARM01", "PARM02", "PARM03", "PARM04", "PARM05"):
         for k, v in data.get(grp, {}).items():
@@ -474,4 +485,10 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
     if not (cfg.usingCartesianGrid or cfg.usingSphericalPolarGrid
             or cfg.usingCylindricalGrid or cfg.usingCurvilinearGrid):
         cfg.usingSphericalPolarGrid = True  # reference default when unset
-    return cfg.finalize()
+    cfg.finalize()
+    shap_path = os.path.join(input_dir, "data.shap")
+    if cfg.useSHAP_FILT and os.path.exists(shap_path):
+        from mitgcm_tpu.model import shap_filt as shap_mod
+        shnl = nml.read_namelist(shap_path)
+        cfg.shap = shap_mod.from_namelist(shnl.get("SHAP_PARM01", {}), cfg)
+    return cfg

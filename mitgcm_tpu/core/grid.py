@@ -483,12 +483,13 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     assert cfg.oly == ol
     nyp = n + 2 * ol
 
+    gdir = cfg.grid_dir or cfg.run_dir
     if cfg.horizGridFile:
-        paths = [os.path.join(cfg.run_dir,
+        paths = [os.path.join(gdir,
                               f"{cfg.horizGridFile}.face{f + 1:03d}.bin")
                  for f in range(6)]
     else:
-        paths = [os.path.join(cfg.run_dir, f"tile{f + 1:03d}.mitgrid")
+        paths = [os.path.join(gdir, f"tile{f + 1:03d}.mitgrid")
                  for f in range(6)]
     faces = [cs_mod.read_mitgrid(p, n) for p in paths]
     ex = cs_mod.CSExchange(faces, n, ol)

@@ -35,6 +35,12 @@ class State:
     gvNm1: jnp.ndarray
     gtNm1: jnp.ndarray
     gsNm1: jnp.ndarray
+    # second AB history slot (model/src/adams_bashforth3.F two-buffer
+    # scheme); zeros when running plain AB-2
+    guNm2: jnp.ndarray
+    gvNm2: jnp.ndarray
+    gtNm2: jnp.ndarray
+    gsNm2: jnp.ndarray
     # CD-scheme D-grid velocities (pkg/cd_code/CD_CODE_VARS.h); zeros when
     # useCDscheme is off
     uVelD: jnp.ndarray
@@ -95,6 +101,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
         etaN=z2, etaH=z2, dEtaHdt=z2,
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,
+        guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
         pTr=zp, gPtrNm1=zp,
     )

@@ -146,7 +146,8 @@ class Experiment:
         hooks = {}
         if self.cs_fill is not None:
             hooks = {"fill": self.cs_fill.fill,
-                     "fill_uv": self.cs_fill.fill_uv}
+                     "fill_uv": self.cs_fill.fill_uv,
+                     "fill_uv_cg": self.cs_fill.fill_uv_cg}
 
         def fn(state: State, forcing: Forcing, myIter):
             return step_mod.forward_step(cfg, grid, op, state, forcing,
@@ -201,7 +202,8 @@ class Experiment:
         hooks = {}
         if self.cs_fill is not None:
             hooks = {"fill": self.cs_fill.fill,
-                     "fill_uv": self.cs_fill.fill_uv}
+                     "fill_uv": self.cs_fill.fill_uv,
+                     "fill_uv_cg": self.cs_fill.fill_uv_cg}
 
         def body(state, myIter):
             new_state, diag = step_mod.forward_step(

@@ -363,3 +363,32 @@ def mom_vecinv(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
     guDiss = guDiss * grid.maskW
     gvDiss = gvDiss * grid.maskS
     return MomTend(gU=gU, gV=gV, guDiss=guDiss, gvDiss=gvDiss)
+
+
+def del2uv(cfg: Config, grid: Grid, hDiv, vort3, hFacZ):
+    """Horizontal Laplacian of (u,v) from divergence and vorticity
+    (pkg/mom_vecinv/mom_vi_del2uv.F). On the cubed sphere, hDiv's corner
+    halo blocks are re-filled directionally before each derivative
+    (FILL_CS_CORNER_TR_RL calls at mom_vi_del2uv.F:30-52)."""
+    hv = hFacZ * vort3
+    if cfg.nFaces == 6:
+        from mitgcm_tpu.parallel.cs import fill_cs_corner
+        # the reference's per-tile hDiv is zero-initialized and written
+        # only over [1-OL..sN+OL-1]^2 (mom_calc_hdiv.F); the corner fills
+        # below read the last row/column, so zero them first
+        nyp = cfg.ny + 2 * cfg.oly
+        nxp = cfg.nx + 2 * cfg.olx
+        for f in range(cfg.nFaces):
+            hDiv = hDiv.at[..., (f + 1) * nyp - 1, :].set(0.0)
+        hDiv = hDiv.at[..., :, nxp - 1].set(0.0)
+        hDivX = fill_cs_corner(hDiv, 1, cfg.nx, cfg.olx)
+        hDivY = fill_cs_corner(hDiv, 2, cfg.nx, cfg.olx)
+    else:
+        hDivX = hDivY = hDiv
+    d2u = ((hDivX - sh(hDivX, di=-1)) * grid.recip_dxC
+           - grid.recip_hFacW * (sh(hv, dj=1) - hv) * grid.recip_dyG
+           ) * grid.maskW
+    d2v = ((hDivY - sh(hDivY, dj=-1)) * grid.recip_dyC
+           + grid.recip_hFacS * (sh(hv, di=1) - hv) * grid.recip_dxG
+           ) * grid.maskS
+    return d2u, d2v

@@ -60,6 +60,36 @@ def adams_bashforth2(cfg: Config, g, gNm1, myIter, startAB: int = None):
     return g + ab, g
 
 
+def adams_bashforth3(cfg: Config, g, gNm1, gNm2, myIter,
+                     startAB: int = None):
+    """AB3 extrapolation (model/src/adams_bashforth3.F).
+
+    gNm1 holds the most recent raw tendency, gNm2 the one before (the
+    reference's two alternating gTrNm slots, m1/m2). Startup ramp:
+    forward Euler on the cold-start step, AB2-like (alph only) on the
+    next, full AB3 after. Returns (g_extrap, gNm1', gNm2')."""
+    if startAB is None:
+        startAB = 1 if cfg.startFromPickup else 0
+    alph, beta = cfg.alph_AB, cfg.beta_AB
+    first = jnp.logical_and(myIter == cfg.nIter0, startAB == 0)
+    second = jnp.logical_or(
+        jnp.logical_and(myIter == cfg.nIter0, startAB == 1),
+        jnp.logical_and(myIter == cfg.nIter0 + 1, startAB == 0))
+    ab0 = jnp.where(first, 0.0, alph + jnp.where(second, 0.0, beta))
+    ab1 = jnp.where(first, 0.0, -alph - jnp.where(second, 0.0, 2.0 * beta))
+    ab2 = jnp.where(jnp.logical_or(first, second), 0.0, beta)
+    g_ext = g + (ab0 * g + ab1 * gNm1 + ab2 * gNm2)
+    return g_ext, g, gNm1
+
+
+def adams_bashforth(cfg: Config, g, gNm1, gNm2, myIter, startAB: int = None):
+    """Dispatch AB2 / AB3 depending on cfg.useAB3 (alph_AB set)."""
+    if cfg.useAB3:
+        return adams_bashforth3(cfg, g, gNm1, gNm2, myIter, startAB)
+    g_ext, gNm1_new = adams_bashforth2(cfg, g, gNm1, myIter, startAB)
+    return g_ext, gNm1_new, gNm2
+
+
 def load_fields(cfg: Config, forcing: Forcing, myTime) -> Forcing:
     """Time interpolation of periodic forcing records
     (model/src/external_fields_load.F + eesupp/src/get_periodic_interval.F).
@@ -125,6 +155,10 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     # --- timestep.F assembly ---
     if cfg.momForcing:
         guExt, gvExt = apply_forcing_uv(cfg, grid, forcing)
+        if cfg.custom_forcing_uv is not None:
+            guC, gvC = cfg.custom_forcing_uv(cfg, grid, state)
+            guExt = guExt + guC
+            gvExt = gvExt + gvC
     else:
         guExt = jnp.zeros_like(gU)
         gvExt = jnp.zeros_like(gV)
@@ -139,8 +173,10 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         gU = gU + guExt
         gV = gV + gvExt
 
-    gU_ab, guNm1 = adams_bashforth2(cfg, gU, state.guNm1, myIter)
-    gV_ab, gvNm1 = adams_bashforth2(cfg, gV, state.gvNm1, myIter)
+    gU_ab, guNm1, guNm2 = adams_bashforth(
+        cfg, gU, state.guNm1, state.guNm2, myIter)
+    gV_ab, gvNm1, gvNm2 = adams_bashforth(
+        cfg, gV, state.gvNm1, state.gvNm2, myIter)
 
     if cfg.momForcing and cfg.momForcingOutAB == 1:
         gU_ab = gU_ab + guExt
@@ -185,7 +221,7 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                                     grid.recip_hFacW, cfg.deltaTMom)
         vStar = thermo_mod.impldiff(cfg, grid, vStar, kappaRV,
                                     grid.recip_hFacS, cfg.deltaTMom)
-    return uStar, vStar, guNm1, gvNm1, cd_state
+    return uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state
 
 
 def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
@@ -311,8 +347,8 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
-                 myIter, fill=None, psum=None, pmax=None, fill_uv=None
-                 ) -> Tuple[State, StepDiag]:
+                 myIter, fill=None, psum=None, pmax=None, fill_uv=None,
+                 fill_uv_cg=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -376,11 +412,12 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # staggerTimeStep moves it after the pressure correction,
     # forward_step.F:1010-1032)
     if not cfg.staggerTimeStep:
-        theta, salt, gtNm1, gsNm1, pTr, gPtrNm1 = thermo_mod.thermodynamics(
+        (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
+         gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid, state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor)
 
-    uStar, vStar, guNm1, gvNm1, cd_state = dynamics(
+    uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state = dynamics(
         cfg, grid, state, forc, rhoInSitu, myIter)
     uStar, vStar = fill_uv(uStar, vStar)
 
@@ -390,19 +427,28 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     cd_state = cd_state._replace(etaNm1=state.etaN)
 
     u, v = momentum_correction_step(cfg, grid, etaN, uStar, vStar)
-    u, v = fill_uv(u, v)
+    if cfg.useSHAP_FILT and not cfg.shap.shap_filt_uvStar:
+        # momentum_correction_step.F:69-74: filter the corrected
+        # velocities before continuity sees them
+        from mitgcm_tpu.model import shap_filt as shap_mod
+        u, v = shap_mod.apply_uv(cfg, grid, cfg.shap, u, v, fill_uv)
 
     # the reference increments myIter between DYNAMICS and the pressure
-    # solve (forward_step.F:806), so continuity sees nIter0+iloop
+    # solve (forward_step.F:806), so continuity sees nIter0+iloop.
+    # Continuity runs on the locally-updated velocities (the uVel/vVel
+    # exchange happens later, do_statevars_exch); the fill below only
+    # refreshes halos for the next step's stencils.
     w, etaN, etaH, dEtaHdt = integr_continuity(
         cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, forc.EmPmR,
         myIter + 1)
+    u, v = fill_uv(u, v)
     w = fill(w)
 
     if cfg.staggerTimeStep:
         stag_state = State(**{**state.__dict__,
                               "uVel": u, "vVel": v, "wVel": w})
-        theta, salt, gtNm1, gsNm1, pTr, gPtrNm1 = thermo_mod.thermodynamics(
+        (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
+         gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid, stag_state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor)
 
@@ -411,8 +457,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         theta=fill(theta), salt=fill(salt),
         etaN=fill(etaN), etaH=fill(etaH),
         dEtaHdt=fill(dEtaHdt),
-        guNm1=guNm1, gvNm1=gvNm1,
-        gtNm1=gtNm1, gsNm1=gsNm1,
+        guNm1=guNm1, gvNm1=gvNm1, guNm2=guNm2, gvNm2=gvNm2,
+        gtNm1=gtNm1, gsNm1=gsNm1, gtNm2=gtNm2, gsNm2=gsNm2,
         # D-grid pair: vVelD lives at U points, uVelD at V points
         # (cd_code_read_pickup.F exchange ordering)
         vVelD=(duv := fill_uv(cd_state.vVelD, cd_state.uVelD))[0],

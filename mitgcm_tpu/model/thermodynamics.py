@@ -158,9 +158,9 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
                      tracer, gNm1, kappaR, sfc_forc, scheme: int,
                      vert_scheme: int, diffKh: float, diffK4: float,
                      myIter, gm_tensor=None, interior_forc=None,
-                     deltaT=None):
-    """temp_integrate.F for one tracer; returns (tracer', gNm1')."""
-    from mitgcm_tpu.model.step import adams_bashforth2
+                     deltaT=None, gNm2=None):
+    """temp_integrate.F for one tracer; returns (tracer', gNm1', gNm2')."""
+    from mitgcm_tpu.model.step import adams_bashforth
 
     dt = cfg.deltaTTracer if deltaT is None else deltaT
     multidim = gad.is_multidim(cfg, scheme)
@@ -184,16 +184,18 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
 
     # AB on the tendency only for linear schemes (gad_init_fixed.F:147-156:
     # AdamsBashforthGt only for centered-2nd/upwind-3rd/centered-4th)
+    gNm2_in = gNm2 if gNm2 is not None else jnp.zeros_like(gNm1)
     if scheme in (gad.ENUM_CENTERED_2ND, gad.ENUM_UPWIND_3RD,
                   gad.ENUM_CENTERED_4TH) and cfg.doAB_onGtGs:
-        gTr_ab, gNm1_new = adams_bashforth2(cfg, gTr, gNm1, myIter)
+        gTr_ab, gNm1_new, gNm2_new = adams_bashforth(
+            cfg, gTr, gNm1, gNm2_in, myIter)
     else:
-        gTr_ab, gNm1_new = gTr, gNm1
+        gTr_ab, gNm1_new, gNm2_new = gTr, gNm1, gNm2_in
 
     tr_new = tracer + dt * gTr_ab    # timestep_tracer.F
     if cfg.implicitDiffusion:
         tr_new = impldiff(cfg, grid, tr_new, kappaR, grid.recip_hFacC, dt)
-    return tr_new, gNm1_new
+    return tr_new, gNm1_new, gNm2_new
 
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
@@ -201,9 +203,10 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
+    gtNm2, gsNm2 = state.gtNm2, state.gsNm2
     pTr, gPtrNm1 = state.pTr, state.gPtrNm1
     if not (cfg.tempStepping or cfg.saltStepping or pTr.shape[0]):
-        return theta, salt, gtNm1, gsNm1, pTr, gPtrNm1
+        return theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1
 
     flow = gad.calc_adv_flow(cfg, grid, state.uVel, state.vVel, state.wVel)
     sfT, sfS = surface_forcing_ts(cfg, grid, state, forcing)
@@ -212,18 +215,21 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         kapT = tracer_kappa(cfg, grid, conv_count, cfg.diffKrT, theta.dtype,
                             gm_tensor=gm_tensor)
         vscheme = cfg.tempVertAdvScheme or cfg.tempAdvScheme
-        theta, gtNm1 = tracer_integrate(
+        intFT = None
+        if cfg.custom_forcing_t is not None:
+            intFT = cfg.custom_forcing_t(cfg, grid, state)
+        theta, gtNm1, gtNm2 = tracer_integrate(
             cfg, grid, flow, state, theta, state.gtNm1, kapT, sfT,
             cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,
-            gm_tensor=gm_tensor)
+            gm_tensor=gm_tensor, interior_forc=intFT, gNm2=state.gtNm2)
     if cfg.saltStepping:
         kapS = tracer_kappa(cfg, grid, conv_count, cfg.diffKrS, salt.dtype,
                             gm_tensor=gm_tensor)
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
-        salt, gsNm1 = tracer_integrate(
+        salt, gsNm1, gsNm2 = tracer_integrate(
             cfg, grid, flow, state, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
-            gm_tensor=gm_tensor)
+            gm_tensor=gm_tensor, gNm2=state.gsNm2)
 
     # passive tracers (pkg/ptracers/ptracers_integrate.F); the age-tracer
     # source/relaxation follows tutorial_global_oce_latlon/code overrides
@@ -247,7 +253,7 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             else:
                 sfP = jnp.zeros_like(sfT)
                 intF = None
-            trn, gn = tracer_integrate(
+            trn, gn, _ = tracer_integrate(
                 cfg, grid, flow, state, pTr[itr], gPtrNm1[itr], kapP, sfP,
                 scheme, scheme, diffKh, 0.0, myIter,
                 gm_tensor=gm_tensor, interior_forc=intF)
@@ -255,4 +261,4 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             new_g.append(gn)
         pTr = jnp.stack(new_p)
         gPtrNm1 = jnp.stack(new_g)
-    return theta, salt, gtNm1, gsNm1, pTr, gPtrNm1
+    return theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1

@@ -253,7 +253,8 @@ class CSExchange:
         o2 = jnp.take(o1, self.sc2_idx, axis=-1)
         return o2.reshape(arr.shape)
 
-    def fill_UV_cgrid(self, u, v, with_sign: bool = True):
+    def fill_UV_cgrid(self, u, v, with_sign: bool = True,
+                      near_corner_fix: bool = True):
         """C-grid vector-pair exchange, the exact reference sequence
         (pkg/exch2/exch2_uv_cgrid_3d_rx.template):
 
@@ -292,29 +293,30 @@ class CSExchange:
                 # South: u <- v revsign shift i+1<-i ; v <- u
                 uo = uo.at[..., rS, 1:].set(vf[..., rS, :-1] * neg)
                 vo = vo.at[..., rS, :].set(uf[..., rS, :])
-            # -- step 3: fix edges near cube corners (in-place order) --
-            for i in range(1, ol + 1):
+            # -- step 3: fix edges near cube corners (in-place order);
+            # the EXCH2_UV_3D ('Cg') flavor skips these fixes --
+            for i in (range(1, ol + 1) if near_corner_fix else ()):
                 if odd:   # SW: v(1-i,1) = u(1,1-i)*neg
                     vo = vo.at[..., ol, ol - i].set(
                         uo[..., ol - i, ol] * neg)
                 else:     # SW: u(1,1-i) = v(1-i,1)*neg
                     uo = uo.at[..., ol - i, ol].set(
                         vo[..., ol, ol - i] * neg)
-            for i in range(1, ol + 1):
+            for i in (range(1, ol + 1) if near_corner_fix else ()):
                 if odd:   # SE: u(sNx+1,1-i) = v(sNx+i,1)
                     uo = uo.at[..., ol - i, ol + n].set(
                         vo[..., ol, ol + n - 1 + i])
                 else:     # SE: v(sNx+i,1) = u(sNx+1,1-i)
                     vo = vo.at[..., ol, ol + n - 1 + i].set(
                         uo[..., ol - i, ol + n])
-            for i in range(1, ol + 1):
+            for i in (range(1, ol + 1) if near_corner_fix else ()):
                 if odd:   # NE: v(sNx+i,sNy+1) = u(sNx+1,sNy+i)*neg
                     vo = vo.at[..., ol + n, ol + n - 1 + i].set(
                         uo[..., ol + n - 1 + i, ol + n] * neg)
                 else:     # NE: u(sNx+1,sNy+i) = v(sNx+i,sNy+1)*neg
                     uo = uo.at[..., ol + n - 1 + i, ol + n].set(
                         vo[..., ol + n, ol + n - 1 + i] * neg)
-            for i in range(1, ol + 1):
+            for i in (range(1, ol + 1) if near_corner_fix else ()):
                 if odd:   # NW: u(1,sNy+i) = v(1-i,sNy+1)
                     uo = uo.at[..., ol + n - 1 + i, ol].set(
                         vo[..., ol + n, ol - i])
@@ -547,5 +549,69 @@ class CSFill:
                                        _to_faces(v, self.nyp), with_sign)
         return _from_faces(uf), _from_faces(vf)
 
+    def fill_uv_cg(self, u, v, with_sign=True):
+        """EXCH_UV_3D_RL flavor (pkg/exch2/exch2_uv_3d_rx.template):
+        the same component exchange + rotation fix-ups as the C-grid
+        template but WITHOUT the near-corner edge fixes (which only the
+        uv_cgrid template applies); the one-extra-value corner copies
+        (steps at template lines 290-360) are shared. Used by shap_filt."""
+        uf, vf = self.ex.fill_UV_cgrid(_to_faces(u, self.nyp),
+                                       _to_faces(v, self.nyp), with_sign,
+                                       near_corner_fix=False)
+        return _from_faces(uf), _from_faces(vf)
+
     def fill_z(self, a):
         return _from_faces(self.ex.fill_Z(_to_faces(a, self.nyp)))
+
+
+def fill_cs_corner(a, fill4dir: int, n: int, ol: int,
+                   with_sign: bool = False):
+    """Overwrite the ol x ol cube-corner halo blocks of a stacked-face
+    field [..., 6*nyp, nxp] so that a subsequent derivative in one
+    direction sees consistent values (eesupp/src/fill_cs_corner_tr_rl.F).
+
+    fill4dir=1: reflect the W/E halo strips into the corners (use before
+    an x-derivative); fill4dir=2: reflect the S/N halo strips (before a
+    y-derivative); fill4dir=0: zero the corners.
+    """
+    neg = -1.0 if with_sign else 1.0
+    nyp = n + 2 * ol
+    for f in range(6):
+        b = f * nyp
+        for i in range(1, ol + 1):
+            for j in range(1, ol + 1):
+                if fill4dir == 0:
+                    a = a.at[..., b + ol - j, ol - i].set(0.0)
+                    a = a.at[..., b + ol - j, ol + n - 1 + i].set(0.0)
+                    a = a.at[..., b + ol + n - 1 + j, ol - i].set(0.0)
+                    a = a.at[..., b + ol + n - 1 + j,
+                             ol + n - 1 + i].set(0.0)
+                elif fill4dir == 1:
+                    # SW: tr(1-i,1-j) = tr(1-j, i)
+                    a = a.at[..., b + ol - j, ol - i].set(
+                        neg * a[..., b + ol + i - 1, ol - j])
+                    # SE: tr(sNx+i,1-j) = tr(sNx+j, i)
+                    a = a.at[..., b + ol - j, ol + n - 1 + i].set(
+                        neg * a[..., b + ol + i - 1, ol + n - 1 + j])
+                    # NW: tr(1-i,sNy+j) = tr(1-j, sNy+1-i)
+                    a = a.at[..., b + ol + n - 1 + j, ol - i].set(
+                        neg * a[..., b + ol + n - i, ol - j])
+                    # NE: tr(sNx+i,sNy+j) = tr(sNx+j, sNy+1-i)
+                    a = a.at[..., b + ol + n - 1 + j, ol + n - 1 + i].set(
+                        neg * a[..., b + ol + n - i, ol + n - 1 + j])
+                elif fill4dir == 2:
+                    # SW: tr(1-i,1-j) = tr(j, 1-i)
+                    a = a.at[..., b + ol - j, ol - i].set(
+                        neg * a[..., b + ol - i, ol + j - 1])
+                    # SE: tr(sNx+i,1-j) = tr(sNx+1-j, 1-i)
+                    a = a.at[..., b + ol - j, ol + n - 1 + i].set(
+                        neg * a[..., b + ol - i, ol + n - j])
+                    # NW: tr(1-i,sNy+j) = tr(j, sNy+i)
+                    a = a.at[..., b + ol + n - 1 + j, ol - i].set(
+                        neg * a[..., b + ol + n - 1 + i, ol + j - 1])
+                    # NE: tr(sNx+i,sNy+j) = tr(sNx+1-j, sNy+i)
+                    a = a.at[..., b + ol + n - 1 + j, ol + n - 1 + i].set(
+                        neg * a[..., b + ol + n - 1 + i, ol + n - j])
+                else:
+                    raise ValueError(f"fill4dir={fill4dir}")
+    return a

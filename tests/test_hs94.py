@@ -1,0 +1,132 @@
+"""Held-Suarez atmosphere on the cubed sphere: hs94.cs-32x32x5.
+
+5-level dry atmosphere (ATMOSPHERIC buoyancy, p-coordinates, IDEALG),
+vector-invariant momentum, staggered time step, Adams-Bashforth-3
+(alph_AB=0.6, beta_AB=0), Shapiro filter (S2, nShapUV=4) on velocities,
+and the Held & Suarez (1994) Rayleigh-drag + Newtonian-relaxation forcing
+from the experiment's code/apply_forcing.F.
+
+Current status: matches the reference monitor series to >= 4 significant
+digits over all 20 steps (most stats 5-8 digits). The remaining delta is
+isolated to the Shapiro filter's halo exchange: the reference exchanges
+the filter work arrays with EXCH_UV_3D_RL (pkg/exch2 RX2 'Cg' gather)
+whose cube-corner-block halo convention differs from the C-grid template
+exchange used here; uStar before the filter is bit-exact
+(cg2d_init_res matches all 15 digits at step 1).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import reference_exp
+from mitgcm_tpu.core.state import State
+from mitgcm_tpu.model.experiment import Experiment
+from mitgcm_tpu.ops.stencil import shift as sh
+from mitgcm_tpu.utils import refout
+
+DIR = reference_exp("hs94.cs-32x32x5")
+GRID_DIR = reference_exp("aim.5l_cs") + "/input"   # input/prepare_run links
+
+KEYS = [
+    "dynstat_eta_max", "dynstat_eta_min", "dynstat_eta_sd",
+    "dynstat_uvel_max", "dynstat_uvel_min", "dynstat_uvel_sd",
+    "dynstat_vvel_max", "dynstat_vvel_min", "dynstat_vvel_sd",
+    "dynstat_theta_max", "dynstat_theta_min", "dynstat_theta_mean",
+    "dynstat_theta_sd", "ke_mean",
+]
+
+
+def hs_forcing_uv(cfg, grid, state):
+    """code/apply_forcing.F APPLY_FORCING_U/V: Rayleigh drag, sigma > 0.7."""
+    kF = 1.0 / 86400.0
+    sigma_b = 0.7
+    rF = grid.rF
+    rcolW = jnp.maximum(grid.recip_Rcol, sh(grid.recip_Rcol, di=-1))
+    rcolS = jnp.maximum(grid.recip_Rcol, sh(grid.recip_Rcol, dj=-1))
+    termW = 0.5 * (jnp.minimum(rF[:-1, None, None] * rcolW[None], 1.0)
+                   + rF[1:, None, None] * rcolW[None])
+    termS = 0.5 * (jnp.minimum(rF[:-1, None, None] * rcolS[None], 1.0)
+                   + rF[1:, None, None] * rcolS[None])
+    kVW = kF * jnp.maximum(0.0, (termW - sigma_b) / (1.0 - sigma_b))
+    kVS = kF * jnp.maximum(0.0, (termS - sigma_b) / (1.0 - sigma_b))
+    return -kVW * state.uVel * grid.maskW, -kVS * state.vVel * grid.maskS
+
+
+def hs_forcing_t(cfg, grid, state):
+    """code/apply_forcing.F APPLY_FORCING_T: Newtonian relaxation."""
+    ka = 1.0 / (40.0 * 86400.0)
+    ks = 1.0 / (4.0 * 86400.0)
+    sigma_b = 0.7
+    rF, po, kap = grid.rF, cfg.atm_Po, cfg.atm_kappa
+    lat = jnp.deg2rad(grid.yC)
+    pC = 0.5 * (rF[:-1] + rF[1:])[:, None, None]
+    thetaLim = 200.0 / (pC / po) ** kap
+    thetaEq = jnp.maximum(
+        thetaLim,
+        315.0 - 60.0 * jnp.sin(lat) ** 2
+        - 10.0 * jnp.log(pC / po) * jnp.cos(lat) ** 2)
+    sig = (0.5 * (jnp.minimum(rF[:-1, None, None], grid.Ro_surf[None])
+                  + rF[1:, None, None]) * grid.recip_Rcol[None])
+    kT = ka + (ks - ka) * jnp.maximum(
+        0.0, (sig - sigma_b) / (1.0 - sigma_b)) * jnp.cos(lat) ** 4
+    return -kT * (state.theta - thetaEq) * grid.maskC
+
+
+@pytest.fixture(scope="module")
+def exp():
+    e = Experiment.from_dir(DIR + "/input", nx=32, ny=32, nr=5,
+                            grid_dir=GRID_DIR)
+    cfg, grid = e.cfg, e.grid
+    cfg.custom_forcing_uv = hs_forcing_uv
+    cfg.custom_forcing_t = hs_forcing_t
+    # code/ini_theta.F: analytic theta_eq profile at cell centers
+    po, kap = cfg.atm_Po, cfg.atm_kappa
+    rC = np.asarray(grid.rC)
+    lat = np.deg2rad(np.asarray(grid.yC))
+    thetaLim = 200.0 / (rC[:, None, None] / po) ** kap
+    thetaEq = (315.0 - 60.0 * np.sin(lat) ** 2
+               - 10.0 * np.log(rC[:, None, None] / po) * np.cos(lat) ** 2)
+    theta0 = jnp.asarray(np.maximum(thetaLim, thetaEq)) * grid.maskC
+    e.state = State(**{**e.state.__dict__, "theta": theta0})
+    return e
+
+
+@pytest.fixture(scope="module")
+def ref_series():
+    return refout.parse_monitor_series(DIR + "/results/output.txt")
+
+
+def test_config(exp):
+    cfg = exp.cfg
+    assert cfg.useAB3 and cfg.alph_AB == 0.6 and cfg.beta_AB == 0.0
+    assert cfg.useSHAP_FILT and cfg.shap.nShapUV == 4
+    assert not cfg.shap.shap_filt_uvStar
+    assert cfg.staggerTimeStep and cfg.usingPCoords
+
+
+def test_iter0_digit_match(exp, ref_series):
+    mine = exp.monitor_stats()
+    r0 = ref_series[0]
+    for k in ("dynstat_theta_max", "dynstat_theta_min",
+              "dynstat_theta_mean", "dynstat_theta_sd"):
+        assert refout.matching_digits(r0[k], mine[k]) >= 10, (
+            k, r0[k], mine[k])
+
+
+def test_20step_series(exp, ref_series):
+    recs = exp.run(20)
+    # step-1 cg2d residual is bit-exact: dynamics and pressure solve are
+    # verified to full precision; the Shapiro-filter corner-halo delta
+    # limits the series match to >= 4 digits (see module docstring)
+    assert refout.matching_digits(
+        ref_series[1]["cg2d_init_res"], recs[1]["cg2d_init_res"]) >= 12
+    for i, (rr, mr) in enumerate(zip(ref_series, recs)):
+        for k in KEYS:
+            if k in rr and k in mr:
+                scale = max(abs(rr.get(k.rsplit("_", 1)[0] + "_max", 0.0)),
+                            abs(rr[k]))
+                if abs(rr[k]) < 1e-6 * scale:
+                    continue   # roundoff-dominated stat
+                assert refout.matching_digits(rr[k], mr[k]) >= 4, (
+                    i, k, rr[k], mr[k])
