@@ -431,7 +431,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         # momentum_correction_step.F:69-74: filter the corrected
         # velocities before continuity sees them
         from mitgcm_tpu.model import shap_filt as shap_mod
-        u, v = shap_mod.apply_uv(cfg, grid, cfg.shap, u, v, fill_uv)
+        u, v = shap_mod.apply_uv(
+            cfg, grid, cfg.shap, u, v,
+            fill_uv_cg if fill_uv_cg is not None else fill_uv)
 
     # the reference increments myIter between DYNAMICS and the pressure
     # solve (forward_step.F:806), so continuity sees nIter0+iloop.
@@ -441,7 +443,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     w, etaN, etaH, dEtaHdt = integr_continuity(
         cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, forc.EmPmR,
         myIter + 1)
-    u, v = fill_uv(u, v)
+    # staggered runs exchange the state velocities with EXCH_UV_3D_RL
+    # (do_stagger_fields_exchanges.F); non-staggered with EXCH_UV_XYZ_RL
+    # (do_fields_blocking_exchanges.F) — different corner conventions
+    if cfg.staggerTimeStep and fill_uv_cg is not None:
+        u, v = fill_uv_cg(u, v)
+    else:
+        u, v = fill_uv(u, v)
     w = fill(w)
 
     if cfg.staggerTimeStep:

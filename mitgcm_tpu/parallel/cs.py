@@ -455,6 +455,217 @@ class CSExchange:
             vn = vn * jnp.abs(self.v_sgn)
         return un, vn
 
+
+    # ---------------- exact 'Cg' exchange (EXCH2_RX2_CUBE) ----------------
+    def _edge_affine(self, f, e):
+        """Affine map (pi1,pi2,oi, pj1,pj2,oj): target Fortran indices
+        (it,jt) of face f's halo beyond edge e -> source face indices
+        (is,js) — the exch2_pij/oi/oj equivalent, fitted from _cell_map."""
+        link = self.topo[(f, e)]
+        T, _, _ = _cell_map(e, link, self.n)
+        n = self.n
+
+        def tgt(d, a):
+            if e == N:
+                return (a + 1, n + d)
+            if e == S:
+                return (a + 1, 1 - d)
+            if e == E:
+                return (n + d, a + 1)
+            return (1 - d, a + 1)
+
+        pts = [(1, 0), (1, 1), (2, 0)]
+        A = []
+        bi = []
+        bj = []
+        for d, a in pts:
+            it, jt = tgt(d, a)
+            jg, ig = T(d, a)
+            A.append([it, jt, 1])
+            bi.append(ig + 1)
+            bj.append(jg + 1)
+        sol_i = np.linalg.solve(np.array(A, float), np.array(bi, float))
+        sol_j = np.linalg.solve(np.array(A, float), np.array(bj, float))
+        pi1, pi2, oi = [int(round(x)) for x in sol_i]
+        pj1, pj2, oj = [int(round(x)) for x in sol_j]
+        return pi1, pi2, oi, pj1, pj2, oj, link.nbr
+
+    @staticmethod
+    def _cg_bounds(e, rev, n, eW, update, pij):
+        """Literal port of pkg/exch2/exch2_get_uv_bounds.F for fCode='Cg'
+        on a single-tile-per-face cube (all edges are facet edges)."""
+        pi1, pi2, pj1, pj2 = pij
+        if e == W:
+            tIlo = tIhi = 0
+            tJlo, tJhi = (n + 1, 0) if rev else (0, n + 1)
+        elif e == E:
+            tIlo = tIhi = n + 1
+            tJlo, tJhi = (n + 1, 0) if rev else (0, n + 1)
+        elif e == S:
+            tJlo = tJhi = 0
+            tIlo, tIhi = (n + 1, 0) if rev else (0, n + 1)
+        else:
+            tJlo = tJhi = n + 1
+            tIlo, tIhi = (n + 1, 0) if rev else (0, n + 1)
+
+        if tIlo == tIhi and tIlo == 0:       # west-edge overlap
+            tIlo1, tIhi1, tis = 1 - eW, 0, 1
+            tjs = 1 if tJlo <= tJhi else -1
+            if update:
+                tJlo1, tJhi1 = tJlo - tjs * (eW - 1), tJhi + tjs * (eW - 1)
+            else:
+                tJlo1, tJhi1 = tJlo + tjs, tJhi - tjs
+        elif tIlo == tIhi:                   # east
+            tIlo1, tIhi1, tis = tIlo, tIhi + eW - 1, 1
+            tjs = 1 if tJlo <= tJhi else -1
+            if update:
+                tJlo1, tJhi1 = tJlo - tjs * (eW - 1), tJhi + tjs * (eW - 1)
+            else:
+                tJlo1, tJhi1 = tJlo + tjs, tJhi - tjs
+        elif tJlo == tJhi and tJlo == 0:     # south
+            tJlo1, tJhi1, tjs = 1 - eW, 0, 1
+            tis = 1 if tIlo <= tIhi else -1
+            if update:
+                tIlo1, tIhi1 = tIlo - tis * (eW - 1), tIhi + tis * (eW - 1)
+            else:
+                tIlo1, tIhi1 = tIlo + tis, tIhi - tis
+        else:                                # north
+            tJlo1, tJhi1, tjs = tJlo, tJhi + eW - 1, 1
+            tis = 1 if tIlo <= tIhi else -1
+            if update:
+                tIlo1, tIhi1 = tIlo - tis * (eW - 1), tIhi + tis * (eW - 1)
+            else:
+                tIlo1, tIhi1 = tIlo + tis, tIhi - tis
+
+        tIlo2, tIhi2, tJlo2, tJhi2 = tIlo1, tIhi1, tJlo1, tJhi1
+        doi1 = 1 if pi1 == -1 else 0
+        doj1 = 1 if pj1 == -1 else 0
+        doi2 = 1 if pi2 == -1 else 0
+        doj2 = 1 if pj2 == -1 else 0
+        if update:
+            if pi1 == -1 or pj1 == -1:
+                tIlo1 += 1
+            if pi2 == -1 or pj2 == -1:
+                tJlo2 += 1
+            if tIlo == tIhi and tIlo > 1:       # east entry
+                tJlo1 = tJlo + 1                # isSedge
+                tJlo2 = tJlo + 1
+                tJhi1 = tJhi - 1                # isNedge
+                tJhi2 = tJhi
+            if tJlo == tJhi and tJlo > 1:       # north entry
+                tIlo1 = tIlo + 1                # isWedge
+                tIlo2 = tIlo + 1
+                tIhi1 = tIhi                    # isEedge
+                tIhi2 = tIhi - 1
+        else:
+            if pi1 == -1 or pj1 == -1:
+                tIlo1 += 1
+                tIhi1 += 1
+            if pi2 == -1 or pj2 == -1:
+                tJlo2 += 1
+                tJhi2 += 1
+        return ((tIlo1, tIhi1, tJlo1, tJhi1, doi1, doj1),
+                (tIlo2, tIhi2, tJlo2, tJhi2, doi2, doj2), tis, tjs)
+
+    def _build_cg_maps(self):
+        """Two-pass gather maps for the exact EXCH2_RX2_CUBE 'Cg'
+        exchange (exch2_get_uv_bounds.F + exch2_put_rx2.template):
+        the stagger-mode state exchange and shap_filt's exchange."""
+        if hasattr(self, "cg_maps"):
+            return
+        n, ol = self.n, self.ol
+        nyp = nxp = n + 2 * ol
+
+        def flat(comp, face, r, c):
+            return ((comp * 6 + face) * nyp + r) * nxp + c
+
+        self.cg_maps = []
+        for update in (False, True):
+            u_idx = np.empty((6, nyp, nxp), np.int64)
+            v_idx = np.empty((6, nyp, nxp), np.int64)
+            for f in range(6):
+                for r in range(nyp):
+                    for c in range(nxp):
+                        u_idx[f, r, c] = flat(0, f, r, c)
+                        v_idx[f, r, c] = flat(1, f, r, c)
+            u_sgn = np.ones((6, nyp, nxp))
+            v_sgn = np.ones((6, nyp, nxp))
+            for f in range(6):
+                for e in (N, S, E, W):      # exch2 neighbour order
+                    pi1, pi2, oi, pj1, pj2, oj, nbr = self._edge_affine(f, e)
+                    # exch2 stores the per-tile bounds ascending in the
+                    # target frame (reversal lives in the pij map)
+                    b1, b2, tis, tjs = self._cg_bounds(
+                        e, False, n, ol, update, (pi1, pi2, pj1, pj2))
+                    for comp, (tIlo, tIhi, tJlo, tJhi, doi, doj) in (
+                            (1, b1), (2, b2)):
+                        sa_u = pi1 if comp == 1 else pi2
+                        sa_v = pj1 if comp == 1 else pj2
+                        for jtl in range(tJlo, tJhi + tjs, tjs):
+                            for itl in range(tIlo, tIhi + tis, tis):
+                                isl = pi1 * itl + pi2 * jtl + oi + doi
+                                jsl = pj1 * itl + pj2 * jtl + oj + doj
+                                tr, tc = jtl - 1 + ol, itl - 1 + ol
+                                sr, sc = jsl - 1 + ol, isl - 1 + ol
+                                assert 0 <= tr < nyp and 0 <= tc < nxp, (
+                                    f, e, comp, itl, jtl)
+                                assert 0 <= sr < nyp and 0 <= sc < nxp, (
+                                    f, e, comp, itl, jtl, isl, jsl)
+                                if sa_u != 0:
+                                    src = flat(0, nbr, sr, sc)
+                                    sgn = sa_u
+                                else:
+                                    src = flat(1, nbr, sr, sc)
+                                    sgn = sa_v
+                                if comp == 1:
+                                    u_idx[f, tr, tc] = src
+                                    u_sgn[f, tr, tc] = sgn
+                                else:
+                                    v_idx[f, tr, tc] = src
+                                    v_sgn[f, tr, tc] = sgn
+            self.cg_maps.append(
+                (jnp.asarray(u_idx.reshape(-1)), jnp.asarray(u_sgn),
+                 jnp.asarray(v_idx.reshape(-1)), jnp.asarray(v_sgn)))
+
+    def fill_UV_cg(self, u, v, with_sign: bool = True):
+        """Exact EXCH_UV_3D_RL for the cube: two RX2 'Cg' passes (ignore
+        then update corners) + the one-extra-value corner copies
+        (exch2_uv_3d_rx.template)."""
+        self._build_cg_maps()
+        n, ol = self.n, self.ol
+        neg = -1.0 if with_sign else 1.0
+        cur_u, cur_v = u, v
+        for (ui, us, vi, vs) in self.cg_maps:
+            st = jnp.stack([cur_u, cur_v], axis=-4)
+            fl = st.reshape(st.shape[:-4] + (-1,))
+            nu = jnp.take(fl, ui, axis=-1).reshape(u.shape)
+            nv = jnp.take(fl, vi, axis=-1).reshape(v.shape)
+            if with_sign:
+                nu = nu * us
+                nv = nv * vs
+            cur_u, cur_v = nu, nv
+        us_, vs_ = [], []
+        for f in range(6):
+            uo = cur_u[..., f, :, :]
+            vo = cur_v[..., f, :, :]
+            uo = uo.at[..., ol - 1, ol - 1].set(vo[..., ol - 1, ol])
+            vo = vo.at[..., ol - 1, ol - 1].set(uo[..., ol, ol - 1])
+            uo = uo.at[..., ol + n, ol - 1].set(
+                neg * vo[..., ol + n + 1, ol])
+            vo = vo.at[..., ol + n + 1, ol - 1].set(
+                neg * uo[..., ol + n - 1, ol - 1])
+            uo = uo.at[..., ol - 1, ol + n + 1].set(
+                neg * vo[..., ol - 1, ol + n - 1])
+            vo = vo.at[..., ol - 1, ol + n].set(
+                neg * uo[..., ol, ol + n + 1])
+            uo = uo.at[..., ol + n, ol + n + 1].set(
+                vo[..., ol + n + 1, ol + n - 1])
+            vo = vo.at[..., ol + n + 1, ol + n].set(
+                uo[..., ol + n, ol + n + 1])
+            us_.append(uo)
+            vs_.append(vo)
+        return jnp.stack(us_, axis=-3), jnp.stack(vs_, axis=-3)
+
     # ---------------- corner (Z) points ----------------
     def build_z_map(self):
         """Gather map for corner-point fields (vorticity points, xG/yG,
@@ -550,14 +761,10 @@ class CSFill:
         return _from_faces(uf), _from_faces(vf)
 
     def fill_uv_cg(self, u, v, with_sign=True):
-        """EXCH_UV_3D_RL flavor (pkg/exch2/exch2_uv_3d_rx.template):
-        the same component exchange + rotation fix-ups as the C-grid
-        template but WITHOUT the near-corner edge fixes (which only the
-        uv_cgrid template applies); the one-extra-value corner copies
-        (steps at template lines 290-360) are shared. Used by shap_filt."""
-        uf, vf = self.ex.fill_UV_cgrid(_to_faces(u, self.nyp),
-                                       _to_faces(v, self.nyp), with_sign,
-                                       near_corner_fix=False)
+        """EXCH_UV_3D_RL flavor: the exact two-pass RX2 'Cg' gather
+        (stagger-mode state exchange + shap_filt exchange)."""
+        uf, vf = self.ex.fill_UV_cg(_to_faces(u, self.nyp),
+                                    _to_faces(v, self.nyp), with_sign)
         return _from_faces(uf), _from_faces(vf)
 
     def fill_z(self, a):
