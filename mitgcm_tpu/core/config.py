@@ -162,7 +162,12 @@ class Config:
     custom_forcing_t: object = None    # f(cfg,grid,state)->gT 3-D add
     useSHAP_FILT: bool = False
     shap: object = None                # ShapParams (data.shap)
-    grid_dir: str = ""                 # where tile*.mitgrid live
+    grid_dir: str = ""                 # where tile*.mitgrid / input .bin
+                                       # files live when not in run_dir
+                                       # (verification prepare_run links)
+    selectP_inEOS_Zc: int = UNSET      # set_parms.F:268 (2 for JMD95P etc)
+    surf_pRef: float = 1.0e5
+    eosRefP0: float = 1.0e5
     celsius2K: float = 273.15
     atm_Cp: float = 1004.0
     atm_Rd: float = UNSET
@@ -291,6 +296,15 @@ class Config:
     freeSurfFac: float = 1.0
     recip_rhoConst: float = 0.0
 
+    def find_file(self, fname: str) -> str:
+        """Resolve an input file: run_dir first, then grid_dir (the
+        reference's prepare_run symlinks files from a sibling deck)."""
+        p1 = os.path.join(self.run_dir, fname)
+        if os.path.exists(p1) or not self.grid_dir:
+            return p1
+        p2 = os.path.join(self.grid_dir, fname)
+        return p2 if os.path.exists(p2) else p1
+
     def finalize(self) -> "Config":
         """Resolve UNSET/derived parameters (ini_parms.F / set_parms.F)."""
         c = self
@@ -320,8 +334,6 @@ class Config:
             c.atm_kappa = c.atm_Rd / c.atm_Cp
         if c.omega is UNSET:
             c.omega = 2.0 * math.pi / c.rotationPeriod if c.rotationPeriod else 0.0
-        if c.startTime is UNSET and c.nIter0 is not None:
-            c.startTime = c.baseTime + c.nIter0 * (c.deltaT or 0.0)
         # deltaT family (ini_parms.F): any unset member defaults to deltaT
         dt = c.deltaT or c.deltaTMom or c.deltaTTracer or c.deltaTClock
         c.deltaT = c.deltaT or dt
@@ -329,6 +341,9 @@ class Config:
         c.deltaTTracer = c.deltaTTracer or dt
         c.deltaTFreeSurf = c.deltaTFreeSurf or c.deltaTMom
         c.deltaTClock = c.deltaTClock or dt
+        if c.startTime is UNSET and c.nIter0 is not None:
+            # ini_parms.F: startTime = baseTime + nIter0*deltaTClock
+            c.startTime = c.baseTime + c.nIter0 * (c.deltaTClock or 0.0)
         if c.nTimeSteps == 0 and c.endTime is not UNSET and c.endTime and dt:
             c.nTimeSteps = int(round((c.endTime - c.startTime) / dt))
         # vertical mixing coefficient aliases (z-coords)
@@ -361,7 +376,14 @@ class Config:
                 s += 2
             c.selectCoriScheme = s
         if c.select3dCoriScheme is UNSET:
-            c.select3dCoriScheme = 0  # quasi/non-hydrostatic only
+            # vintage default (matches the committed verification
+            # outputs): on only for quasi/non-hydrostatic runs
+            c.select3dCoriScheme = (
+                1 if (c.quasiHydrostatic or c.nonHydrostatic) else 0)
+        if c.selectP_inEOS_Zc is UNSET:
+            c.selectP_inEOS_Zc = (
+                2 if c.eosType.upper() in ("JMD95P", "UNESCO", "MDJWF",
+                                           "TEOS10") else 0)
         if c.selectMetricTerms is UNSET:
             c.selectMetricTerms = 1 if c.metricTerms else 0
         # cg2d min-residual solution (ini_parms.F:1557)

@@ -88,6 +88,10 @@ class Grid:
     R_low: jnp.ndarray
     Ro_surf: jnp.ndarray
     recip_Rcol: jnp.ndarray
+    rLowW: jnp.ndarray       # column bounds at U/V points (ini_masks_etc.F)
+    rSurfW: jnp.ndarray
+    rLowS: jnp.ndarray
+    rSurfS: jnp.ndarray
     hFacC: jnp.ndarray       # [nr, ...]
     hFacW: jnp.ndarray
     hFacS: jnp.ndarray
@@ -328,7 +332,7 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         if cfg.bathyFile:
             prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
             bathy = mds.read_raw(
-                os.path.join(cfg.run_dir, cfg.bathyFile), (ny, nx), prec
+                cfg.find_file(cfg.bathyFile), (ny, nx), prec
             ).astype(np.float64)
         else:
             bathy = np.full((ny, nx), rF[nr])
@@ -349,8 +353,10 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
     rSurfW[:, 1:] = np.minimum(Ro_surf[:, 1:], Ro_surf[:, :-1])
     rLowS[1:, :] = np.maximum(R_low[1:, :], R_low[:-1, :])
     rSurfS[1:, :] = np.minimum(Ro_surf[1:, :], Ro_surf[:-1, :])
-    rLowW[:, 0] = rF[nr]; rSurfW[:, 0] = rF[nr]   # rEmpty
-    rLowS[0, :] = rF[nr]; rSurfS[0, :] = rF[nr]
+    rLowW[:, 0] = rF[0]; rSurfW[:, 0] = rF[0]   # rEmpty = rF(1)
+    rLowS[0, :] = rF[0]; rSurfS[0, :] = rF[0]
+    rSurfW = np.maximum(rSurfW, rLowW)   # ini_masks_etc.F:336
+    rSurfS = np.maximum(rSurfS, rLowS)
 
     hFacC = _hfac_column(R_low, Ro_surf, rF, drF, recip_drF,
                          cfg.hFacMin, cfg.hFacMinDr)
@@ -450,6 +456,7 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         angleCosC=J(np.ones(pshape)), angleSinC=J(np.zeros(pshape)),
         fCori=J(fCori), fCoriG=J(fCoriG), fCoriCos=J(fCoriCos),
         R_low=J(R_low), Ro_surf=J(Ro_surf), recip_Rcol=J(recip_Rcol),
+        rLowW=J(rLowW), rSurfW=J(rSurfW), rLowS=J(rLowS), rSurfS=J(rSurfS),
         hFacC=J(hFacC), hFacW=J(hFacW), hFacS=J(hFacS),
         recip_hFacC=J(recip_hFacC), recip_hFacW=J(recip_hFacW),
         recip_hFacS=J(recip_hFacS),
@@ -681,6 +688,8 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
         R_low=J(R_low), Ro_surf=J(Ro_surf),
         recip_Rcol=J(_safe_recip(np.maximum(
             np.abs(Ro_surf - R_low), 0.0))),
+        rLowW=J(rLowW), rSurfW=J(np.maximum(rSurfW, rLowW)),
+        rLowS=J(rLowS), rSurfS=J(np.maximum(rSurfS, rLowS)),
         hFacC=J(hFacC), hFacW=J(hFacW), hFacS=J(hFacS),
         recip_hFacC=J(_safe_recip(hFacC)),
         recip_hFacW=J(_safe_recip(hFacW)),

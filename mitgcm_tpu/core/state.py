@@ -48,6 +48,11 @@ class State:
     uNM1: jnp.ndarray
     vNM1: jnp.ndarray
     etaNm1: jnp.ndarray
+    # nonlinear free surface (r*): previous etaH for the old-time-level
+    # thickness factors, and the total hydrostatic potential used by
+    # pressure-dependent equations of state (selectP_inEOS_Zc=2)
+    etaHm1: jnp.ndarray
+    totPhiHyd: jnp.ndarray
     # passive tracers [nptr, nr, ny, nx] (pkg/ptracers); zero-size if unused
     pTr: jnp.ndarray
     gPtrNm1: jnp.ndarray
@@ -103,6 +108,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,
         guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
+        etaHm1=z2, totPhiHyd=z3,
         pTr=zp, gPtrNm1=zp,
     )
 

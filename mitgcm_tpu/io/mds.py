@@ -150,13 +150,22 @@ def read_mflds(froot: str, itr: Optional[int] = None) -> Tuple[Dict[str, np.ndar
     dimrows = meta["dimList"]
     if dimrows and not isinstance(dimrows[0], list):
         dimrows = [dimrows]
+    # old-style metas put all dims on newline-separated rows that parse
+    # as one flat list [nx,1,nx, ny,1,ny]: chunk into rows of 3
+    if len(dimrows) == 1 and len(dimrows[0]) > 3:
+        flat = dimrows[0]
+        dimrows = [flat[i:i + 3] for i in range(0, len(flat), 3)]
     gdims = [int(r[0]) for r in dimrows]
     prec = meta.get("dataprec", "float64")
     if isinstance(prec, list):
         prec = prec[0]
     dtype = ">f4" if "32" in str(prec) else ">f8"
     nx, ny = gdims[0], gdims[1]
-    data = np.fromfile(froot_i + ".data", dtype=dtype)
+    # old-style pickups have no ".data" suffix (e.g. pickup.0000036000)
+    dpath = froot_i + ".data"
+    if not os.path.exists(dpath):
+        dpath = froot_i
+    data = np.fromfile(dpath, dtype=dtype)
     nslab = data.size // (nx * ny)
     stack = data.reshape(nslab, ny, nx)
     return {"__records__": stack}, meta

@@ -53,7 +53,7 @@ def _load_2d(cfg: Config, fname: str, dtype, cs_fill=None, scale=1.0
     """Load all records of a 2-D forcing file -> [nrec, nyp, nxp]
     (the reference reads records on demand, external_fields_load.F;
     we keep the whole annual cycle resident and interpolate in-jit)."""
-    path = os.path.join(cfg.run_dir, fname)
+    path = cfg.find_file(fname) if fname else ""
     if not fname or not os.path.exists(path):
         return None
     prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
@@ -67,7 +67,7 @@ def _load_2d(cfg: Config, fname: str, dtype, cs_fill=None, scale=1.0
 
 def _load_3d(cfg: Config, fname: str, dtype, cs_fill=None
              ) -> Optional[jnp.ndarray]:
-    path = os.path.join(cfg.run_dir, fname)
+    path = cfg.find_file(fname) if fname else ""
     if not fname or not os.path.exists(path):
         return None
     prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
@@ -158,8 +158,19 @@ class Experiment:
     def monitor_stats(self, state: Optional[State] = None) -> Dict[str, float]:
         st = state if state is not None else self.state
         if not hasattr(self, "_monitor_fn"):
-            self._monitor_fn = jax.jit(
-                lambda s: monitor.dynstat(self.cfg, self.grid, s))
+            cfg, grid = self.cfg, self.grid
+
+            def mon(s):
+                g = grid
+                if cfg.nonlinFreeSurf > 0 and cfg.select_rStar > 0:
+                    # hFac as applied by the last UPDATE_R_STAR =
+                    # h0 * F(etaH at entry of the last step) = F(etaHm1)
+                    from mitgcm_tpu.model import rstar as rstar_mod
+                    fC, fW, fS = rstar_mod.rstar_facs(cfg, grid, s.etaHm1)
+                    g = rstar_mod.rstar_view(cfg, grid, fC, fW, fS)
+                return monitor.dynstat(cfg, g, s)
+
+            self._monitor_fn = jax.jit(mon)
         stats = self._monitor_fn(st)
         return {k: float(v) for k, v in stats.items()}
 
@@ -276,28 +287,65 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
         out[cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = a
         return cyclic_fill_halo(jnp.asarray(out, dtype), cfg.oly, cfg.olx)
 
-    vals3 = {}
-    for i, name in enumerate(_PICKUP_3D):
-        vals3[name] = pad3(stack[i * nr:(i + 1) * nr])
-    off = len(_PICKUP_3D) * nr
-    vals2 = {name: pad2(stack[off + i]) for i, name in enumerate(_PICKUP_2D)}
-    exp.state = State(**{
-        **exp.state.__dict__,
-        "uVel": vals3["Uvel"], "vVel": vals3["Vvel"],
-        "theta": vals3["Theta"], "salt": vals3["Salt"],
-        "guNm1": vals3["GuNm1"], "gvNm1": vals3["GvNm1"],
-        "gtNm1": vals3["GtNm1"], "gsNm1": vals3["GsNm1"],
-        "etaN": vals2["EtaN"], "dEtaHdt": vals2["dEtaHdt"],
-        "etaH": vals2["EtaH"],
-    })
+    # walk the fldList: 3-D fields take nr records, 2-D one
+    fld_names = [n for n in meta.get("fldList", _PICKUP_3D + _PICKUP_2D)
+                 if n and n.strip()]
+    two_d = {"EtaN", "dEtaHdt", "EtaH", "EtaHnm1"}
+    vals = {}
+    off = 0
+    for name in fld_names:
+        name = name.strip()
+        if name in two_d:
+            vals[name] = pad2(stack[off])
+            off += 1
+        else:
+            vals[name] = pad3(stack[off:off + nr])
+            off += nr
+    updates = {
+        "uVel": vals["Uvel"], "vVel": vals["Vvel"],
+        "theta": vals["Theta"], "salt": vals["Salt"],
+        "guNm1": vals["GuNm1"], "gvNm1": vals["GvNm1"],
+        "gtNm1": vals["GtNm1"], "gsNm1": vals["GsNm1"],
+        "etaN": vals["EtaN"], "dEtaHdt": vals["dEtaHdt"],
+        "etaH": vals["EtaH"],
+    }
+    if "PhiHyd" in vals:
+        updates["totPhiHyd"] = vals["PhiHyd"]
+    # r* restart: old-time factors equal current ones (initialise_varia.F
+    # calls CALC_R_STAR then UPDATE_R_STAR from the same etaH)
+    updates["etaHm1"] = vals["EtaH"]
+    exp.state = State(**{**exp.state.__dict__, **updates})
+
+    # CD-scheme companion pickup (pkg/cd_code/cd_code_read_pickup.F:
+    # records uVelD,vVelD,uNM1,vNM1 (Nr each) then etaNm1 at 4*Nr+1;
+    # often written without a .meta file)
+    cd_path = os.path.join(in_dir, f"pickup_cd.{myIter:010d}")
+    if cfg.useCDscheme and (os.path.exists(cd_path)
+                            or os.path.exists(cd_path + ".data")):
+        if not os.path.exists(cd_path):
+            cd_path = cd_path + ".data"
+        raw = mds.read_raw(cd_path, (4 * nr + 1, cfg.ny, cfg.nx), ">f8")
+        exp.state = State(**{
+            **exp.state.__dict__,
+            "uVelD": pad3(raw[0:nr]), "vVelD": pad3(raw[nr:2 * nr]),
+            "uNM1": pad3(raw[2 * nr:3 * nr]),
+            "vNM1": pad3(raw[3 * nr:4 * nr]),
+            "etaNm1": pad2(raw[4 * nr]),
+        })
     exp.cfg.startFromPickup = True
     exp.cfg.nIter0 = myIter
     # initialise_varia.F:336: recompute wVel (and, with exactConserv,
     # dEtaHdt) from the restored velocities — wVel is not in the pickup
+    g = exp.grid
+    if cfg.nonlinFreeSurf > 0 and cfg.select_rStar > 0:
+        from mitgcm_tpu.model import rstar as rstar_mod
+        fC, fW, fS = rstar_mod.rstar_facs(cfg, exp.grid, exp.state.etaH)
+        g = rstar_mod.rstar_view(cfg, exp.grid, fC, fW, fS)
     w, etaN, etaH, dEtaHdt = step_mod.integr_continuity(
-        exp.cfg, exp.grid, exp.state.uVel, exp.state.vVel,
+        exp.cfg, g, exp.state.uVel, exp.state.vVel,
         exp.state.etaN, exp.state.etaH, exp.state.dEtaHdt,
-        jnp.zeros_like(exp.state.etaN), jnp.asarray(myIter))
+        jnp.zeros_like(exp.state.etaN), jnp.asarray(myIter),
+        h0FacC=exp.grid.hFacC)
     fill = lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)
     exp.state = State(**{**exp.state.__dict__,
                          "wVel": fill(w), "dEtaHdt": fill(dEtaHdt)})

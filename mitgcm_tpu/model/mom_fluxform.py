@@ -103,7 +103,8 @@ def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ):
     return del2u, del2v
 
 
-def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
+def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
+                 rstar=None) -> MomTend:
     dt = u.dtype
     drF = grid.drF[:, None, None]
     recip_drF = grid.recip_drF[:, None, None]
@@ -130,6 +131,37 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
         wrA = w * grid.rA
         rTransU = 0.5 * (wrA + sh(wrA, di=-1))     # [nr,...] at interface k
         rTransV = 0.5 * (wrA + sh(wrA, dj=-1))
+        if rstar is not None and cfg.select_rStar != 0:
+            # r & r* vertical-transport difference (mom_calc_rtrans.F:
+            # 108-160): corrects the advective rTrans at interfaces k>=2
+            # for the uniform column stretching
+            dhC = rstar["dhCdt"]        # (fac-facNm1)/deltaTFreeSurf
+            dhW = rstar["dhWdt"]
+            dhS = rstar["dhSdt"]
+            h0C = rstar["h0FacC"]       # static (unscaled) hFac
+            h0W = rstar["h0FacW"]
+            h0S = rstar["h0FacS"]
+            Hcol = grid.Ro_surf - grid.R_low
+            csumC = jnp.cumsum(grid.drF[:, None, None] * h0C, axis=0)
+            csumC = jnp.concatenate(
+                [jnp.zeros_like(csumC[:1]), csumC[:-1]], axis=0)
+            csumW = jnp.cumsum(grid.drF[:, None, None] * h0W, axis=0)
+            csumW = jnp.concatenate(
+                [jnp.zeros_like(csumW[:1]), csumW[:-1]], axis=0)
+            csumS = jnp.cumsum(grid.drF[:, None, None] * h0S, axis=0)
+            csumS = jnp.concatenate(
+                [jnp.zeros_like(csumS[:1]), csumS[:-1]], axis=0)
+            dWtC = dhC * grid.rA * (Hcol - csumC)
+            dWtC1 = dhC * grid.rA * Hcol            # k=1 value
+            dWtU = (0.5 * (sh(dWtC1, di=-1) + dWtC1)
+                    - dhW * grid.rAw * csumW)
+            dWtV = (0.5 * (sh(dWtC1, dj=-1) + dWtC1)
+                    - dhS * grid.rAs * csumS)
+            corrU = -dWtU + 0.5 * (sh(dWtC, di=-1) + dWtC)
+            corrV = -dWtV + 0.5 * (sh(dWtC, dj=-1) + dWtC)
+            kk = jnp.arange(cfg.nr)[:, None, None]
+            rTransU = rTransU + jnp.where(kk >= 1, corrU, 0.0)
+            rTransV = rTransV + jnp.where(kk >= 1, corrV, 0.0)
 
         fZonU = 0.25 * (uTrans + sh(uTrans, di=1)) * (u + sh(u, di=1))
         fMerU = 0.25 * (vTrans + sh(vTrans, di=-1)) * (u + sh(u, dj=-1))
@@ -300,10 +332,22 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
         uAtV = 0.25 * (u + sh(u, di=1) + sh(u, dj=-1) + sh(u, di=1, dj=-1))
         gV = gV - recip_rSphere * uAtV * uAtV * grid.tanPhiAtV
 
+    # ---- non-hydrostatic metric terms (mom_u/v_metric_nh.F) ----
+    if cfg.useNHMTerms:
+        w_kp1 = jnp.concatenate([w[1:], jnp.zeros_like(w[:1])], axis=0)
+        wsumU = ((sh(w_kp1, di=-1) + w_kp1)
+                 + (sh(w, di=-1) + w))
+        gU = gU + u / cfg.rSphere * 0.25 * wsumU * cfg.gravitySign
+        wsumV = ((sh(w_kp1, dj=-1) + w_kp1)
+                 + (sh(w, dj=-1) + w))
+        gV = gV + v / cfg.rSphere * 0.25 * wsumV * cfg.gravitySign
+
     # ---------------- Coriolis (mom_u_coriolis.F) ----------------
     # with the CD scheme, Coriolis comes from the D-grid velocities in
-    # timestep.F instead (mom_fluxform.F:860 .NOT.useCDscheme guard)
+    # timestep.F instead (mom_fluxform.F:860 .NOT.useCDscheme guard);
+    # the 3-D Coriolis term below is NOT inside that guard
     if cfg.useCDscheme:
+        gU = _coriolis_3d_u(cfg, grid, gU, w)
         gU = gU * grid.maskW
         gV = gV * grid.maskS
         guDiss = guDiss * grid.maskW
@@ -328,9 +372,24 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
         vCf = vCf * 4.0 / jnp.maximum(1.0, wetW)
     gU = gU + uCf
     gV = gV + vCf
+    gU = _coriolis_3d_u(cfg, grid, gU, w)
 
     gU = gU * grid.maskW
     gV = gV * grid.maskS
     guDiss = guDiss * grid.maskW
     gvDiss = gvDiss * grid.maskS
     return MomTend(gU=gU, gV=gV, guDiss=guDiss, gvDiss=gvDiss)
+
+
+def _coriolis_3d_u(cfg: Config, grid: Grid, gU, w):
+    """3-D Coriolis term -fprime*w in the u equation
+    (mom_common/mom_u_coriolis_nh.F, select3dCoriScheme>=1); the
+    v-equation counterpart only exists on rotated/curvilinear grids."""
+    if cfg.select3dCoriScheme < 1:
+        return gU
+    nr = cfg.nr
+    w_kp1 = jnp.concatenate([w[1:], jnp.zeros_like(w[:1])], axis=0)
+    fcw = grid.fCoriCos * grid.angleCosC
+    wbar = 0.5 * (w + w_kp1)            # wMsk=0 at k=Nr via the zero pad
+    uCf = 0.5 * (fcw * wbar + sh(fcw * wbar, di=-1)) * cfg.gravitySign
+    return gU + uCf

@@ -50,24 +50,57 @@ def _phi_hyd_air(cfg: Config, grid: Grid, alphaRho):
     return phiC
 
 
-def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu):
-    """Return (phiHydC, dPhiHydX, dPhiHydY), each [nr, ...].
+def quasihydrostatic_term(cfg: Config, grid: Grid, u, v):
+    """pkg/mom_common/mom_quasihydrostatic.F: vertical-momentum terms
+    added as if they modify the density (z-coords scaling -rhoConst/g).
+
+    Returns the gWinBuoy field [nr,...] (caller applies the scaling)."""
+    gw = jnp.zeros_like(u)
+    if cfg.select3dCoriScheme >= 1:
+        uC = 0.5 * (u + sh(u, di=1))
+        vC = 0.5 * (v + sh(v, dj=1))
+        gw = gw + grid.fCoriCos * (grid.angleCosC * uC
+                                   - grid.angleSinC * vC)
+    if cfg.useNHMTerms:
+        gw = gw + ((u * u + sh(u, di=1) * sh(u, di=1))
+                   + (v * v + sh(v, dj=1) * sh(v, dj=1))
+                   ) * 0.5 / cfg.rSphere
+    return gw
+
+
+def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
+                 etaH=None, rStarFacC=None):
+    """Return (phiHydC, dPhiHydX, dPhiHydY, totPhiHyd), each [nr, ...].
 
     rhoInSitu: density anomaly rho' (find_rho) at cell centers.
     Oceanic buoyancy: b' = gravity * rho'/rhoConst; phiHydC integrates b'
     downward with the half-cell weights dRlocM/dRlocP (calc_phi_hyd.F
     integr_GeoPot=2, uniformFreeSurfLev branch; gravFac = 1 for z-coords).
+    With quasiHydrostatic, the 3-D Coriolis / NH-metric vertical terms
+    modify the effective density first. With r* (select_rStar>=2,
+    nonlinFreeSurf>=4) the pressure gradient follows
+    calc_grad_phi_hyd.F:62-205: grad(phiHydC*rStarFacC) plus the
+    coordinate-slope correction term.
     """
     nr = cfg.nr
     if cfg.fluidIsAir:
         phiC = _phi_hyd_air(cfg, grid, rhoInSitu)
+        tot = phiC  # totPhiHyd for air handled when needed
         if not cfg.momPressureForcing:
             z = jnp.zeros_like(phiC)
-            return phiC, z, z
+            return phiC, z, z, tot
         dX = grid.recip_dxC * (phiC - sh(phiC, di=-1))
         dY = grid.recip_dyC * (phiC - sh(phiC, dj=-1))
-        return phiC, dX, dY
-    buoy = cfg.gravity * rhoInSitu * (1.0 / cfg.rhoConst)
+        return phiC, dX, dY, tot
+
+    alphaRho = rhoInSitu
+    if cfg.quasiHydrostatic:
+        # z-coords scaling: rhoConst*gravitySign/gravity (gravFac=1)
+        scal = cfg.rhoConst * cfg.gravitySign / cfg.gravity
+        alphaRho = alphaRho + scal * quasihydrostatic_term(
+            cfg, grid, uVel, vVel)
+
+    buoy = cfg.gravity * alphaRho * (1.0 / cfg.rhoConst)
 
     drC = grid.drC  # [nr+1]
     rF, rC = grid.rF, grid.rC
@@ -85,11 +118,38 @@ def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu):
     phiF = jnp.cumsum(incr, axis=0) - incr          # phiHydF at top of k
     phiC = phiF + dRlocM[:, None, None] * buoy
 
+    rstar = (cfg.select_rStar >= 2 and cfg.nonlinFreeSurf >= 4
+             and rStarFacC is not None)
+    if rstar:
+        # diags_phi_hyd.F r* form of the total potential
+        dPhiRef = (grid.Ro_surf - rC[:, None, None]) * cfg.gravity
+        tot = (phiC * rStarFacC
+               + jnp.maximum(dPhiRef, 0.0) * (rStarFacC - 1.0))
+    else:
+        tot = phiC  # + Bo_surf*etaN added by the caller when needed
+
     if not cfg.momPressureForcing:
         z = jnp.zeros_like(phiC)
-        return phiC, z, z
+        return phiC, z, z, tot
 
     # calc_grad_phi_hyd.F (phi0surf = 0 without atmospheric loading)
-    dX = grid.recip_dxC * (phiC - sh(phiC, di=-1))
-    dY = grid.recip_dyC * (phiC - sh(phiC, dj=-1))
-    return phiC, dX, dY
+    if rstar:
+        varLoc = phiC * rStarFacC
+        dX = grid.recip_dxC * (varLoc - sh(varLoc, di=-1))
+        dY = grid.recip_dyC * (varLoc - sh(varLoc, dj=-1))
+        # r* coordinate-slope term (calc_grad_phi_hyd.F:155-205);
+        # generalForm when a topoFile / non-zero surface reference is used
+        factorP = cfg.gravity * (1.0 / cfg.rhoConst) * 0.5
+        general = bool(cfg.topoFile) or float(cfg.seaLev_Z) != 0.0
+        if general:
+            var2 = etaH * grid.recip_Rcol * (rC[:, None, None] - grid.R_low)
+        else:
+            var2 = etaH * (1.0 + rC[:, None, None] * grid.recip_Rcol)
+        dX = dX + factorP * (sh(alphaRho, di=-1) + alphaRho) \
+            * (var2 - sh(var2, di=-1)) * grid.recip_dxC
+        dY = dY + factorP * (sh(alphaRho, dj=-1) + alphaRho) \
+            * (var2 - sh(var2, dj=-1)) * grid.recip_dyC
+    else:
+        dX = grid.recip_dxC * (phiC - sh(phiC, di=-1))
+        dY = grid.recip_dyC * (phiC - sh(phiC, dj=-1))
+    return phiC, dX, dY, tot

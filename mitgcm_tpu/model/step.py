@@ -132,9 +132,15 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-             rhoInSitu, myIter):
+             rhoInSitu, myIter, rstar=None):
     """model/src/dynamics.F + timestep.F. Returns
-    (uStar, vStar, guNm1', gvNm1', cd_state')."""
+    (uStar, vStar, guNm1', gvNm1', cd_state', totPhiHyd).
+
+    grid: the OLD-time-level geometry view under r* (hFac as set by the
+    previous step's UPDATE_R_STAR); rstar: dict with facC (new factors,
+    already valid during DYNAMICS per calc_r_star.F call placement),
+    ratioW/ratioS (rStarExpW/S) and etaH for the r* pressure gradient
+    and the momentum-thickness rescale (timestep.F:277-283)."""
     u, v, w = state.uVel, state.vVel, state.wVel
 
     # vertical viscosity profile (model/src/calc_viscosity.F): constant
@@ -144,12 +150,15 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     kappaRU = jnp.full(kshape, cfg.viscAr, u.dtype)
     kappaRV = jnp.full(kshape, cfg.viscAr, u.dtype)
 
-    _, dPhiHydX, dPhiHydY = calc_phi_hyd(cfg, grid, rhoInSitu)
+    _, dPhiHydX, dPhiHydY, totPhiHyd = calc_phi_hyd(
+        cfg, grid, rhoInSitu, uVel=u, vVel=v, etaH=state.etaH,
+        rStarFacC=None if rstar is None else rstar["facC"])
 
     if cfg.vectorInvariantMomentum:
         tend = mom_vecinv(cfg, grid, u, v, w, kappaRU, kappaRV)
     else:
-        tend = mom_fluxform(cfg, grid, u, v, w, kappaRU, kappaRV)
+        tend = mom_fluxform(cfg, grid, u, v, w, kappaRU, kappaRV,
+                            rstar=rstar)
     gU, gV = tend.gU, tend.gV
 
     # --- timestep.F assembly ---
@@ -195,6 +204,13 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         gU_ab = gU_ab + guCor
         gV_ab = gV_ab + gvCor
 
+    # r* thickness rescale of the full tendency (timestep.F:272-283,
+    # flux-form with nonlinFreeSurf>1)
+    if rstar is not None and not cfg.vectorInvariantMomentum \
+            and cfg.nonlinFreeSurf > 1:
+        gU_ab = gU_ab / rstar["ratioW"]
+        gV_ab = gV_ab / rstar["ratioS"]
+
     # pressure gradients applied after AB (timestep.F:276-290):
     # staggered stepping keeps dPhiHyd out of the AB extrapolation;
     # explicit surface-pressure part only when implicSurfPress < 1
@@ -221,7 +237,8 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                                     grid.recip_hFacW, cfg.deltaTMom)
         vStar = thermo_mod.impldiff(cfg, grid, vStar, kappaRV,
                                     grid.recip_hFacS, cfg.deltaTMom)
-    return uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state
+    return uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state, \
+        totPhiHyd
 
 
 def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
@@ -287,7 +304,7 @@ def momentum_correction_step(cfg: Config, grid: Grid, etaN, uStar, vStar):
 
 
 def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
-                      EmPmR, myIter):
+                      EmPmR, myIter, h0FacC=None):
     """model/src/integr_continuity.F + integrate_for_w.F + update_etah.F.
 
     Returns (wVel, etaN', etaH', dEtaHdt'). With exactConserv (the
@@ -300,23 +317,7 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
     div2d = (sh(uTrans, di=1) - uTrans) + (sh(vTrans, dj=1) - vTrans)
     cr = -div2d * grid.recip_rA
 
-    if cfg.rigidLid:
-        masks = grid.maskC * jnp.concatenate(
-            [jnp.zeros_like(grid.maskC[:1]), grid.maskC[:-1]], axis=0)
-    else:
-        masks = grid.maskC
-
-    def body(w_below, inp):
-        c, m = inp
-        w_here = (w_below + c) * m
-        return w_here, w_here
-
-    _, w_rev = jax.lax.scan(
-        body, jnp.zeros_like(cr[0]), (cr[::-1], masks[::-1]))
-    w = w_rev[::-1]
-    if cfg.rigidLid:
-        w = w.at[0].set(0.0)
-
+    etaN_new, etaH_new, dEtaHdt_new = etaN, etaH, dEtaHdt
     if cfg.exactConserv:
         # sequential k-ascending accumulation (integr_continuity.F:93-101)
         def acc_level(acc, t):
@@ -342,8 +343,35 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
                 * cfg.deltaTFreeSurf)
             etaH_new = etaN_new + (1.0 - cfg.implicDiv2Dflow) \
                 * dEtaHdt_new * cfg.deltaTFreeSurf
-        return w, etaN_new, etaH_new, dEtaHdt_new
-    return w, etaN, etaH, dEtaHdt
+
+    # vertical velocity (integrate_for_w.F, bottom-up)
+    if cfg.rigidLid:
+        masks = grid.maskC * jnp.concatenate(
+            [jnp.zeros_like(grid.maskC[:1]), grid.maskC[:-1]], axis=0)
+    else:
+        masks = grid.maskC
+
+    if cfg.select_rStar != 0 and cfg.nonlinFreeSurf > 0:
+        # r*: remove the uniform column stretching from w
+        # (integr_continuity.F:252-262 + integrate_for_w.F:93-116;
+        # single maskC factor in this branch)
+        # rStarDhDt = relative thickness tendency, dEtaHdt/H
+        # (integr_continuity.F:256-262; deepFac2F*rhoFacF = 1)
+        rStarDhDt = dEtaHdt_new * grid.recip_Rcol
+        cr = cr - rStarDhDt * drF * h0FacC
+        masks = grid.maskC
+
+    def body(w_below, inp):
+        c, m = inp
+        w_here = (w_below + c) * m
+        return w_here, w_here
+
+    _, w_rev = jax.lax.scan(
+        body, jnp.zeros_like(cr[0]), (cr[::-1], masks[::-1]))
+    w = w_rev[::-1]
+    if cfg.rigidLid:
+        w = w.at[0].set(0.0)
+    return w, etaN_new, etaH_new, dEtaHdt_new
 
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
@@ -373,6 +401,34 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         theta0 = theta0.at[0].set(jnp.maximum(theta0[0], -1.9))
         state = State(**{**state.__dict__, "theta": theta0})
 
+    # r* nonlinear free surface: geometry views for the two time levels
+    # (forward_step.F:477 UPDATE_R_STAR(F) / :838 UPDATE_R_STAR(T) /
+    # :976 CALC_R_STAR)
+    use_rstar = cfg.nonlinFreeSurf > 0 and cfg.select_rStar > 0
+    rstar = None
+    grid_old = grid_new = grid
+    if use_rstar:
+        from mitgcm_tpu.model import rstar as rstar_mod
+        facC, facW, facS = rstar_mod.rstar_facs(
+            cfg, grid, state.etaH, fill=fill,
+            fill_uv=lambda a, b: fill_uv(a, b, False)
+            if cfg.nFaces > 1 else fill_uv(a, b))
+        facCm, facWm, facSm = rstar_mod.rstar_facs(
+            cfg, grid, state.etaHm1, fill=fill,
+            fill_uv=lambda a, b: fill_uv(a, b, False)
+            if cfg.nFaces > 1 else fill_uv(a, b))
+        grid_old = rstar_mod.rstar_view(cfg, grid, facCm, facWm, facSm)
+        grid_new = rstar_mod.rstar_view(cfg, grid, facC, facW, facS)
+        dtFS = cfg.deltaTFreeSurf
+        rstar = {"facC": facC, "facW": facW, "facS": facS,
+                 "ratioC": facC / facCm, "ratioW": facW / facWm,
+                 "ratioS": facS / facSm,
+                 "dhCdt": (facC - facCm) / dtFS,
+                 "dhWdt": (facW - facWm) / dtFS,
+                 "dhSdt": (facS - facSm) / dtFS,
+                 "h0FacC": grid.hFacC, "h0FacW": grid.hFacW,
+                 "h0FacS": grid.hFacS}
+
     # in-situ density from start-of-step theta/salt (do_oceanic_phys.F:731;
     # used by CALC_PHI_HYD even though tracers step first). For an
     # atmosphere, "rhoInSitu" holds the virtual potential temperature
@@ -382,13 +438,15 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         rhoInSitu = (theta0 * (state.salt * cfg.atm_Rq + 1.0)
                      - tref) * grid.maskC
     else:
-        rhoInSitu = eos.find_rho(cfg, grid, theta0, state.salt) * grid.maskC
+        rhoInSitu = eos.find_rho(cfg, grid, theta0, state.salt,
+                                 totPhiHyd=state.totPhiHyd) * grid.maskC
 
     # convective adjustment mask (model/src/calc_ivdc.F)
     conv_count = None
     if cfg.ivdc_kappa != 0.0:
         conv_count = thermo_mod.calc_ivdc(cfg, grid, rhoInSitu,
-                                          theta0, state.salt)
+                                          theta0, state.salt,
+                                          totPhiHyd=state.totPhiHyd)
 
     # GM-Redi tensor from density gradients (do_oceanic_phys.F:1039)
     gm_tensor = None
@@ -399,7 +457,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                   * (rhoInSitu - sh(rhoInSitu, dj=-1)))
         t_km1 = jnp.concatenate([theta0[:1], theta0[:-1]], axis=0)
         s_km1 = jnp.concatenate([state.salt[:1], state.salt[:-1]], axis=0)
-        rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1)
+        rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1,
+                              totPhiHyd=state.totPhiHyd)
         mC = grid.maskC
         m_km1 = jnp.concatenate([jnp.zeros_like(mC[:1]), mC[:-1]], axis=0)
         sigmaR = (mC * m_km1 * grid.recip_drC[:cfg.nr, None, None]
@@ -414,19 +473,27 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     if not cfg.staggerTimeStep:
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1) = thermo_mod.thermodynamics(
-            cfg, grid, state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor)
+            cfg, grid_old, state, forc, myIter, conv_count=conv_count,
+            gm_tensor=gm_tensor, rstar=rstar)
 
-    uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state = dynamics(
-        cfg, grid, state, forc, rhoInSitu, myIter)
+    (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
+     totPhiHyd) = dynamics(
+        cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar)
     uStar, vStar = fill_uv(uStar, vStar)
 
-    etaN, diag = solve_for_pressure(cfg, grid, op, state, uStar, vStar,
-                                    forc, psum=psum, fill=fill, pmax=pmax)
+    # with nonlinFreeSurf > 2 the cg2d matrix is rebuilt from the new
+    # geometry every step (forward_step.F:868 UPDATE_CG2D)
+    op_step = op
+    if use_rstar and cfg.nonlinFreeSurf > 2:
+        op_step = cg2d_mod.update_cg2d(cfg, grid_new, op, fill=fill)
+
+    etaN, diag = solve_for_pressure(cfg, grid_new, op_step, state, uStar,
+                                    vStar, forc, psum=psum, fill=fill,
+                                    pmax=pmax)
     # solve_for_pressure.F:88 (ALLOW_CD_CODE): etaNm1 := pre-solve etaN
     cd_state = cd_state._replace(etaNm1=state.etaN)
 
-    u, v = momentum_correction_step(cfg, grid, etaN, uStar, vStar)
+    u, v = momentum_correction_step(cfg, grid_new, etaN, uStar, vStar)
     if cfg.useSHAP_FILT and not cfg.shap.shap_filt_uvStar:
         # momentum_correction_step.F:69-74: filter the corrected
         # velocities before continuity sees them
@@ -441,8 +508,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # exchange happens later, do_statevars_exch); the fill below only
     # refreshes halos for the next step's stencils.
     w, etaN, etaH, dEtaHdt = integr_continuity(
-        cfg, grid, u, v, etaN, state.etaH, state.dEtaHdt, forc.EmPmR,
-        myIter + 1)
+        cfg, grid_new, u, v, etaN, state.etaH, state.dEtaHdt, forc.EmPmR,
+        myIter + 1, h0FacC=grid.hFacC)
     # staggered runs exchange the state velocities with EXCH_UV_3D_RL
     # (do_stagger_fields_exchanges.F); non-staggered with EXCH_UV_XYZ_RL
     # (do_fields_blocking_exchanges.F) — different corner conventions
@@ -457,8 +524,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                               "uVel": u, "vVel": v, "wVel": w})
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1) = thermo_mod.thermodynamics(
-            cfg, grid, stag_state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor)
+            cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
+            gm_tensor=gm_tensor, rstar=rstar)
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,
@@ -475,5 +542,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         etaNm1=cd_state.etaNm1,
         pTr=fill(pTr) if pTr.size else pTr,
         gPtrNm1=gPtrNm1,
+        # r* time-level bookkeeping: next step's "old" factors are this
+        # step's entry-time etaH (calc_r_star.F Nm1/Exp rotation)
+        etaHm1=state.etaH if use_rstar else state.etaHm1,
+        totPhiHyd=totPhiHyd,
     )
     return new_state, diag

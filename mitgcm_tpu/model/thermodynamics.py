@@ -72,7 +72,7 @@ def impldiff(cfg: Config, grid: Grid, field, kappaR, recip_hFac, deltaT):
 
 
 def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
-                       forcing: Forcing):
+                       forcing: Forcing, rstar_ratio=None):
     """model/src/external_forcing_surf.F + forcing_surf_relax.F:
     surfaceForcingT/S in r-units * tracer-units / s (times drF*hFac)."""
     dtype = state.theta.dtype
@@ -87,6 +87,11 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
         lam = 1.0 / cfg.tauSaltClimRelax
         sfS = sfS - lam * (state.salt[0] - forcing.SSS) \
             * grid.drF[0] * grid.hFacC[0]
+    if rstar_ratio is not None:
+        # forcing_surf_relax.F:118-125: climatology relaxation scales
+        # with the surface-layer expansion
+        sfT = sfT * rstar_ratio
+        sfS = sfS * rstar_ratio
     # heat / freshwater / salt fluxes (external_forcing_surf.F:161-180)
     recip_Cp = 1.0 / cfg.HeatCapacity_Cp
     sfT = sfT - (forcing.Qnet - forcing.Qsw) * recip_Cp * cfg.mass2rUnit
@@ -119,7 +124,8 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
     return sfT, sfS
 
 
-def calc_ivdc(cfg: Config, grid: Grid, rhoInSitu, theta, salt):
+def calc_ivdc(cfg: Config, grid: Grid, rhoInSitu, theta, salt,
+              totPhiHyd=None):
     """Implicit-vertical-diffusion convection mask (model/src/calc_ivdc.F).
 
     Returns IVDConvCount [nr,...]: 1 where statically unstable (density of
@@ -132,7 +138,7 @@ def calc_ivdc(cfg: Config, grid: Grid, rhoInSitu, theta, salt):
     # rho(T(k-1),S(k-1); kRef=k): shift fields down one level
     t_km1 = jnp.concatenate([theta[:1], theta[:-1]], axis=0)
     s_km1 = jnp.concatenate([salt[:1], salt[:-1]], axis=0)
-    rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1)
+    rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1, totPhiHyd=totPhiHyd)
     mC = grid.maskC
     m_km1 = jnp.concatenate([jnp.zeros_like(mC[:1]), mC[:-1]], axis=0)
     sigmaR = (mC * m_km1 * grid.recip_drC[:nr, None, None] * cfg.rkSign
@@ -158,8 +164,13 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
                      tracer, gNm1, kappaR, sfc_forc, scheme: int,
                      vert_scheme: int, diffKh: float, diffK4: float,
                      myIter, gm_tensor=None, interior_forc=None,
-                     deltaT=None, gNm2=None):
-    """temp_integrate.F for one tracer; returns (tracer', gNm1', gNm2')."""
+                     deltaT=None, gNm2=None, rstar_ratio=None):
+    """temp_integrate.F for one tracer; returns (tracer', gNm1', gNm2').
+
+    rstar_ratio: rStarExpC = fac_new/fac_old; post-AB tendencies and the
+    stored AB history are divided by it (freesurf_rescale_g.F), and the
+    implicit solve uses the new-time-level thickness
+    (thermodynamics.F:199-210 recip_hFacNew)."""
     from mitgcm_tpu.model.step import adams_bashforth
 
     dt = cfg.deltaTTracer if deltaT is None else deltaT
@@ -185,21 +196,30 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
     # AB on the tendency only for linear schemes (gad_init_fixed.F:147-156:
     # AdamsBashforthGt only for centered-2nd/upwind-3rd/centered-4th)
     gNm2_in = gNm2 if gNm2 is not None else jnp.zeros_like(gNm1)
-    if scheme in (gad.ENUM_CENTERED_2ND, gad.ENUM_UPWIND_3RD,
-                  gad.ENUM_CENTERED_4TH) and cfg.doAB_onGtGs:
+    use_ab = scheme in (gad.ENUM_CENTERED_2ND, gad.ENUM_UPWIND_3RD,
+                        gad.ENUM_CENTERED_4TH) and cfg.doAB_onGtGs
+    if use_ab:
         gTr_ab, gNm1_new, gNm2_new = adams_bashforth(
             cfg, gTr, gNm1, gNm2_in, myIter)
     else:
         gTr_ab, gNm1_new, gNm2_new = gTr, gNm1, gNm2_in
 
+    recip_hFacNew = grid.recip_hFacC
+    if rstar_ratio is not None:
+        gTr_ab = gTr_ab / rstar_ratio
+        if use_ab:
+            gNm1_new = gNm1_new / rstar_ratio
+            gNm2_new = gNm2_new / rstar_ratio
+        recip_hFacNew = grid.recip_hFacC / rstar_ratio
+
     tr_new = tracer + dt * gTr_ab    # timestep_tracer.F
     if cfg.implicitDiffusion:
-        tr_new = impldiff(cfg, grid, tr_new, kappaR, grid.recip_hFacC, dt)
+        tr_new = impldiff(cfg, grid, tr_new, kappaR, recip_hFacNew, dt)
     return tr_new, gNm1_new, gNm2_new
 
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-                   myIter, conv_count=None, gm_tensor=None):
+                   myIter, conv_count=None, gm_tensor=None, rstar=None):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
@@ -209,7 +229,10 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         return theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1
 
     flow = gad.calc_adv_flow(cfg, grid, state.uVel, state.vVel, state.wVel)
-    sfT, sfS = surface_forcing_ts(cfg, grid, state, forcing)
+    sfT, sfS = surface_forcing_ts(
+        cfg, grid, state, forcing,
+        rstar_ratio=None if rstar is None else rstar["ratioC"])
+    ratioC = None if rstar is None else rstar["ratioC"]
 
     if cfg.tempStepping:
         kapT = tracer_kappa(cfg, grid, conv_count, cfg.diffKrT, theta.dtype,
@@ -221,7 +244,8 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         theta, gtNm1, gtNm2 = tracer_integrate(
             cfg, grid, flow, state, theta, state.gtNm1, kapT, sfT,
             cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,
-            gm_tensor=gm_tensor, interior_forc=intFT, gNm2=state.gtNm2)
+            gm_tensor=gm_tensor, interior_forc=intFT, gNm2=state.gtNm2,
+            rstar_ratio=ratioC)
     if cfg.saltStepping:
         kapS = tracer_kappa(cfg, grid, conv_count, cfg.diffKrS, salt.dtype,
                             gm_tensor=gm_tensor)
@@ -229,7 +253,7 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         salt, gsNm1, gsNm2 = tracer_integrate(
             cfg, grid, flow, state, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
-            gm_tensor=gm_tensor, gNm2=state.gsNm2)
+            gm_tensor=gm_tensor, gNm2=state.gsNm2, rstar_ratio=ratioC)
 
     # passive tracers (pkg/ptracers/ptracers_integrate.F); the age-tracer
     # source/relaxation follows tutorial_global_oce_latlon/code overrides

@@ -56,7 +56,8 @@ def bulkmod(p, t, s):
     return bfresh + bsalt + bpres
 
 
-def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None):
+def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None,
+             totPhiHyd=None):
     """Density anomaly rho' = rho - rhoConst, all levels at once.
 
     theta/salt: [nr, ...]; kRef = level index itself (FIND_RHO_2D is called
@@ -71,10 +72,17 @@ def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None):
             cfg.sBeta * (salt - sref) - cfg.tAlpha * (theta - tref)
         ) + drho
     if eos in ("JMD95Z", "JMD95P", "UNESCO"):
-        # pressure for EOS (pressure_for_eos.F, selectP_inEOS_Zc=0 path):
-        # p [bar] = -rhoConst * rC(k) * gravity * SItoBar  (z-coords)
         rc = grid.rC[:, None, None]
-        p_bar = -cfg.rhoConst * rc * cfg.gravity * _SI2BAR
+        if cfg.selectP_inEOS_Zc == 2 and totPhiHyd is not None:
+            # pressure_for_eos.F selectP_inEOS_Zc=2: p = rhoConst *
+            # (totPhiHyd + phiRef(2k)) + (surf_pRef - eosRefP0);
+            # phiRef(2k) = (rC - rF(1))*gravity*gravitySign
+            phiRef2k = (rc - grid.rF[0]) * cfg.gravity * cfg.gravitySign
+            dp0 = cfg.surf_pRef - cfg.eosRefP0
+            p_bar = (cfg.rhoConst * (totPhiHyd + phiRef2k) + dp0) * _SI2BAR
+        else:
+            # selectP_inEOS_Zc<=1: p [bar] = -rhoConst*rC*g*SItoBar
+            p_bar = -cfg.rhoConst * rc * cfg.gravity * _SI2BAR
         rp0 = rho_p0(theta, salt)
         bm = bulkmod(p_bar, theta, salt)
         return rp0 / (1.0 - p_bar / bm) - cfg.rhoConst

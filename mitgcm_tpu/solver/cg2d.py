@@ -228,3 +228,51 @@ def _cg2d_raw(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
     return CG2DResult(
         x=x, first_residual=first_res, last_residual=jnp.sqrt(err_sq),
         n_iters=it)
+
+
+def update_cg2d(cfg: Config, grid: Grid, op0: CG2DOperator,
+                fill=None) -> CG2DOperator:
+    """Rebuild the elliptic operator from the current (r*-scaled) hFac
+    (model/src/update_cg2d.F, called when nonlinFreeSurf > 2). The
+    normalisation factor and tolerance are fixed at their startup values;
+    the preconditioner is refreshed every cg2dPreCondFreq steps (default
+    1, so unconditionally here). Pure jnp: runs inside the jitted step.
+    """
+    if fill is None:
+        fill = lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)  # noqa:E731
+    drF = grid.drF[:, None, None]
+    # update_cg2d.F:42-95: accumulate faceArea*recip_dxC per level, then
+    # scale once by cg2dNorm*implicSurfPress*implicDiv2Dflow (this
+    # ordering differs from ini_cg2d.F and is what restart runs use)
+    accW = jnp.zeros_like(grid.rA)
+    accS = jnp.zeros_like(grid.rA)
+    for k in range(cfg.nr):
+        accW = accW + (grid.dyG * drF[k] * grid.hFacW[k]) * grid.recip_dxC
+        accS = accS + (grid.dxG * drF[k] * grid.hFacS[k]) * grid.recip_dyC
+    fac = cfg.implicSurfPress * cfg.implicDiv2Dflow
+    aW = accW * op0.cg2dNorm * fac
+    aS = accS * op0.cg2dNorm * fac
+    aW = fill(aW)
+    aS = fill(aS)
+    aC = -(
+        aW + sh(aW, di=1) + aS + sh(aS, dj=1)
+        + cfg.freeSurfFac * op0.cg2dNorm * grid.recip_Bo * grid.rA
+        / cfg.deltaTMom / cfg.deltaTFreeSurf
+    )
+    aC = fill(aC)
+    aCw = sh(aC, di=-1)
+    aCs = sh(aC, dj=-1)
+    pC = jnp.where(aC == 0.0, 1.0, 1.0 / jnp.where(aC == 0.0, 1.0, aC))
+    offFac = cfg.cg2dpcOffDFac
+    pW = jnp.where(
+        aC + aCw == 0.0, 0.0,
+        -aW / jnp.where(aC + aCw == 0.0, 1.0, (offFac * (aCw + aC)) ** 2))
+    pS = jnp.where(
+        aC + aCs == 0.0, 0.0,
+        -aS / jnp.where(aC + aCs == 0.0, 1.0, (offFac * (aCs + aC)) ** 2))
+    pC = fill(pC)
+    pW = fill(pW)
+    pS = fill(pS)
+    return CG2DOperator(aW=aW, aS=aS, aC=aC, pW=pW, pS=pS, pC=pC,
+                        cg2dNorm=op0.cg2dNorm,
+                        tolerance_sq=op0.tolerance_sq)
