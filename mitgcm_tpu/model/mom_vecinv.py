@@ -82,13 +82,13 @@ def calc_relvort3(cfg: Config, grid: Grid, u, v):
 
 
 def calc_hdiv(cfg: Config, grid: Grid, u, v):
-    """Horizontal divergence (hDivFlow form, mom_common/mom_calc_hdiv.F)."""
-    drF = grid.drF[:, None, None]
-    uT = u * grid.dyG * drF * grid.hFacW
-    vT = v * grid.dxG * drF * grid.hFacS
+    """Horizontal divergence, hDivScheme=2 (mom_calc_hdiv.F:45-60):
+    hFac-weighted face transports per unit thickness (no drF factor —
+    exactly the reference arithmetic)."""
+    uT = u * grid.dyG * grid.hFacW
+    vT = v * grid.dxG * grid.hFacS
     return ((sh(uT, di=1) - uT) + (sh(vT, dj=1) - vT)) \
-        * grid.recip_rA * grid.recip_drF[:, None, None] \
-        * grid.recip_hFacC * grid.maskC
+        * grid.recip_rA * grid.recip_hFacC
 
 
 def _vort_coriolis_u(cfg: Config, grid: Grid, scheme: int, v, omega3,
@@ -242,9 +242,23 @@ def mom_vecinv(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
         guDiss = uD2 * grid.maskW
         gvDiss = vD2 * grid.maskS
         if cfg.viscA4 != 0.0:
-            raise NotImplementedError(
-                "biharmonic dissipation in vector-invariant form "
-                "(mom_vi_del2uv) not yet implemented")
+            # biharmonic (mom_vecinv.F:404-409 + mom_vi_hdissip.F:200-262):
+            # Laplacian of (u,v) from (hDiv,vort3), then its divergence/
+            # vorticity, then the same grad-curl form with -viscA4
+            d2u, d2v = del2uv(cfg, grid, hDiv, vort3, hFacZ)
+            dStar = calc_hdiv(cfg, grid, d2u, d2v)
+            zStar = calc_relvort3(cfg, grid, d2u, d2v)
+            hz4 = hFacZ * zStar
+            uD4 = (cfg.viscA4 * grid.cosFacU
+                   * (dStar - sh(dStar, di=-1)) * grid.recip_dxC
+                   - cfg.viscA4 * grid.recip_hFacW
+                   * (sh(hz4, dj=1) - hz4) * grid.recip_dyG)
+            vD4 = (cfg.viscA4 * grid.recip_hFacS * grid.cosFacV
+                   * (sh(hz4, di=1) - hz4) * grid.recip_dxG
+                   + cfg.viscA4
+                   * (dStar - sh(dStar, dj=-1)) * grid.recip_dyC)
+            guDiss = guDiss - uD4 * grid.maskW
+            gvDiss = gvDiss - vD4 * grid.maskS
 
         if not cfg.implicitViscosity:
             rvU_mid = (-kappaRU[1:nr] * grid.rAw

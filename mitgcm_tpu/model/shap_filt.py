@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from mitgcm_tpu.core.config import Config
 from mitgcm_tpu.core.grid import Grid
-from mitgcm_tpu.model.mom_vecinv import calc_hfacz, calc_relvort3, del2uv
+from mitgcm_tpu.model.mom_vecinv import (calc_hdiv, calc_hfacz,
+                                          calc_relvort3, del2uv)
 from mitgcm_tpu.ops.stencil import shift as sh
 
 
@@ -60,14 +61,6 @@ def from_namelist(group: dict, cfg: Config) -> ShapParams:
     return p
 
 
-def _hdiv_scheme2(cfg: Config, grid: Grid, u, v):
-    """MOM_CALC_HDIV with hDivScheme=2 (mom_calc_hdiv.F:45-60)."""
-    udh = u * grid.dyG * grid.hFacW
-    vdh = v * grid.dxG * grid.hFacS
-    return ((sh(udh, di=1) - udh) + (sh(vdh, dj=1) - vdh)) \
-        * grid.recip_rA * grid.recip_hFacC
-
-
 def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
     """SHAP_FILT_APPLY_UV -> SHAP_FILT_UV_S2 (Shap_funct=2/20).
 
@@ -97,7 +90,7 @@ def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
     for n in range(1, shp.nShapUV + 1):
         if n % 2 == 1 or shp.Shap_alwaysExchUV:
             tmpU, tmpV = fill_uv(tmpU, tmpV)
-        hDiv = _hdiv_scheme2(cfg, grid, tmpU, tmpV)
+        hDiv = calc_hdiv(cfg, grid, tmpU, tmpV)
         vort3 = calc_relvort3(cfg, grid, tmpU, tmpV)
         if shp.Shap_uvLength < 0.0:
             hDiv = hDiv * grid.rA
