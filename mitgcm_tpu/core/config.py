@@ -166,8 +166,8 @@ class Config:
                                        # files live when not in run_dir
                                        # (verification prepare_run links)
     selectP_inEOS_Zc: int = UNSET      # set_parms.F:268 (2 for JMD95P etc)
-    surf_pRef: float = 1.0e5
-    eosRefP0: float = 1.0e5
+    surf_pRef: float = 101325.0        # set_defaults.F:103
+    eosRefP0: float = 101325.0         # ini_eos.F:82
     celsius2K: float = 273.15
     atm_Cp: float = 1004.0
     atm_Rd: float = UNSET
@@ -413,6 +413,13 @@ class Config:
             c.epsAB_CD = c.abEps
         if c.useCDscheme and c.tauCD == 0.0:
             c.tauCD = c.deltaTMom
+        # dxSpacing/dySpacing: uniform grid spacing shorthands
+        # (ini_parms.F:940-950, override delX/delY)
+        for key, tgt in (("dxspacing", "delX"), ("dyspacing", "delY")):
+            for k, v in list(c.extra.items()):
+                if k.lower() == key:
+                    n = c.nx if tgt == "delX" else c.ny
+                    setattr(c, tgt, tuple([float(v)] * max(n, 1)))
         return c
 
 
@@ -428,6 +435,10 @@ _ALIASES = {
     "diffkhs": "diffKhS",
     "diffkzs": "diffKzS",
     "diffkrs": "diffKrS",
+    # vertical grid spacing synonyms (ini_parms.F: delZ for z-coords,
+    # delP for p-coords, both land in delRDefault)
+    "delz": "delR",
+    "delp": "delR",
 }
 
 

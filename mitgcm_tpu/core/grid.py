@@ -153,10 +153,10 @@ def _cyc(a: np.ndarray, oly: int, olx: int) -> np.ndarray:
     ny = a.shape[-2] - 2 * oly
     nx = a.shape[-1] - 2 * olx
     interior = a[..., oly:oly + ny, olx:olx + nx]
-    t = np.concatenate(
-        [interior[..., :, nx - olx:], interior, interior[..., :, :olx]], axis=-1)
-    return np.concatenate(
-        [t[..., ny - oly:, :], t, t[..., :oly, :]], axis=-2)
+    # modular gather handles halo wider than the interior (e.g. 1x1 cols)
+    jj = np.arange(-oly, ny + oly) % ny
+    ii = np.arange(-olx, nx + olx) % nx
+    return interior[..., jj, :][..., :, ii]
 
 
 def _hfac_column(rlow, rsurf, rF, drF, recip_drF, hFacMin, hFacMinDr):

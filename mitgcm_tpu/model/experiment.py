@@ -86,6 +86,7 @@ class Experiment:
     monitor_lines: List[str] = field(default_factory=list)
     diags: List[Dict[str, float]] = field(default_factory=list)
     cs_fill: object = None   # CSFill hooks for cubed-sphere runs
+    kpp: object = None       # KPP instance when useKPP
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64, **size_kw):
@@ -136,9 +137,49 @@ class Experiment:
         if sss is not None:
             forcing = Forcing(**{**forcing.__dict__, "SSS": sss})
 
+        # initial hydrostatic pressure for pressure-dependent EOS
+        # (model/src/ini_pressure.F: 15 Jacobi sweeps of CALC_PHI_HYD
+        # with myIter=-1; each sweep recomputes rho from the previous
+        # sweep's totPhiHyd)
+        if (cfg.selectP_inEOS_Zc >= 2 and not cfg.usingPCoords
+                and cfg.nIter0 == 0):
+            from mitgcm_tpu.model.phihyd import calc_phi_hyd
+            from mitgcm_tpu.ops import eos as eos_mod
+
+            @jax.jit
+            def _ini_pressure(theta, salt):
+                tot = jnp.zeros_like(theta)
+                for _ in range(15):
+                    rho = eos_mod.find_rho(cfg, grid, theta, salt,
+                                           totPhiHyd=tot) * grid.maskC
+                    tot = calc_phi_hyd(cfg, grid, rho)[0]
+                return tot
+            state = State(**{**state.__dict__, "totPhiHyd": _ini_pressure(
+                state.theta, state.salt)})
+
         op = cg2d_mod.build_cg2d(cfg, grid)
+
+        kpp_obj = None
+        if cfg.useKPP:
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import kpp as kpp_mod
+            knl = {}
+            kpath = os.path.join(input_dir, "data.kpp")
+            if os.path.exists(kpath):
+                knl = nml.read_namelist(kpath).get("KPP_PARM01", {})
+            opts = kpp_mod.scan_cpp_options(os.path.join(
+                os.path.dirname(os.path.abspath(input_dir)), "code",
+                "KPP_OPTIONS.h"))
+            for bad in ("KPP_SMOOTH_SHSQ", "KPP_SMOOTH_DVSQ",
+                        "KPP_SMOOTH_DBLOC", "KPP_SMOOTH_DENS",
+                        "KPP_SMOOTH_VISC", "KPP_SMOOTH_DIFF",
+                        "ALLOW_KPP_VERTICALLY_SMOOTH"):
+                if bad in opts:
+                    raise NotImplementedError(f"KPP option {bad}")
+            kpp_obj = kpp_mod.KPP(cfg, grid, knl, options=opts)
+
         return cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
-                   cs_fill=cs_fill)
+                   cs_fill=cs_fill, kpp=kpp_obj)
 
     # ------------------------------------------------------------------
     def make_step_fn(self):
@@ -151,7 +192,7 @@ class Experiment:
 
         def fn(state: State, forcing: Forcing, myIter):
             return step_mod.forward_step(cfg, grid, op, state, forcing,
-                                         myIter, **hooks)
+                                         myIter, kpp=self.kpp, **hooks)
 
         return jax.jit(fn)
 
@@ -218,7 +259,8 @@ class Experiment:
 
         def body(state, myIter):
             new_state, diag = step_mod.forward_step(
-                cfg, grid, op, state, forcing, myIter, **hooks)
+                cfg, grid, op, state, forcing, myIter, kpp=self.kpp,
+                **hooks)
             return new_state, diag
 
         iters = cfg.nIter0 + jnp.arange(n)

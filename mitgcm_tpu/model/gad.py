@@ -294,7 +294,8 @@ class GadResult(NamedTuple):
 def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
              scheme: int, vert_scheme: int, diffKh: float, diffK4: float,
              kappaR, deltaT, implicit_diffusion: bool,
-             calc_advection: bool = True, gm_tensor=None) -> jnp.ndarray:
+             calc_advection: bool = True, gm_tensor=None,
+             kpp_df=None) -> jnp.ndarray:
     """gad_calc_rhs.F: explicit tendency of one tracer, all levels."""
     dtype = tracer.dtype
     fZon = jnp.zeros_like(tracer)
@@ -341,6 +342,9 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
         from mitgcm_tpu.model import gmredi
         fVer = fVer + gmredi.r_flux(cfg, grid, gm_tensor, flow.maskUp,
                                     tracer)
+    if kpp_df is not None:
+        # KPP nonlocal transport (gad_calc_rhs.F:655-690, KPP_GHAT)
+        fVer = fVer + kpp_df
     fVerKp = jnp.concatenate([fVer[1:], jnp.zeros_like(fVer[:1])], axis=0)
 
     advFac = 1.0 if calc_advection else 0.0

@@ -132,7 +132,7 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-             rhoInSitu, myIter, rstar=None):
+             rhoInSitu, myIter, rstar=None, kpp_fields=None):
     """model/src/dynamics.F + timestep.F. Returns
     (uStar, vStar, guNm1', gvNm1', cd_state', totPhiHyd).
 
@@ -149,6 +149,12 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     kshape = (nr + 1,) + u.shape[1:]
     kappaRU = jnp.full(kshape, cfg.viscAr, u.dtype)
     kappaRV = jnp.full(kshape, cfg.viscAr, u.dtype)
+    if kpp_fields is not None:
+        from mitgcm_tpu.model import kpp as kpp_mod
+        nkU, nkV = kpp_mod.visc_uv(cfg, grid, kpp_fields,
+                                   kappaRU[:nr], kappaRV[:nr])
+        kappaRU = kappaRU.at[:nr].set(nkU)
+        kappaRV = kappaRV.at[:nr].set(nkV)
 
     _, dPhiHydX, dPhiHydY, totPhiHyd = calc_phi_hyd(
         cfg, grid, rhoInSitu, uVel=u, vVel=v, etaH=state.etaH,
@@ -376,7 +382,7 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
-                 fill_uv_cg=None) -> Tuple[State, StepDiag]:
+                 fill_uv_cg=None, kpp=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -467,6 +473,23 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         gm_tensor = gmredi.calc_tensor(cfg, grid, cfg.gmredi,
                                        sigmaX, sigmaY, sigmaR)
 
+    # KPP boundary-layer mixing (do_oceanic_phys.F:102 KPP_CALC): runs on
+    # the start-of-step state with this step's surface forcing; outputs
+    # feed both the tracer diffusivities and the momentum KappaRU/RV
+    kpp_fields = None
+    if kpp is not None:
+        sfT_k, sfS_k = thermo_mod.surface_forcing_ts(
+            cfg, grid_old, state, forc,
+            rstar_ratio=None if rstar is None else rstar["ratioC"])
+        difT_prof = thermo_mod.tracer_kappa(
+            cfg, grid, conv_count, cfg.diffKrT, theta0.dtype)
+        difS_prof = thermo_mod.tracer_kappa(
+            cfg, grid, conv_count, cfg.diffKrS, theta0.dtype)
+        kpp_fields = kpp.calc(
+            state.uVel, state.vVel, theta0, state.salt, state.totPhiHyd,
+            forc.fu * cfg.mass2rUnit, forc.fv * cfg.mass2rUnit,
+            sfT_k, sfS_k, forc.Qsw, difT_prof, difS_prof)
+
     # THERMODYNAMICS before dynamics (non-staggered ordering only;
     # staggerTimeStep moves it after the pressure correction,
     # forward_step.F:1010-1032)
@@ -474,11 +497,12 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar)
+            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields)
 
     (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
      totPhiHyd) = dynamics(
-        cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar)
+        cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
+        kpp_fields=kpp_fields)
     uStar, vStar = fill_uv(uStar, vStar)
 
     # with nonlinFreeSurf > 2 the cg2d matrix is rebuilt from the new
@@ -525,7 +549,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar)
+            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields)
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,

@@ -164,7 +164,8 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
                      tracer, gNm1, kappaR, sfc_forc, scheme: int,
                      vert_scheme: int, diffKh: float, diffK4: float,
                      myIter, gm_tensor=None, interior_forc=None,
-                     deltaT=None, gNm2=None, rstar_ratio=None):
+                     deltaT=None, gNm2=None, rstar_ratio=None,
+                     kpp_df=None):
     """temp_integrate.F for one tracer; returns (tracer', gNm1', gNm2').
 
     rstar_ratio: rStarExpC = fac_new/fac_old; post-AB tendencies and the
@@ -186,7 +187,7 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
         cfg, grid, flow, state.uVel, state.vVel, state.wVel, tracer,
         scheme, vert_scheme, diffKh, diffK4, kappaR, dt,
         cfg.implicitDiffusion, calc_advection=not multidim,
-        gm_tensor=gm_tensor)
+        gm_tensor=gm_tensor, kpp_df=kpp_df)
 
     # surface forcing into surface cell (apply_forcing.F APPLY_FORCING_T)
     gTr = gTr.at[0].add(sfc_forc * grid.recip_drF[0] * grid.recip_hFacC[0])
@@ -219,7 +220,8 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
 
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-                   myIter, conv_count=None, gm_tensor=None, rstar=None):
+                   myIter, conv_count=None, gm_tensor=None, rstar=None,
+                   kpp_fields=None):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
@@ -234,9 +236,28 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         rstar_ratio=None if rstar is None else rstar["ratioC"])
     ratioC = None if rstar is None else rstar["ratioC"]
 
+    # KPP overrides the vertical diffusivities (kpp_calc_diff_t/s.F) and
+    # adds the nonlocal (ghat) flux to the explicit vertical flux
+    dfT = dfS = None
+    if kpp_fields is not None:
+        from mitgcm_tpu.model import kpp as kpp_mod
+        recip_Cp = 1.0 / cfg.HeatCapacity_Cp
+        qswT = (-forcing.Qsw * recip_Cp * (1.0 / cfg.rhoConst)
+                * (1.0 - kpp_fields["frac"]))
+        dfT = kpp_mod.ghat_flux(cfg, grid, kpp_fields["diffKzT"],
+                                kpp_fields["ghat"], sfT, qswT, flow.maskUp)
+        dfS = kpp_mod.ghat_flux(cfg, grid, kpp_fields["diffKzS"],
+                                kpp_fields["ghat"], sfS, 0.0 * sfS,
+                                flow.maskUp)
+
     if cfg.tempStepping:
-        kapT = tracer_kappa(cfg, grid, conv_count, cfg.diffKrT, theta.dtype,
-                            gm_tensor=gm_tensor)
+        if kpp_fields is not None:
+            kapT = kpp_fields["diffKzT"]
+            if gm_tensor is not None:
+                kapT = kapT + gm_tensor.Kwz * grid.maskInC
+        else:
+            kapT = tracer_kappa(cfg, grid, conv_count, cfg.diffKrT,
+                                theta.dtype, gm_tensor=gm_tensor)
         vscheme = cfg.tempVertAdvScheme or cfg.tempAdvScheme
         intFT = None
         if cfg.custom_forcing_t is not None:
@@ -245,15 +266,21 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             cfg, grid, flow, state, theta, state.gtNm1, kapT, sfT,
             cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,
             gm_tensor=gm_tensor, interior_forc=intFT, gNm2=state.gtNm2,
-            rstar_ratio=ratioC)
+            rstar_ratio=ratioC, kpp_df=dfT)
     if cfg.saltStepping:
-        kapS = tracer_kappa(cfg, grid, conv_count, cfg.diffKrS, salt.dtype,
-                            gm_tensor=gm_tensor)
+        if kpp_fields is not None:
+            kapS = kpp_fields["diffKzS"]
+            if gm_tensor is not None:
+                kapS = kapS + gm_tensor.Kwz * grid.maskInC
+        else:
+            kapS = tracer_kappa(cfg, grid, conv_count, cfg.diffKrS,
+                                salt.dtype, gm_tensor=gm_tensor)
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
         salt, gsNm1, gsNm2 = tracer_integrate(
             cfg, grid, flow, state, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
-            gm_tensor=gm_tensor, gNm2=state.gsNm2, rstar_ratio=ratioC)
+            gm_tensor=gm_tensor, gNm2=state.gsNm2, rstar_ratio=ratioC,
+            kpp_df=dfS)
 
     # passive tracers (pkg/ptracers/ptracers_integrate.F); the age-tracer
     # source/relaxation follows tutorial_global_oce_latlon/code overrides

@@ -25,7 +25,20 @@ _EOS_JMDCKP = [3.186519, 2.212276e-2, -2.984642e-4, 1.956415e-6,
                2.102898e-4, -1.202016e-5, 1.394680e-7, -2.040237e-6,
                6.128773e-8, 6.207323e-10]
 
-_SI2BAR = 1.0e-5  # Pa -> bar (SItoBar in SEAWATER consts)
+_SI2BAR = 1.0e-5   # Pa -> bar  (SItoBar in SEAWATER consts)
+_SI2DBAR = 1.0e-4  # Pa -> dbar (SItodBar)
+
+# McDougall, Jackett, Wright & Feistel 2003 rational-function EOS
+# (ini_eos.F:235-260, find_rho.F FIND_RHONUM/FIND_RHODEN)
+_MDJWF_NUM = [9.99843699e+02, 7.35212840e+00, -5.45928211e-02,
+              3.98476704e-04, 2.96938239e+00, -7.23268813e-03,
+              2.12382341e-03, 1.04004591e-02, 1.03970529e-07,
+              5.18761880e-06, -3.24041825e-08, -1.23869360e-11]
+_MDJWF_DEN = [1.00000000e+00, 7.28606739e-03, -4.60835542e-05,
+              3.68390573e-07, 1.80809186e-10, 2.14691708e-03,
+              -9.27062484e-06, -1.78343643e-10, 4.76534122e-06,
+              1.63410736e-09, 5.30848875e-06, -3.03175128e-16,
+              -1.27934137e-17]
 
 
 def rho_p0(t, s):
@@ -54,6 +67,91 @@ def bulkmod(p, t, s):
              + p * p * (h[8] + t * (h[9] + t * h[10]))
              + p * p * s * (h[11] + t * (h[12] + t * h[13])))
     return bfresh + bsalt + bpres
+
+
+def _pressure_for_eos(cfg: Config, grid, totPhiHyd):
+    """pressure_for_eos.F (z-coords): Pa at cell centers, all levels.
+
+    selectP_inEOS_Zc=2 uses the model geopotential anomaly totPhiHyd;
+    <=1 uses the static reference profile."""
+    rc = grid.rC[:, None, None]
+    dp0 = cfg.surf_pRef - cfg.eosRefP0
+    if cfg.selectP_inEOS_Zc == 2 and totPhiHyd is not None:
+        phiRef2k = (rc - grid.rF[0]) * cfg.gravity * cfg.gravitySign
+        return cfg.rhoConst * (totPhiHyd + phiRef2k) + dp0
+    return -cfg.rhoConst * rc * cfg.gravity + dp0
+
+
+def _mdjwf_num(t1, s1, p1):
+    n = _MDJWF_NUM
+    t2 = t1 * t1
+    return (n[0] + t1 * (n[1] + t1 * (n[2] + n[3] * t1))
+            + s1 * (n[4] + n[5] * t1 + n[6] * s1)
+            + p1 * (n[7] + n[8] * t2 + n[9] * s1
+                    + p1 * (n[10] + n[11] * t2)))
+
+
+def _mdjwf_den(t1, s1, p1):
+    """1/denominator (FIND_RHODEN)."""
+    d = _MDJWF_DEN
+    t2 = t1 * t1
+    sp5 = jnp.sqrt(jnp.maximum(s1, 0.0))
+    s1 = jnp.maximum(s1, 0.0)
+    p1t1 = p1 * t1
+    den = (d[0] + t1 * (d[1] + t1 * (d[2] + t1 * (d[3] + t1 * d[4])))
+           + s1 * (d[5] + t1 * (d[6] + d[7] * t2)
+                   + sp5 * (d[8] + d[9] * t2))
+           + p1 * (d[10] + p1t1 * (d[11] * t2 + d[12] * p1)))
+    return 1.0 / den
+
+
+def find_alpha(cfg: Config, grid, theta, salt, totPhiHyd=None):
+    """d(rho)/d(theta) at (k, kRef=k) (model/src/find_alpha.F)."""
+    eos = cfg.eosType.upper()
+    if eos == "LINEAR":
+        return jnp.full_like(theta, -cfg.rhoNil * cfg.tAlpha)
+    if eos == "MDJWF":
+        n, d = _MDJWF_NUM, _MDJWF_DEN
+        p1 = _pressure_for_eos(cfg, grid, totPhiHyd) * _SI2DBAR
+        t1 = theta
+        t2 = t1 * t1
+        s1 = jnp.maximum(salt, 0.0)
+        sp5 = jnp.sqrt(s1)
+        p1t1 = p1 * t1
+        rhoDen = _mdjwf_den(t1, salt, p1)
+        # note: find_alpha.F stores the FIND_RHONUM output (the full-rho
+        # numerator, no rhoConst subtraction) in its rhoLoc variable
+        rhoLoc = _mdjwf_num(t1, s1, p1)
+        dnum_dt = (n[1] + t1 * (2.0 * n[2] + 3.0 * n[3] * t1) + n[5] * s1
+                   + p1t1 * (2.0 * n[8] + 2.0 * n[11] * p1))
+        dden_dt = (d[1] + t1 * (2.0 * d[2]
+                                + t1 * (3.0 * d[3] + 4.0 * d[4] * t1))
+                   + s1 * (d[6] + t1 * (3.0 * d[7] * t1
+                                        + 2.0 * d[9] * sp5))
+                   + p1 * p1 * (3.0 * d[11] * t2 + d[12] * p1))
+        return rhoDen * (dnum_dt - (rhoLoc * rhoDen) * dden_dt)
+    raise NotImplementedError(f"find_alpha eosType={cfg.eosType}")
+
+
+def find_beta(cfg: Config, grid, theta, salt, totPhiHyd=None):
+    """d(rho)/d(salt) at (k, kRef=k) (find_alpha.F FIND_BETA)."""
+    eos = cfg.eosType.upper()
+    if eos == "LINEAR":
+        return jnp.full_like(theta, cfg.rhoNil * cfg.sBeta)
+    if eos == "MDJWF":
+        n, d = _MDJWF_NUM, _MDJWF_DEN
+        p1 = _pressure_for_eos(cfg, grid, totPhiHyd) * _SI2DBAR
+        t1 = theta
+        t2 = t1 * t1
+        s1 = jnp.maximum(salt, 0.0)
+        sp5 = jnp.sqrt(s1)
+        rhoDen = _mdjwf_den(t1, salt, p1)
+        rhoLoc = _mdjwf_num(t1, s1, p1)
+        dnum_ds = n[4] + n[5] * t1 + 2.0 * n[6] * s1 + n[9] * p1
+        dden_ds = (d[5] + t1 * (d[6] + d[7] * t2)
+                   + 1.5 * sp5 * (d[8] + d[9] * t2))
+        return rhoDen * (dnum_ds - (rhoLoc * rhoDen) * dden_ds)
+    raise NotImplementedError(f"find_beta eosType={cfg.eosType}")
 
 
 def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None,
@@ -86,6 +184,12 @@ def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None,
         rp0 = rho_p0(theta, salt)
         bm = bulkmod(p_bar, theta, salt)
         return rp0 / (1.0 - p_bar / bm) - cfg.rhoConst
+    if eos == "MDJWF":
+        # find_rho.F:184-211: rho = num/den - rhoConst, p in dbar
+        p1 = _pressure_for_eos(cfg, grid, totPhiHyd) * _SI2DBAR
+        s1 = jnp.maximum(salt, 0.0)
+        return (_mdjwf_num(theta, s1, p1) * _mdjwf_den(theta, salt, p1)
+                - cfg.rhoConst)
     if eos == "IDEALG":
         # ideal gas (find_rho.F:238-258): rho = Po/(Rd*theta_v)*(p/Po)^(1-k)
         # pressure_for_eos.F p-coords: locPres = rC(k)

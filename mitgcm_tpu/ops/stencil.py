@@ -63,13 +63,10 @@ def cyclic_fill_halo(a: jnp.ndarray, oly: int, olx: int) -> jnp.ndarray:
     ny = a.shape[-2] - 2 * oly
     nx = a.shape[-1] - 2 * olx
     interior = a[..., oly:oly + ny, olx:olx + nx]
-    tiled = jnp.concatenate(
-        [interior[..., :, nx - olx:], interior, interior[..., :, :olx]], axis=-1
-    )
-    tiled = jnp.concatenate(
-        [tiled[..., ny - oly:, :], tiled, tiled[..., :oly, :]], axis=-2
-    )
-    return tiled
+    # modular gather: exact also when the halo is wider than the interior
+    jj = jnp.arange(-oly, ny + oly) % ny
+    ii = jnp.arange(-olx, nx + olx) % nx
+    return interior[..., jj, :][..., :, ii]
 
 
 def interior(a: jnp.ndarray, oly: int, olx: int) -> jnp.ndarray:
