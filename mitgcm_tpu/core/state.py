@@ -56,6 +56,9 @@ class State:
     # passive tracers [nptr, nr, ny, nx] (pkg/ptracers); zero-size if unused
     pTr: jnp.ndarray
     gPtrNm1: jnp.ndarray
+    # GGL90 prognostic turbulent kinetic energy (pkg/ggl90/GGL90.h);
+    # zeros when useGGL90 is off
+    GGL90TKE: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(
@@ -109,7 +112,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
         etaHm1=z2, totPhiHyd=z3,
-        pTr=zp, gPtrNm1=zp,
+        pTr=zp, gPtrNm1=zp, GGL90TKE=z3,
     )
 
 

@@ -87,6 +87,7 @@ class Experiment:
     diags: List[Dict[str, float]] = field(default_factory=list)
     cs_fill: object = None   # CSFill hooks for cubed-sphere runs
     kpp: object = None       # KPP instance when useKPP
+    ggl90: object = None     # GGL90 instance when useGGL90
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64, **size_kw):
@@ -178,8 +179,27 @@ class Experiment:
                     raise NotImplementedError(f"KPP option {bad}")
             kpp_obj = kpp_mod.KPP(cfg, grid, knl, options=opts)
 
+        ggl90_obj = None
+        if cfg.useGGL90:
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import ggl90 as ggl90_mod
+            g1, g3 = {}, {}
+            gpath = os.path.join(input_dir, "data.ggl90")
+            if os.path.exists(gpath):
+                gnl = nml.read_namelist(gpath)
+                g1 = gnl.get("GGL90_PARM01", {})
+                g3 = gnl.get("GGL90_PARM03", {})
+            ggl90_obj = ggl90_mod.GGL90(cfg, grid, g1, g3)
+            tke0 = _load_3d(cfg, ggl90_obj.p["GGL90TKEFile"], dtype,
+                            cs_fill)
+            if tke0 is None:
+                tke0 = ggl90_obj.init_tke(dtype)
+            else:
+                tke0 = tke0 * grid.maskC
+            state = State(**{**state.__dict__, "GGL90TKE": tke0})
+
         return cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
-                   cs_fill=cs_fill, kpp=kpp_obj)
+                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj)
 
     # ------------------------------------------------------------------
     def make_step_fn(self):
@@ -192,7 +212,8 @@ class Experiment:
 
         def fn(state: State, forcing: Forcing, myIter):
             return step_mod.forward_step(cfg, grid, op, state, forcing,
-                                         myIter, kpp=self.kpp, **hooks)
+                                         myIter, kpp=self.kpp,
+                                         ggl90=self.ggl90, **hooks)
 
         return jax.jit(fn)
 
@@ -260,7 +281,7 @@ class Experiment:
         def body(state, myIter):
             new_state, diag = step_mod.forward_step(
                 cfg, grid, op, state, forcing, myIter, kpp=self.kpp,
-                **hooks)
+                ggl90=self.ggl90, **hooks)
             return new_state, diag
 
         iters = cfg.nIter0 + jnp.arange(n)

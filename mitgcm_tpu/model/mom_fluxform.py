@@ -104,7 +104,7 @@ def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ):
 
 
 def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
-                 rstar=None) -> MomTend:
+                 rstar=None, stokes=None) -> MomTend:
     dt = u.dtype
     drF = grid.drF[:, None, None]
     recip_drF = grid.recip_drF[:, None, None]
@@ -354,16 +354,22 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
         gvDiss = gvDiss * grid.maskS
         return MomTend(gU=gU, gV=gV, guDiss=guDiss, gvDiss=gvDiss)
     fC = grid.fCori
+    uC, vC = u, v
+    if stokes is not None:
+        # Coriolis-Stokes force (ggl90_add_stokesdrift.F, called from
+        # mom_fluxform.F:998): the Coriolis term sees u+uStokes, v+vStokes
+        uC = u + stokes[0] * grid.maskW
+        vC = v + stokes[1] * grid.maskS
     if cfg.selectCoriScheme >= 2:
-        uCf = 0.5 * (fC * 0.5 * (v + sh(v, dj=1))
-                     + sh(fC, di=-1) * 0.5 * (sh(v, di=-1) + sh(v, di=-1, dj=1)))
-        vCf = -0.5 * (fC * 0.5 * (u + sh(u, di=1))
-                      + sh(fC, dj=-1) * 0.5 * (sh(u, dj=-1) + sh(u, di=1, dj=-1)))
+        uCf = 0.5 * (fC * 0.5 * (vC + sh(vC, dj=1))
+                     + sh(fC, di=-1) * 0.5 * (sh(vC, di=-1) + sh(vC, di=-1, dj=1)))
+        vCf = -0.5 * (fC * 0.5 * (uC + sh(uC, di=1))
+                      + sh(fC, dj=-1) * 0.5 * (sh(uC, dj=-1) + sh(uC, di=1, dj=-1)))
     else:
         uCf = (0.5 * (fC + sh(fC, di=-1))
-               * 0.25 * (v + sh(v, dj=1) + sh(v, di=-1) + sh(v, di=-1, dj=1)))
+               * 0.25 * (vC + sh(vC, dj=1) + sh(vC, di=-1) + sh(vC, di=-1, dj=1)))
         vCf = (-0.5 * (fC + sh(fC, dj=-1))
-               * 0.25 * (u + sh(u, di=1) + sh(u, dj=-1) + sh(u, di=1, dj=-1)))
+               * 0.25 * (uC + sh(uC, di=1) + sh(uC, dj=-1) + sh(uC, di=1, dj=-1)))
     if cfg.selectCoriScheme in (1, 3):
         mS, mW = grid.maskS, grid.maskW
         wetS = mS + sh(mS, dj=1) + sh(mS, di=-1) + sh(mS, di=-1, dj=1)

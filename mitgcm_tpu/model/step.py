@@ -132,7 +132,8 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-             rhoInSitu, myIter, rstar=None, kpp_fields=None):
+             rhoInSitu, myIter, rstar=None, kpp_fields=None,
+             ggl90_fields=None):
     """model/src/dynamics.F + timestep.F. Returns
     (uStar, vStar, guNm1', gvNm1', cd_state', totPhiHyd).
 
@@ -155,6 +156,10 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                                    kappaRU[:nr], kappaRV[:nr])
         kappaRU = kappaRU.at[:nr].set(nkU)
         kappaRV = kappaRV.at[:nr].set(nkV)
+    if ggl90_fields is not None:
+        # ggl90_calc_visc.F: KappaRU += GGL90viscArU - viscArNr
+        kappaRU = kappaRU.at[:nr].add(ggl90_fields["viscArU"] - cfg.viscAr)
+        kappaRV = kappaRV.at[:nr].add(ggl90_fields["viscArV"] - cfg.viscAr)
 
     _, dPhiHydX, dPhiHydY, totPhiHyd = calc_phi_hyd(
         cfg, grid, rhoInSitu, uVel=u, vVel=v, etaH=state.etaH,
@@ -163,8 +168,10 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     if cfg.vectorInvariantMomentum:
         tend = mom_vecinv(cfg, grid, u, v, w, kappaRU, kappaRV)
     else:
-        tend = mom_fluxform(cfg, grid, u, v, w, kappaRU, kappaRV,
-                            rstar=rstar)
+        tend = mom_fluxform(
+            cfg, grid, u, v, w, kappaRU, kappaRV, rstar=rstar,
+            stokes=None if ggl90_fields is None
+            else ggl90_fields.get("stokes"))
     gU, gV = tend.gU, tend.gV
 
     # --- timestep.F assembly ---
@@ -382,7 +389,8 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
-                 fill_uv_cg=None, kpp=None) -> Tuple[State, StepDiag]:
+                 fill_uv_cg=None, kpp=None, ggl90=None
+                 ) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -454,13 +462,12 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                                           theta0, state.salt,
                                           totPhiHyd=state.totPhiHyd)
 
-    # GM-Redi tensor from density gradients (do_oceanic_phys.F:1039)
+    # GM-Redi tensor from density gradients (do_oceanic_phys.F:1039);
+    # the column-physics schemes (GGL90 etc.) share the same sigmaR
+    # (do_oceanic_phys.F:803-830)
     gm_tensor = None
-    if cfg.useGMRedi:
-        sigmaX = (grid.maskW * grid.recip_dxC
-                  * (rhoInSitu - sh(rhoInSitu, di=-1)))
-        sigmaY = (grid.maskS * grid.recip_dyC
-                  * (rhoInSitu - sh(rhoInSitu, dj=-1)))
+    sigmaR = None
+    if cfg.useGMRedi or ggl90 is not None:
         t_km1 = jnp.concatenate([theta0[:1], theta0[:-1]], axis=0)
         s_km1 = jnp.concatenate([state.salt[:1], state.salt[:-1]], axis=0)
         rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1,
@@ -470,6 +477,11 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         sigmaR = (mC * m_km1 * grid.recip_drC[:cfg.nr, None, None]
                   * cfg.rkSign * (rhoInSitu - rhoKm1))
         sigmaR = sigmaR.at[0].set(0.0)
+    if cfg.useGMRedi:
+        sigmaX = (grid.maskW * grid.recip_dxC
+                  * (rhoInSitu - sh(rhoInSitu, di=-1)))
+        sigmaY = (grid.maskS * grid.recip_dyC
+                  * (rhoInSitu - sh(rhoInSitu, dj=-1)))
         gm_tensor = gmredi.calc_tensor(cfg, grid, cfg.gmredi,
                                        sigmaX, sigmaY, sigmaR)
 
@@ -490,6 +502,19 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             forc.fu * cfg.mass2rUnit, forc.fv * cfg.mass2rUnit,
             sfT_k, sfS_k, forc.Qsw, difT_prof, difS_prof)
 
+    # GGL90 TKE scheme (do_oceanic_phys.F:111 GGL90_CALC)
+    ggl90_fields = None
+    tkeNew = state.GGL90TKE
+    if ggl90 is not None:
+        tkeNew, g90vU, g90vV, g90dKr = ggl90.calc(
+            state.uVel, state.vVel, state.GGL90TKE, sigmaR,
+            forc.fu * cfg.mass2rUnit, forc.fv * cfg.mass2rUnit)
+        ggl90_fields = {"viscArU": g90vU, "viscArV": g90vV,
+                        "diffKr": g90dKr}
+        if ggl90.p["useLANGMUIR"]:
+            ggl90_fields["stokes"] = ggl90.stokes_drift(
+                forc.fu * cfg.mass2rUnit, forc.fv * cfg.mass2rUnit)
+
     # THERMODYNAMICS before dynamics (non-staggered ordering only;
     # staggerTimeStep moves it after the pressure correction,
     # forward_step.F:1010-1032)
@@ -497,12 +522,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields)
+            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
+            ggl90_fields=ggl90_fields)
 
     (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
      totPhiHyd) = dynamics(
         cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
-        kpp_fields=kpp_fields)
+        kpp_fields=kpp_fields, ggl90_fields=ggl90_fields)
     uStar, vStar = fill_uv(uStar, vStar)
 
     # with nonlinFreeSurf > 2 the cg2d matrix is rebuilt from the new
@@ -549,7 +575,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields)
+            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
+            ggl90_fields=ggl90_fields)
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,
@@ -566,6 +593,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         etaNm1=cd_state.etaNm1,
         pTr=fill(pTr) if pTr.size else pTr,
         gPtrNm1=gPtrNm1,
+        GGL90TKE=fill(tkeNew) if ggl90 is not None else tkeNew,
         # r* time-level bookkeeping: next step's "old" factors are this
         # step's entry-time etaH (calc_r_star.F Nm1/Exp rotation)
         etaHm1=state.etaH if use_rstar else state.etaHm1,

@@ -12,6 +12,12 @@ forcing (72-record wind + Qnet cycle).
 The .dd variant adds double-diffusive mixing (salt fingering + diffusive
 convection, KPP_DOUBLEDIFF) on a LINEAR EOS with no external forcing.
 
+The .ggl90 variant runs the GGL90 TKE scheme (prognostic TKE with
+implicit vertical TKE diffusion + implicit dissipation, mxlMaxFlag=3
+geometric-mean mixing-length limiter); .gglLC adds the Langmuir
+circulation parameterization (enhanced mixing length where the length
+is descent-limited + Coriolis-Stokes force in the momentum equation).
+
 Pass criteria: monitor statistics vs results/output*.txt over all 20
 steps — base >= 10 significant digits (testreport standard); dd >= 6
 (the nested exponential in Large et al. eq. 32 amplifies libm ULP
@@ -85,3 +91,11 @@ def test_kpp_base():
 
 def test_kpp_doublediff():
     run_and_compare("dd", 6)
+
+
+def test_ggl90():
+    run_and_compare("ggl90", 10)
+
+
+def test_ggl90_langmuir():
+    run_and_compare("gglLC", 9)
