@@ -275,6 +275,9 @@ class Config:
     useGMRedi: bool = False
     useKPP: bool = False
     useGGL90: bool = False
+    usePP81: bool = False
+    useMY82: bool = False
+    useOPPS: bool = False
     useSEAICE: bool = False
     useEXF: bool = False
     useCAL: bool = False

@@ -88,6 +88,7 @@ class Experiment:
     cs_fill: object = None   # CSFill hooks for cubed-sphere runs
     kpp: object = None       # KPP instance when useKPP
     ggl90: object = None     # GGL90 instance when useGGL90
+    vmix: object = None      # PP81/MY82 instance
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64, **size_kw):
@@ -198,8 +199,24 @@ class Experiment:
                 tke0 = tke0 * grid.maskC
             state = State(**{**state.__dict__, "GGL90TKE": tke0})
 
+        vmix_obj = None
+        if cfg.usePP81 or cfg.useMY82:
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import vertmix
+            if cfg.usePP81:
+                grp, fname, gname = {}, "data.pp81", "PP81_PARM01"
+                klass = vertmix.PP81
+            else:
+                grp, fname, gname = {}, "data.my82", "MY_PARM01"
+                klass = vertmix.MY82
+            vpath = os.path.join(input_dir, fname)
+            if os.path.exists(vpath):
+                grp = nml.read_namelist(vpath).get(gname, {})
+            vmix_obj = klass(cfg, grid, grp)
+
         return cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
-                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj)
+                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
+                   vmix=vmix_obj)
 
     # ------------------------------------------------------------------
     def make_step_fn(self):
@@ -213,7 +230,8 @@ class Experiment:
         def fn(state: State, forcing: Forcing, myIter):
             return step_mod.forward_step(cfg, grid, op, state, forcing,
                                          myIter, kpp=self.kpp,
-                                         ggl90=self.ggl90, **hooks)
+                                         ggl90=self.ggl90, vmix=self.vmix,
+                                         **hooks)
 
         return jax.jit(fn)
 
@@ -281,7 +299,7 @@ class Experiment:
         def body(state, myIter):
             new_state, diag = step_mod.forward_step(
                 cfg, grid, op, state, forcing, myIter, kpp=self.kpp,
-                ggl90=self.ggl90, **hooks)
+                ggl90=self.ggl90, vmix=self.vmix, **hooks)
             return new_state, diag
 
         iters = cfg.nIter0 + jnp.arange(n)

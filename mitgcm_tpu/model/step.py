@@ -133,7 +133,7 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
              rhoInSitu, myIter, rstar=None, kpp_fields=None,
-             ggl90_fields=None):
+             ggl90_fields=None, vmix_fields=None):
     """model/src/dynamics.F + timestep.F. Returns
     (uStar, vStar, guNm1', gvNm1', cd_state', totPhiHyd).
 
@@ -160,6 +160,12 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         # ggl90_calc_visc.F: KappaRU += GGL90viscArU - viscArNr
         kappaRU = kappaRU.at[:nr].add(ggl90_fields["viscArU"] - cfg.viscAr)
         kappaRV = kappaRV.at[:nr].add(ggl90_fields["viscArV"] - cfg.viscAr)
+    if vmix_fields is not None:
+        from mitgcm_tpu.model import vertmix
+        nkU, nkV = vertmix.visc_uv(cfg, grid, vmix_fields["viscAr"],
+                                   kappaRU[:nr], kappaRV[:nr])
+        kappaRU = kappaRU.at[:nr].set(nkU)
+        kappaRV = kappaRV.at[:nr].set(nkV)
 
     _, dPhiHydX, dPhiHydY, totPhiHyd = calc_phi_hyd(
         cfg, grid, rhoInSitu, uVel=u, vVel=v, etaH=state.etaH,
@@ -389,7 +395,7 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
-                 fill_uv_cg=None, kpp=None, ggl90=None
+                 fill_uv_cg=None, kpp=None, ggl90=None, vmix=None
                  ) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
@@ -515,6 +521,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             ggl90_fields["stokes"] = ggl90.stokes_drift(
                 forc.fu * cfg.mass2rUnit, forc.fv * cfg.mass2rUnit)
 
+    # PP81 / MY82 Richardson-number mixing (do_oceanic_phys.F:105-109)
+    vmix_fields = None
+    if vmix is not None:
+        vviscAr, vdiffKr = vmix.calc(state.uVel, state.vVel, theta0,
+                                     state.salt, state.totPhiHyd)
+        vmix_fields = {"viscAr": vviscAr, "diffKr": vdiffKr}
+
     # THERMODYNAMICS before dynamics (non-staggered ordering only;
     # staggerTimeStep moves it after the pressure correction,
     # forward_step.F:1010-1032)
@@ -523,12 +536,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
          gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
-            ggl90_fields=ggl90_fields)
+            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
 
     (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
      totPhiHyd) = dynamics(
         cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
-        kpp_fields=kpp_fields, ggl90_fields=ggl90_fields)
+        kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
+        vmix_fields=vmix_fields)
     uStar, vStar = fill_uv(uStar, vStar)
 
     # with nonlinFreeSurf > 2 the cg2d matrix is rebuilt from the new
@@ -576,7 +590,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
          gPtrNm1) = thermo_mod.thermodynamics(
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
-            ggl90_fields=ggl90_fields)
+            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,

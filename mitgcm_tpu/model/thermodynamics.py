@@ -221,7 +221,7 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                    myIter, conv_count=None, gm_tensor=None, rstar=None,
-                   kpp_fields=None, ggl90_fields=None):
+                   kpp_fields=None, ggl90_fields=None, vmix_fields=None):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
@@ -261,6 +261,8 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             if ggl90_fields is not None:
                 # ggl90_calc_diff.F: KappaRx += GGL90diffKr - diffKrNrS
                 kapT = kapT + (ggl90_fields["diffKr"] - cfg.diffKrS)
+            if vmix_fields is not None:
+                kapT = kapT + (vmix_fields["diffKr"] - cfg.diffKrS)
         vscheme = cfg.tempVertAdvScheme or cfg.tempAdvScheme
         intFT = None
         if cfg.custom_forcing_t is not None:
@@ -280,6 +282,8 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                                 salt.dtype, gm_tensor=gm_tensor)
             if ggl90_fields is not None:
                 kapS = kapS + (ggl90_fields["diffKr"] - cfg.diffKrS)
+            if vmix_fields is not None:
+                kapS = kapS + (vmix_fields["diffKr"] - cfg.diffKrS)
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
         salt, gsNm1, gsNm2 = tracer_integrate(
             cfg, grid, flow, state, salt, state.gsNm1, kapS, sfS,

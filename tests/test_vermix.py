@@ -99,3 +99,11 @@ def test_ggl90():
 
 def test_ggl90_langmuir():
     run_and_compare("gglLC", 9)
+
+
+def test_pp81():
+    run_and_compare("pp81", 9)
+
+
+def test_my82():
+    run_and_compare("my82", 10)
