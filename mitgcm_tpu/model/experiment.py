@@ -89,6 +89,7 @@ class Experiment:
     kpp: object = None       # KPP instance when useKPP
     ggl90: object = None     # GGL90 instance when useGGL90
     vmix: object = None      # PP81/MY82 instance
+    opps: object = None      # OPPS convection instance
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64, **size_kw):
@@ -214,9 +215,19 @@ class Experiment:
                 grp = nml.read_namelist(vpath).get(gname, {})
             vmix_obj = klass(cfg, grid, grp)
 
+        opps_obj = None
+        if cfg.useOPPS:
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import opps as opps_mod
+            grp = {}
+            opath = os.path.join(input_dir, "data.opps")
+            if os.path.exists(opath):
+                grp = nml.read_namelist(opath).get("OPPS_PARM01", {})
+            opps_obj = opps_mod.OPPS(cfg, grid, grp)
+
         return cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                    cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
-                   vmix=vmix_obj)
+                   vmix=vmix_obj, opps=opps_obj)
 
     # ------------------------------------------------------------------
     def make_step_fn(self):
@@ -231,7 +242,7 @@ class Experiment:
             return step_mod.forward_step(cfg, grid, op, state, forcing,
                                          myIter, kpp=self.kpp,
                                          ggl90=self.ggl90, vmix=self.vmix,
-                                         **hooks)
+                                         opps=self.opps, **hooks)
 
         return jax.jit(fn)
 
@@ -299,7 +310,7 @@ class Experiment:
         def body(state, myIter):
             new_state, diag = step_mod.forward_step(
                 cfg, grid, op, state, forcing, myIter, kpp=self.kpp,
-                ggl90=self.ggl90, vmix=self.vmix, **hooks)
+                ggl90=self.ggl90, vmix=self.vmix, opps=self.opps, **hooks)
             return new_state, diag
 
         iters = cfg.nIter0 + jnp.arange(n)

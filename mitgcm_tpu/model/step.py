@@ -395,8 +395,8 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
-                 fill_uv_cg=None, kpp=None, ggl90=None, vmix=None
-                 ) -> Tuple[State, StepDiag]:
+                 fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
+                 opps=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -583,6 +583,12 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         u, v = fill_uv(u, v)
     w = fill(w)
 
+    # OPPS convective adjustment of the freshly stepped tracers
+    # (tracers_correction_step.F:109 OPPS_INTERFACE); totPhiHyd is the
+    # one updated by this step's DYNAMICS
+    if opps is not None and not cfg.staggerTimeStep:
+        theta, salt, _ = opps.apply(theta, salt, w, totPhiHyd)
+
     if cfg.staggerTimeStep:
         stag_state = State(**{**state.__dict__,
                               "uVel": u, "vVel": v, "wVel": w})
@@ -591,6 +597,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
+        if opps is not None:
+            theta, salt, _ = opps.apply(theta, salt, w, totPhiHyd)
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,

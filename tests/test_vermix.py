@@ -107,3 +107,25 @@ def test_pp81():
 
 def test_my82():
     run_and_compare("my82", 10)
+
+
+def test_opps():
+    """OPPS convection variant. The committed 20-step window never
+    trips the plume launch threshold (verified: convectCount stays 0),
+    so the digit match covers the inactive path; the active path is
+    exercised by the synthetic unstable column below."""
+    e = run_and_compare("opps", 10)
+    import numpy as np
+    import jax.numpy as jnp
+    g = e.grid
+    T = np.linspace(2.0, 12.0, 26)        # cold-over-warm: unstable
+    th = jnp.asarray(np.tile(T[:, None, None], (1, 5, 5))) * g.maskC
+    th2, sl2, cnt = e.opps.apply(th, e.state.salt, e.state.wVel,
+                                 e.state.totPhiHyd)
+    drF = np.asarray(g.drF)
+    assert float(np.asarray(cnt)[:, 2, 2].sum()) == 25.0
+    h0 = (np.asarray(th)[:, 2, 2] * drF).sum()
+    h1 = (np.asarray(th2)[:, 2, 2] * drF).sum()
+    assert abs(h1 - h0) < 1e-9 * abs(h0)          # plume conserves heat
+    assert np.asarray(th2)[0, 2, 2] > 2.0         # cold top warmed
+    assert np.asarray(th2)[-1, 2, 2] < 12.0       # warm bottom cooled
