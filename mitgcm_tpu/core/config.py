@@ -273,6 +273,10 @@ class Config:
     useMONITOR: bool = True
     useMNC: bool = False
     useGMRedi: bool = False
+    useEXF: bool = False
+    useCAL: bool = False
+    exf_climtempfreeze: object = None  # set by model/exf.py when useEXF
+    poly3: object = None               # POLY3.COEFFS (refT,refS,sig0,C)
     useKPP: bool = False
     useGGL90: bool = False
     usePP81: bool = False
@@ -522,6 +526,17 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
             or cfg.usingCylindricalGrid or cfg.usingCurvilinearGrid):
         cfg.usingSphericalPolarGrid = True  # reference default when unset
     cfg.finalize()
+    p3 = os.path.join(input_dir, "POLY3.COEFFS")
+    if cfg.eosType.upper() == "POLY3" and os.path.exists(p3):
+        import numpy as _np
+        toks = open(p3).read().split()
+        nlev = int(toks[0])
+        vals = _np.asarray([float(t) for t in toks[1:]])
+        hdr = vals[:3 * nlev].reshape(nlev, 3)
+        coef = vals[3 * nlev:3 * nlev + 9 * nlev].reshape(nlev, 9)
+        cfg.poly3 = (hdr[:, 0].copy(), hdr[:, 1].copy(),
+                     hdr[:, 2].copy(), coef.copy())
+
     shap_path = os.path.join(input_dir, "data.shap")
     if cfg.useSHAP_FILT and os.path.exists(shap_path):
         from mitgcm_tpu.model import shap_filt as shap_mod

@@ -82,6 +82,11 @@ class Forcing:
     saltFlux: jnp.ndarray
     SST: jnp.ndarray      # climatological relaxation targets
     SSS: jnp.ndarray
+    # pkg/exf: per-field piecewise-linear time-knot tables (name ->
+    # [nrec] model times); fields listed here interpolate between
+    # consecutive records at these knots instead of the periodic-cycle
+    # logic (see model/exf.py)
+    tknots: dict
 
 
 jax.tree_util.register_dataclass(
@@ -126,5 +131,5 @@ def zero_forcing(cfg: Config, dtype=jnp.float64) -> Forcing:
     nyp = cfg.nFaces * (cfg.ny + 2 * cfg.oly)
     nxp = cfg.nx + 2 * cfg.olx
     z2 = jnp.zeros((1, nyp, nxp), dtype=dtype)
-    return Forcing(fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
+    return Forcing(tknots={}, fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
                    saltFlux=z2, SST=z2, SSS=z2)

@@ -1,0 +1,316 @@
+"""External forcing package (reference: pkg/exf) — simple-field subset.
+
+Implements the exf field pipeline for prescribed surface fluxes:
+  - record selection & time interpolation (exf_set_fld.F):
+      fldPeriod > 0   : uniform period, optional repeatCycle
+      fldPeriod = -12 : 12 calendar-monthly records (cal_getmonthsrec.F)
+      fldPeriod = -1  : sequential monthly records from the field start
+                        month (exf_getmonthsrec.F)
+  - on-the-fly spatial interpolation from a regular lat-lon source grid
+    (USE_EXF_INTERPOLATION: exf_interp.F + exf_interpolate.F, bilinear
+    method 1/11/21 and bicubic Lagrange 2/12/22, periodic longitude,
+    pole rows, land filter exf_filter_rl.F)
+  - mapping onto the model forcing arrays (exf_mapfields.F): Qnet from
+    hflux, EmPmR from sflux*rhoConstFresh, fu/fv from ustress/vstress
+    (C-grid average when .NOT.stressIsOnCgrid, +-windstressmax clamp),
+    SST/SST climatologies with the climtempfreeze floor, and the
+    relaxation constants folded into tauTheta/SaltClimRelax
+    (exf_readparms.F:1076).
+
+TPU-first design: every record is read + spatially interpolated ONCE at
+setup (host-side numpy); the calendar-aware record/weight selection is
+collapsed into per-field monotone time-knot tables so the in-jit
+evaluation is a plain piecewise-linear lookup (load_fields) — this
+reproduces the reference weights bit-for-bit because both reduce to
+(t_mid1 - t)/(t_mid1 - t_mid0) on exact integer-seconds knots.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from mitgcm_tpu.core.config import Config
+from mitgcm_tpu.core.grid import Grid
+from mitgcm_tpu.io import mds
+from mitgcm_tpu.utils.cal import Cal
+
+_SPD = 86400.0
+
+# (exf name, NML suffix aliases) -> handled fields and their defaults
+_FIELDS = ["hflux", "sflux", "ustress", "vstress", "swflux",
+           "climsst", "climsss"]
+_INTERP_DEFAULT = {"hflux": 1, "sflux": 1, "swflux": 1,
+                   "ustress": 12, "vstress": 22,
+                   "climsst": 2, "climsss": 2}
+
+
+def _lagran(i, x, a, sp):
+    """exf_interpolate.F LAGRAN: Lagrange weight i of sp-point stencil."""
+    numer = np.ones_like(x)
+    denom = 1.0
+    for k in range(1, sp + 1):
+        if k != i:
+            denom = denom * (a[i - 1] - a[k - 1])
+            numer = numer * (x - a[k - 1])
+    return numer / denom
+
+
+def exf_interp_np(arr, lon0, lon_inc, lat_inc_list, lat0, nlon, nlat,
+                  xC, yC, method):
+    """exf_interp.F + exf_interpolate.F on one record (numpy, float64).
+
+    arr: [nlat, nlon] source record; xC/yC: target coordinates (deg);
+    returns target-shaped array."""
+    nxIn, nyIn = nlon, nlat
+    xoff = yoff = 2          # Fortran index i lives at numpy [i + off]
+    # source longitudes x_in(-1 : nxIn+2)
+    x_in = np.empty(nxIn + 5)
+    for i in range(-1, nxIn + 3):
+        x_in[xoff + i] = lon0 + (i - 1) * lon_inc
+    # latitudes y_in(-1 : nyIn+2)
+    y_in = np.empty(nyIn + 5)
+    y_in[yoff + 1] = lat0
+    lat_inc = list(lat_inc_list) + [lat_inc_list[-1]] * nyIn
+    for j in range(1, nyIn + 2):
+        i = min(j, nyIn - 1)
+        y_in[yoff + j + 1] = y_in[yoff + j] + lat_inc[i - 1]
+    y_in[yoff + 0] = y_in[yoff + 1] - lat_inc[0]
+    y_in[yoff - 1] = y_in[yoff + 0] - lat_inc[0]
+
+    xIsPeriodic = nxIn == int(round(360.0 / lon_inc))
+    nxd2 = int(round(nxIn * 0.5))
+    poleSymmetry = xIsPeriodic and (nxIn == 2 * nxd2)
+
+    # pole clamps (method < 10 handling applies to scalar AND the
+    # method>=10 vector variants use the same y_in edges)
+    if method < 10:
+        for j in (0, -1):
+            if abs(y_in[yoff + j + 1]) < 90.0 \
+                    and abs(y_in[yoff + j]) > 90.0:
+                y_in[yoff + j] = -90.0
+                if j == 0:
+                    y_in[yoff + j - 1] = -180.0 - y_in[yoff + j + 1]
+    for j in (nyIn + 1, nyIn + 2):
+        if abs(y_in[yoff + j - 1]) < 90.0 and abs(y_in[yoff + j]) > 90.0:
+            y_in[yoff + j] = 90.0
+            if j == nyIn + 1:
+                y_in[yoff + j + 1] = 180.0 - y_in[yoff + j - 1]
+
+    # padded array a(-1:nxIn+2, -1:nyIn+2)
+    a = np.zeros((nyIn + 5, nxIn + 5))
+    a[yoff + 1:yoff + nyIn + 1, xoff + 1:xoff + nxIn + 1] = arr
+    if xIsPeriodic:
+        a[:, xoff + 0] = a[:, xoff + nxIn]
+        a[:, xoff - 1] = a[:, xoff + nxIn - 1]
+        a[:, xoff + nxIn + 1] = a[:, xoff + 1]
+        a[:, xoff + nxIn + 2] = a[:, xoff + 2]
+    else:
+        a[:, xoff + 0] = a[:, xoff + 1]
+        a[:, xoff - 1] = a[:, xoff + 1]
+        a[:, xoff + nxIn + 1] = a[:, xoff + nxIn]
+        a[:, xoff + nxIn + 2] = a[:, xoff + nxIn]
+    symSign = -1.0 if method >= 10 else 1.0
+    for ll in (-1, 0, 1, 2):
+        j = ll if ll < 1 else nyIn + ll
+        k = max(1, min(j, nyIn))
+        if poleSymmetry and abs(y_in[yoff + j]) > 90.0:
+            if nyIn >= 3 and abs(y_in[yoff + k]) == 90.0:
+                k = max(2, min(j, nyIn - 1))
+            row = a[yoff + k]
+            new = np.empty_like(row)
+            # arrayin(i,j) = symSign*arrayin(i+nxd2,k) for i=-1..nxd2
+            for i in range(-1, nxd2 + 1):
+                new[xoff + i] = symSign * row[xoff + i + nxd2]
+            for i in range(1, nxd2 + 3):
+                new[xoff + i + nxd2] = symSign * row[xoff + i]
+            a[yoff + j] = new
+        else:
+            a[yoff + j] = a[yoff + k]
+    if method < 10:
+        for ll in (-1, 0, 1, 2, 3, 4):
+            j = ll if ll < 2 else nyIn + ll - 2
+            if abs(y_in[yoff + j]) == 90.0 and method in (1, 2):
+                pole = a[yoff + j, xoff + 1:xoff + nxIn + 1].sum() / nxIn
+                a[yoff + j] = pole
+        for ll in (0, 1):
+            k = ll * (nyIn + 3) - 1
+            if abs(y_in[yoff + k]) == 90.0:
+                j = ll * (nyIn + 1)
+                i = ll * (nyIn - 1) + 1
+                edgeFac = (y_in[yoff + j] - y_in[yoff + k]) \
+                    / (y_in[yoff + i] - y_in[yoff + k])
+                poleFac = (y_in[yoff + i] - y_in[yoff + j]) \
+                    / (y_in[yoff + i] - y_in[yoff + k])
+                a[yoff + j] = a[yoff + j] * edgeFac + a[yoff + k] * poleFac
+
+    # target coords: wrap longitude into [lon0, lon0+360)
+    xG = lon0 + np.mod(xC - lon0 + 720.0, 360.0)
+    yG = yC
+    # s_ind: y_in(s) <= y < y_in(s+1), via the same bisection result
+    s_ind = np.searchsorted(y_in[yoff + 0:yoff + nyIn + 2], yG,
+                            side="right") - 1
+    s_ind = np.clip(s_ind, 0, nyIn)
+    w_ind = (np.floor((xG - x_in[xoff - 1]) / lon_inc)).astype(int) - 1
+
+    sp = 2 if method % 10 == 1 else 4
+    out = np.zeros_like(xG)
+    if sp == 2:
+        px = [x_in[xoff + w_ind], x_in[xoff + w_ind + 1]]
+        py = [y_in[yoff + s_ind], y_in[yoff + s_ind + 1]]
+        Lx = [_lagran(i, xG, px, 2) for i in (1, 2)]
+        Ly = [_lagran(i, yG, py, 2) for i in (1, 2)]
+        for k in range(2):
+            ew = (a[yoff + s_ind + k, xoff + w_ind] * Lx[0]
+                  + a[yoff + s_ind + k, xoff + w_ind + 1] * Lx[1])
+            out = out + ew * Ly[k]
+    else:
+        px = [x_in[xoff + w_ind + l] for l in (-1, 0, 1, 2)]
+        py = [y_in[yoff + s_ind + l] for l in (-1, 0, 1, 2)]
+        Lx = [_lagran(i, xG, px, 4) for i in (1, 2, 3, 4)]
+        Ly = [_lagran(i, yG, py, 4) for i in (1, 2, 3, 4)]
+        for k in range(4):
+            ew = np.zeros_like(xG)
+            for l in range(4):
+                ew = ew + a[yoff + s_ind + k - 1,
+                            xoff + w_ind + l - 1] * Lx[l]
+            out = out + ew * Ly[k]
+    return out
+
+
+class EXF:
+    """Parsed data.exf + precomputed forcing records and time knots."""
+
+    def __init__(self, cfg: Config, grid: Grid, input_dir: str,
+                 calobj: Cal, n_steps_margin: int = 4):
+        self.cfg, self.grid, self.cal = cfg, grid, calobj
+        from mitgcm_tpu.core import nml
+        groups = nml.read_namelist(os.path.join(input_dir, "data.exf"))
+        g1 = groups.get("EXF_NML_01", {})
+        g2 = groups.get("EXF_NML_02", {})
+        g3 = groups.get("EXF_NML_03", {})
+        g4 = groups.get("EXF_NML_04", {})
+        self.iprec = int(g1.get("exf_iprec", 32))
+        self.input_dir = input_dir
+        self.windstressmax = float(g1.get("windstressmax", 2.0))
+        self.climtempfreeze = float(g1.get("climtempfreeze", -1.9))
+        self.fields = {}
+        for name in _FIELDS:
+            f = dict(
+                file=str(g2.get(name + "file", "")).strip(),
+                period=float(g2.get(name + "period", 0.0)),
+                repCycle=float(g2.get(name + "repeatcycle",
+                                      g2.get(name + "repcycle", 0.0))),
+                startdate1=int(g2.get(name + "startdate1", 0)),
+                startdate2=int(g2.get(name + "startdate2", 0)),
+                inscal=float(g3.get("exf_inscal_" + name, 1.0)),
+                lon0=float(g4.get(name + "_lon0", 0.0)),
+                lon_inc=float(g4.get(name + "_lon_inc", 1.0)),
+                lat0=float(g4.get(name + "_lat0", 0.0)),
+                lat_inc=g4.get(name + "_lat_inc", [1.0]),
+                nlon=int(g4.get(name + "_nlon", 0)),
+                nlat=int(g4.get(name + "_nlat", 0)),
+                method=int(g4.get(name + "_interpmethod",
+                                  _INTERP_DEFAULT[name])),
+            )
+            if not isinstance(f["lat_inc"], list):
+                f["lat_inc"] = [f["lat_inc"]]
+            self.fields[name] = f
+        # relaxation constants override the model ones
+        # (exf_readparms.F:1076-1077)
+        if float(g2.get("climssttaurelax", 0.0)) != 0.0:
+            cfg.tauThetaClimRelax = float(g2["climssttaurelax"])
+        if float(g2.get("climssstaurelax", 0.0)) != 0.0:
+            cfg.tauSaltClimRelax = float(g2["climssstaurelax"])
+
+    # -----------------------------------------------------------------
+    def _field_start_time(self, f) -> float:
+        """exf_getffield_start.F (non-yearly): model time of the field
+        start date."""
+        if f["startdate1"] == 0 and f["startdate2"] == 0:
+            return self.cfg.startTime
+        return (self.cfg.startTime
+                + self.cal.date_to_time(f["startdate1"], f["startdate2"]))
+
+    def _read_records(self, f, recs):
+        path = self.cfg.find_file(f["file"])
+        prec = ">f4" if self.iprec == 32 else ">f8"
+        itemsize = 4 if self.iprec == 32 else 8
+        ny, nx = f["nlat"], f["nlon"]
+        if ny == 0 or nx == 0:       # no interpolation: model-grid file
+            ny = self.cfg.ny * self.cfg.nFaces
+            nx = self.cfg.nx
+        nrec_file = os.path.getsize(path) // (itemsize * ny * nx)
+        arr = mds.read_raw(path, (nrec_file, ny, nx), prec)
+        return arr.astype(np.float64), nrec_file
+
+    def build(self, t_end: float, pad_and_fill):
+        """Returns dict: model forcing name -> (records [n,NY,NX] jnp,
+        knots [n] np.float64). pad_and_fill: experiment's grid-shaping
+        hook for model-grid-resolution arrays."""
+        cfg, grid = self.cfg, self.grid
+        xC = np.asarray(grid.xC)
+        yC = np.asarray(grid.yC)
+        out = {}
+        for name, f in self.fields.items():
+            if not f["file"]:
+                continue
+            raw, nrec_file = self._read_records(f, None)
+            startT = self._field_start_time(f)
+            # --- record sequence + knots ---
+            if f["period"] in (-12.0, -1.0):
+                knots_ym = self.cal.month_mid_knots(cfg.startTime, t_end)
+                recs, knots = [], []
+                if f["period"] == -12.0:
+                    for (tm, y, m) in knots_ym:
+                        recs.append(m - 1)
+                        knots.append(tm)
+                else:
+                    # sequential records from the field start month
+                    sd = self.cal.date_to_time(f["startdate1"],
+                                               f["startdate2"])
+                    # date of fldStartTime (cal_getdate(0, fldStartTime))
+                    y0, m0 = f["startdate1"] // 10000, \
+                        (f["startdate1"] // 100) % 100
+                    for (tm, y, m) in knots_ym:
+                        r = (y - y0) * 12 + m - m0
+                        recs.append(r)
+                        knots.append(tm)
+                keep = [(r, t) for r, t in zip(recs, knots)
+                        if 0 <= r < nrec_file]
+                recs = [r for r, _ in keep]
+                knots = [t for _, t in keep]
+            elif f["period"] > 0.0:
+                per, cyc = f["period"], f["repCycle"]
+                knots, recs = [], []
+                t = startT
+                n = 0
+                while t <= t_end + 2 * per:
+                    if cyc > 0.0:
+                        recs.append(n % int(round(cyc / per)))
+                    else:
+                        recs.append(n)
+                    knots.append(t)
+                    t += per
+                    n += 1
+                recs = [min(r, nrec_file - 1) for r in recs]
+            else:
+                recs, knots = [0], [cfg.startTime]
+            # --- spatial interpolation per needed record ---
+            uniq = sorted(set(recs))
+            interp_cache = {}
+            for r in uniq:
+                rec = raw[r]
+                if f["nlon"] > 0:
+                    fld = exf_interp_np(
+                        rec, f["lon0"], f["lon_inc"], f["lat_inc"],
+                        f["lat0"], f["nlon"], f["nlat"],
+                        xC, yC, f["method"])
+                else:
+                    fld = pad_and_fill(rec)
+                interp_cache[r] = fld * f["inscal"]
+            stack = np.stack([interp_cache[r] for r in recs])
+            out[name] = (stack, np.asarray(knots, np.float64))
+        return out

@@ -76,6 +76,72 @@ def _load_3d(cfg: Config, fname: str, dtype, cs_fill=None
     return _pad_and_fill(cfg, arr, dtype, cs_fill)
 
 
+def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
+    """exf_mapfields.F: exf fields -> model forcing arrays, per record.
+
+    All mappings are linear, so they commute with the per-step time
+    interpolation (the windstressmax clamp is asserted inactive)."""
+    oly, olx = cfg.oly, cfg.olx
+    ny, nx = cfg.ny * cfg.nFaces, cfg.nx
+    maskC0 = np.asarray(grid.maskC[0])
+    maskW0 = np.asarray(grid.maskW[0])
+    maskS0 = np.asarray(grid.maskS[0])
+
+    def refill(padded):
+        inter = padded[..., oly:oly + ny, olx:olx + nx]
+        return np.stack([np.asarray(
+            _pad_and_fill(cfg, r, dtype, cs_fill)) for r in inter])
+
+    upd = {}
+    tknots = dict(forcing.tknots)
+
+    def masked_records(name, mask):
+        stack, knots = fields[name]
+        # exf_filter_rl.F: zero on land before anything else
+        stack = stack * mask[None]
+        return stack, knots
+
+    if "hflux" in fields:
+        stack, knots = masked_records("hflux", maskC0)
+        upd["Qnet"] = jnp.asarray(refill(stack))
+        tknots["Qnet"] = jnp.asarray(knots)
+    if "swflux" in fields:
+        stack, knots = masked_records("swflux", maskC0)
+        upd["Qsw"] = jnp.asarray(refill(stack))
+        tknots["Qsw"] = jnp.asarray(knots)
+    if "sflux" in fields:
+        stack, knots = masked_records("sflux", maskC0)
+        upd["EmPmR"] = jnp.asarray(refill(stack * cfg.rhoConstFresh))
+        tknots["EmPmR"] = jnp.asarray(knots)
+    if "ustress" in fields:
+        stack, knots = masked_records("ustress", maskC0)
+        assert np.abs(stack).max() < exfobj.windstressmax, \
+            "windstressmax clamp would be active (not linear in time)"
+        # C-grid average to W points (exf_mapfields.F:241-248)
+        fu = 0.5 * (stack + np.concatenate(
+            [stack[..., -1:], stack[..., :-1]], axis=-1)) * maskW0[None]
+        upd["fu"] = jnp.asarray(refill(fu))
+        tknots["fu"] = jnp.asarray(knots)
+    if "vstress" in fields:
+        stack, knots = masked_records("vstress", maskC0)
+        assert np.abs(stack).max() < exfobj.windstressmax
+        fv = 0.5 * (stack + np.concatenate(
+            [stack[..., -1:, :], stack[..., :-1, :]], axis=-2)) \
+            * maskS0[None]
+        upd["fv"] = jnp.asarray(refill(fv))
+        tknots["fv"] = jnp.asarray(knots)
+    if "climsst" in fields:
+        stack, knots = masked_records("climsst", maskC0)
+        upd["SST"] = jnp.asarray(refill(stack))
+        tknots["SST"] = jnp.asarray(knots)
+        cfg.exf_climtempfreeze = exfobj.climtempfreeze
+    if "climsss" in fields:
+        stack, knots = masked_records("climsss", maskC0)
+        upd["SSS"] = jnp.asarray(refill(stack))
+        tknots["SSS"] = jnp.asarray(knots)
+    return Forcing(**{**forcing.__dict__, **upd, "tknots": tknots})
+
+
 @dataclass
 class Experiment:
     cfg: Config
@@ -139,6 +205,25 @@ class Experiment:
         sss = _load_2d(cfg, cfg.saltClimFile, dtype, cs_fill)
         if sss is not None:
             forcing = Forcing(**{**forcing.__dict__, "SSS": sss})
+
+        # pkg/exf forcing pipeline (records pre-interpolated at setup,
+        # calendar-aware time knots; see model/exf.py)
+        if cfg.useEXF:
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.utils.cal import Cal
+            from mitgcm_tpu.model import exf as exf_mod
+            calnl = {}
+            cpath = os.path.join(input_dir, "data.cal")
+            if cfg.useCAL and os.path.exists(cpath):
+                calnl = nml.read_namelist(cpath).get("CAL_NML", {})
+            calobj = Cal.from_namelist(calnl)
+            exfobj = exf_mod.EXF(cfg, grid, input_dir, calobj)
+            t_end = cfg.startTime + cfg.nTimeSteps * cfg.deltaTClock
+            fields = exfobj.build(
+                t_end, lambda a: np.asarray(
+                    _pad_and_fill(cfg, a, dtype, cs_fill)))
+            forcing = _exf_to_forcing(cfg, grid, exfobj, fields, forcing,
+                                      dtype, cs_fill)
 
         # initial hydrostatic pressure for pressure-dependent EOS
         # (model/src/ini_pressure.F: 15 Jacobi sweeps of CALC_PHI_HYD

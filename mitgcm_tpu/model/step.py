@@ -91,27 +91,44 @@ def adams_bashforth(cfg: Config, g, gNm1, gNm2, myIter, startAB: int = None):
 
 
 def load_fields(cfg: Config, forcing: Forcing, myTime) -> Forcing:
-    """Time interpolation of periodic forcing records
-    (model/src/external_fields_load.F + eesupp/src/get_periodic_interval.F).
-    Returns a Forcing whose arrays are instantaneous 2-D fields."""
-    if not cfg.periodicExternalForcing:
-        return jax.tree.map(lambda a: a[0], forcing)
-    cyc = cfg.externForcingCycle
-    per = cfg.externForcingPeriod
-    nrec = int(round(cyc / per))
-    locTime = myTime - per * 0.5 + cyc * (2 - jnp.round(myTime / cyc))
-    tmpTime = jnp.mod(locTime, cyc)
-    rec1 = jnp.floor(tmpTime / per).astype(jnp.int32)      # 0-based
-    rec2 = jnp.mod(rec1 + 1, nrec)
-    w2 = (tmpTime - per * rec1) / per
-    w1 = 1.0 - w2
+    """Time interpolation of the forcing records to myTime.
 
-    def interp(a):
-        if a.shape[0] == 1:
-            return a[0]
-        return w1 * jnp.take(a, rec1, axis=0) + w2 * jnp.take(a, rec2, axis=0)
-
-    return jax.tree.map(interp, forcing)
+    Two pathways: the simple periodic cycle
+    (model/src/external_fields_load.F + get_periodic_interval.F), and
+    pkg/exf piecewise-linear interpolation between precomputed time
+    knots (forcing.tknots, see model/exf.py). Returns a Forcing whose
+    arrays are instantaneous 2-D fields."""
+    if cfg.periodicExternalForcing:
+        cyc = cfg.externForcingCycle
+        per = cfg.externForcingPeriod
+        nrec = int(round(cyc / per))
+        locTime = myTime - per * 0.5 + cyc * (2 - jnp.round(myTime / cyc))
+        tmpTime = jnp.mod(locTime, cyc)
+        rec1 = jnp.floor(tmpTime / per).astype(jnp.int32)      # 0-based
+        rec2 = jnp.mod(rec1 + 1, nrec)
+        w2 = (tmpTime - per * rec1) / per
+        w1 = 1.0 - w2
+    out = {}
+    for name in ("fu", "fv", "Qnet", "Qsw", "EmPmR", "saltFlux",
+                 "SST", "SSS"):
+        a = getattr(forcing, name)
+        if name in forcing.tknots:
+            tk = forcing.tknots[name]
+            i = jnp.clip(jnp.searchsorted(tk, myTime, side="right") - 1,
+                         0, tk.shape[0] - 2)
+            fac = (tk[i + 1] - myTime) / (tk[i + 1] - tk[i])
+            val = (fac * jnp.take(a, i, axis=0)
+                   + (1.0 - fac) * jnp.take(a, i + 1, axis=0))
+            if name == "SST" and cfg.exf_climtempfreeze is not None:
+                # exf_getclim.F: clamp climsst at climtempfreeze
+                val = jnp.maximum(val, cfg.exf_climtempfreeze)
+            out[name] = val
+        elif a.shape[0] == 1 or not cfg.periodicExternalForcing:
+            out[name] = a[0]
+        else:
+            out[name] = (w1 * jnp.take(a, rec1, axis=0)
+                         + w2 * jnp.take(a, rec2, axis=0))
+    return Forcing(tknots={}, **out)
 
 
 def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):

@@ -184,6 +184,21 @@ def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None,
         rp0 = rho_p0(theta, salt)
         bm = bulkmod(p_bar, theta, salt)
         return rp0 / (1.0 - p_bar / bm) - cfg.rhoConst
+    if eos == "POLY3":
+        # find_rho.F POLY3 branch: per-level cubic polynomial in
+        # (T - refT, S - refS) about eosSig0 (coefficients from
+        # POLY3.COEFFS, ini_eos.F:87-103)
+        refT, refS, sig0, C = cfg.poly3
+        tP = theta - jnp.asarray(refT)[:, None, None]
+        sP = salt - jnp.asarray(refS)[:, None, None]
+        C = jnp.asarray(C)   # [nr, 9]
+        c = [C[:, i][:, None, None] for i in range(9)]
+        deltaSig = (c[0] * tP + c[1] * sP + c[2] * tP * tP
+                    + c[3] * tP * sP + c[4] * sP * sP
+                    + c[5] * tP * tP * tP + c[6] * tP * tP * sP
+                    + c[7] * tP * sP * sP + c[8] * sP * sP * sP)
+        sigRef = jnp.asarray(sig0)[:, None, None] + (1000.0 - cfg.rhoConst)
+        return sigRef + deltaSig
     if eos == "MDJWF":
         # find_rho.F:184-211: rho = num/den - rhoConst, p in dbar
         p1 = _pressure_for_eos(cfg, grid, totPhiHyd) * _SI2DBAR
