@@ -82,6 +82,16 @@ class Forcing:
     saltFlux: jnp.ndarray
     SST: jnp.ndarray      # climatological relaxation targets
     SSS: jnp.ndarray
+    # pkg/exf atmospheric state (ALLOW_ATM_TEMP / ALLOW_ATM_WIND /
+    # ALLOW_DOWNWARD_RADIATION): inputs to the in-jit bulk formulae
+    atemp: jnp.ndarray    # air temperature at ht [K]
+    aqh: jnp.ndarray      # specific humidity at hq [kg/kg]
+    uwind: jnp.ndarray    # 10-m wind [m/s] (A-grid)
+    vwind: jnp.ndarray
+    precip: jnp.ndarray   # precipitation [m/s]
+    swdown: jnp.ndarray   # downward shortwave [W/m2]
+    lwdown: jnp.ndarray   # downward longwave [W/m2]
+    runoff: jnp.ndarray   # runoff [m/s]
     # pkg/exf: per-field piecewise-linear time-knot tables (name ->
     # [nrec] model times); fields listed here interpolate between
     # consecutive records at these knots instead of the periodic-cycle
@@ -131,5 +141,7 @@ def zero_forcing(cfg: Config, dtype=jnp.float64) -> Forcing:
     nyp = cfg.nFaces * (cfg.ny + 2 * cfg.oly)
     nxp = cfg.nx + 2 * cfg.olx
     z2 = jnp.zeros((1, nyp, nxp), dtype=dtype)
-    return Forcing(tknots={}, fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
+    return Forcing(tknots={}, atemp=z2, aqh=z2, uwind=z2, vwind=z2,
+                   precip=z2, swdown=z2, lwdown=z2, runoff=z2,
+                   fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
                    saltFlux=z2, SST=z2, SSS=z2)

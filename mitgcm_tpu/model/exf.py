@@ -40,11 +40,29 @@ from mitgcm_tpu.utils.cal import Cal
 _SPD = 86400.0
 
 # (exf name, NML suffix aliases) -> handled fields and their defaults
-_FIELDS = ["hflux", "sflux", "ustress", "vstress", "swflux",
-           "climsst", "climsss"]
-_INTERP_DEFAULT = {"hflux": 1, "sflux": 1, "swflux": 1,
-                   "ustress": 12, "vstress": 22,
+_FIELDS = ["hflux", "sflux", "ustress", "vstress", "swflux", "lwflux",
+           "atemp", "aqh", "uwind", "vwind", "precip", "evap",
+           "swdown", "lwdown", "runoff", "climsst", "climsss"]
+_INTERP_DEFAULT = {"hflux": 1, "sflux": 1, "swflux": 1, "lwflux": 1,
+                   "ustress": 12, "vstress": 22, "uwind": 12,
+                   "vwind": 22, "atemp": 1, "aqh": 1, "precip": 1,
+                   "evap": 1, "swdown": 1, "lwdown": 1, "runoff": 1,
                    "climsst": 2, "climsss": 2}
+
+# EXF_CONSTANTS.h + exf_readparms.F:318-370 bulk-formulae constants
+BULK = dict(
+    cen2kel=273.150, gravity_mks=9.81, atmrho=1.200, atmcp=1005.0,
+    flamb=2500000.0, flami=334000.0,
+    cvapor_fac=640380.0, cvapor_exp=5107.4,
+    cvapor_fac_ice=11637800.0, cvapor_exp_ice=5897.8,
+    humid_fac=0.606, gamma_blk=0.010, saltsat=0.980, sstExtrapol=0.0,
+    cdrag_1=0.0027000, cdrag_2=0.0001420, cdrag_3=0.0000764,
+    cstanton_1=0.0327, cstanton_2=0.0180, cdalton=0.0346,
+    zolmin=-100.0, psim_fac=5.0, zref=10.0, hu=10.0, ht=2.0,
+    umin=0.5, exf_albedo=0.1,
+    ocean_emissivity=5.50e-8 / 5.670e-8, stefanBoltzmann=5.670e-8,
+    karman=0.4, niter_bulk=2, exf_scal_BulkCdn=1.0,
+)
 
 
 def _lagran(i, x, a, sp):
@@ -196,13 +214,15 @@ class EXF:
         self.input_dir = input_dir
         self.windstressmax = float(g1.get("windstressmax", 2.0))
         self.climtempfreeze = float(g1.get("climtempfreeze", -1.9))
+        repeatPeriod = float(g1.get("repeatperiod", 0.0))
         self.fields = {}
         for name in _FIELDS:
             f = dict(
                 file=str(g2.get(name + "file", "")).strip(),
                 period=float(g2.get(name + "period", 0.0)),
                 repCycle=float(g2.get(name + "repeatcycle",
-                                      g2.get(name + "repcycle", 0.0))),
+                                      g2.get(name + "repcycle",
+                                             repeatPeriod))),
                 startdate1=int(g2.get(name + "startdate1", 0)),
                 startdate2=int(g2.get(name + "startdate2", 0)),
                 inscal=float(g3.get("exf_inscal_" + name, 1.0)),
@@ -231,8 +251,9 @@ class EXF:
         start date."""
         if f["startdate1"] == 0 and f["startdate2"] == 0:
             return self.cfg.startTime
-        return (self.cfg.startTime
-                + self.cal.date_to_time(f["startdate1"], f["startdate2"]))
+        # startTime + ToSeconds(date - modelStartDate) collapses to the
+        # date measured from the calendar start date
+        return self.cal.date_to_time(f["startdate1"], f["startdate2"])
 
     def _read_records(self, f, recs):
         path = self.cfg.find_file(f["file"])
@@ -285,15 +306,17 @@ class EXF:
             elif f["period"] > 0.0:
                 per, cyc = f["period"], f["repCycle"]
                 knots, recs = [], []
-                t = startT
-                n = 0
-                while t <= t_end + 2 * per:
+                n0 = 0
+                if cyg := cyc > 0.0:
+                    # cyclic fields may be needed before the field start
+                    n0 = int(np.floor((cfg.startTime - startT) / per)) - 2
+                n = n0
+                while startT + n * per <= t_end + 2 * per:
                     if cyc > 0.0:
                         recs.append(n % int(round(cyc / per)))
                     else:
-                        recs.append(n)
-                    knots.append(t)
-                    t += per
+                        recs.append(max(n, 0))
+                    knots.append(startT + n * per)
                     n += 1
                 recs = [min(r, nrec_file - 1) for r in recs]
             else:
@@ -314,3 +337,121 @@ class EXF:
             stack = np.stack([interp_cache[r] for r in recs])
             out[name] = (stack, np.asarray(knots, np.float64))
         return out
+
+
+def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
+                vVel1=None):
+    """EXF_RADIATION + EXF_WIND + EXF_BULKFORMULAE + the hflux/sflux
+    assembly of exf_getforcing.F and the exf_mapfields.F mapping —
+    the per-step (in-jit) part of the exf pipeline.
+
+    forc: instantaneous Forcing (atemp [K], aqh, uwind/vwind [m/s],
+    precip [m/s], swdown/lwdown [W/m2], runoff [m/s] already
+    time-interpolated); theta1: surface-level potential temperature.
+    Returns dict(fu, fv, Qnet, Qsw, EmPmR, hs, hl, evap, wspeed,
+    ustress, vstress) on the model convention (exf_mapfields.F).
+
+    Implements the classic (non-LargeYeager) branch: stable/unstable
+    Monin-Obukhov iteration (niter_bulk=2), drag
+    cdrag_1/w + cdrag_2 + cdrag_3*w, Stanton/Dalton numbers, and
+    EXF_LWDOWN_WITH_EMISSIVITY net longwave."""
+    B = BULK
+    maskC0 = grid.maskC[0]
+    atemp, aqh = forc.atemp, forc.aqh
+    uwind, vwind = forc.uwind, forc.vwind
+
+    # --- EXF_RADIATION ---
+    Tsf = theta1 + B["cen2kel"]
+    TsfSq = Tsf * Tsf
+    lwflux = (B["ocean_emissivity"] * B["stefanBoltzmann"] * TsfSq * TsfSq
+              - forc.lwdown * B["ocean_emissivity"])
+    swflux = -forc.swdown * (1.0 - B["exf_albedo"])
+
+    # --- EXF_WIND (useAtmWind) ---
+    wsSq = uwind * uwind + vwind * vwind
+    wspeed = jnp.sqrt(wsSq)
+    sh = jnp.maximum(wspeed, B["umin"])
+
+    # --- EXF_BULKFORMULAE (solve4Stress=useAtmWind=T) ---
+    zwln = np.log(B["hu"] / B["zref"])
+    ztln = np.log(B["ht"] / B["zref"])
+    czol = B["hu"] * B["karman"] * B["gravity_mks"]
+    active = atemp != 0.0
+    tmpbulk = B["cvapor_fac"] * jnp.exp(-B["cvapor_exp"] / Tsf)
+    ssq = B["saltsat"] * tmpbulk / B["atmrho"]
+    deltap = atemp + B["gamma_blk"] * B["ht"] - Tsf
+    delq = aqh - ssq
+    stable0 = 0.5 + jnp.where(deltap >= 0, 0.5, -0.5)
+    wsm = sh
+    cdn = B["exf_scal_BulkCdn"] * (B["cdrag_1"] / wsm + B["cdrag_2"]
+                                   + B["cdrag_3"] * wsm)
+    rdn = jnp.sqrt(cdn)
+    ustar = rdn * wsm
+    rhn0 = (1.0 - stable0) * B["cstanton_1"] + stable0 * B["cstanton_2"]
+    tstar = rhn0 * deltap
+    qstar = B["cdalton"] * delq
+    rd = rdn
+    tau = jnp.zeros_like(ustar)
+    for _ in range(B["niter_bulk"]):
+        t0 = atemp * (1.0 + B["humid_fac"] * aqh)
+        huol = (tstar / t0 + qstar / (1.0 / B["humid_fac"] + aqh)) \
+            * czol / jnp.maximum(ustar * ustar, 1e-30)
+        huol = jnp.maximum(huol, B["zolmin"])
+        htol = huol * B["ht"] / B["hu"]
+        stable = 0.5 + jnp.where(huol >= 0, 0.5, -0.5)
+        xsq = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * huol)), 1.0)
+        x = jnp.sqrt(xsq)
+        psimh = (-B["psim_fac"] * huol * stable
+                 + (1.0 - stable)
+                 * (jnp.log((1.0 + 2.0 * x + xsq) * (1.0 + xsq) * 0.125)
+                    - 2.0 * jnp.arctan(x) + 0.5 * np.pi))
+        xsq = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * htol)), 1.0)
+        psixh = (-B["psim_fac"] * htol * stable
+                 + (1.0 - stable) * (2.0 * jnp.log(0.5 * (1.0 + xsq))))
+        usn = sh / (1.0 - rdn / B["karman"] * psimh)
+        usm = jnp.maximum(usn, B["umin"])
+        cdn = B["exf_scal_BulkCdn"] * (B["cdrag_1"] / usm + B["cdrag_2"]
+                                       + B["cdrag_3"] * usm)
+        rdn = jnp.sqrt(cdn)
+        rd = rdn / (1.0 - rdn / B["karman"] * psimh)
+        ustar = rd * sh
+        tau = B["atmrho"] * rd * wspeed
+        rhn = (1.0 - stable) * B["cstanton_1"] + stable * B["cstanton_2"]
+        rh = rhn / (1.0 + rhn * (ztln - psixh) / B["karman"])
+        re = B["cdalton"] / (1.0 + B["cdalton"] * (ztln - psixh)
+                             / B["karman"])
+        qstar = re * delq
+        tstar = rh * deltap
+    hs = B["atmcp"] * tau * tstar
+    hl = B["flamb"] * tau * qstar
+    evap = -(1.0 / cfg.rhoConstFresh) * tau * qstar
+    ustress = tau * rd * uwind
+    vstress = tau * rd * vwind
+    # zero where no atmospheric data (exf_bulkformulae.F:268-280)
+    hs = jnp.where(active, hs, 0.0)
+    hl = jnp.where(active, hl, 0.0)
+    evap = jnp.where(active, evap, 0.0)
+    ustress = jnp.where(active, ustress, 0.0)
+    vstress = jnp.where(active, vstress, 0.0)
+
+    # --- exf_getforcing.F flux assembly ---
+    hflux = -hs - hl + lwflux            # SHORTWAVE_HEATING: sw separate
+    sflux = evap - forc.precip - forc.runoff
+    hflux = hflux * maskC0
+    sflux = sflux * maskC0
+    # SHORTWAVE_HEATING: hflux += swflux after getsurfacefluxes
+    hflux = hflux + swflux
+
+    # --- exf_mapfields.F ---
+    Qnet = hflux
+    EmPmR = sflux * cfg.rhoConstFresh
+    Qsw = swflux
+    fu = 0.5 * (ustress + sh_shift(ustress, di=-1)) * grid.maskW[0]
+    fv = 0.5 * (vstress + sh_shift(vstress, dj=-1)) * grid.maskS[0]
+    return dict(fu=fu, fv=fv, Qnet=Qnet, Qsw=Qsw, EmPmR=EmPmR,
+                hs=hs, hl=hl, evap=evap, wspeed=wspeed,
+                ustress=ustress, vstress=vstress, lwflux=lwflux,
+                swflux=swflux, hflux=hflux, sflux=sflux)
+
+
+from mitgcm_tpu.ops.stencil import shift as sh_shift  # noqa: E402

@@ -110,7 +110,8 @@ def load_fields(cfg: Config, forcing: Forcing, myTime) -> Forcing:
         w1 = 1.0 - w2
     out = {}
     for name in ("fu", "fv", "Qnet", "Qsw", "EmPmR", "saltFlux",
-                 "SST", "SSS"):
+                 "SST", "SSS", "atemp", "aqh", "uwind", "vwind",
+                 "precip", "swdown", "lwdown", "runoff"):
         a = getattr(forcing, name)
         if name in forcing.tknots:
             tk = forcing.tknots[name]
