@@ -59,7 +59,11 @@ def parse_meta(path: str) -> Dict[str, object]:
                         except ValueError:
                             items.append(tok)
                 parsed_rows.append(items)
-            out[key] = parsed_rows if len(parsed_rows) > 1 else parsed_rows[0]
+            if len(parsed_rows) == 1:
+                row = parsed_rows[0]
+                out[key] = row[0] if len(row) == 1 else row
+            else:
+                out[key] = parsed_rows
         elif val.startswith("{"):
             out[key] = [t.strip().strip("'\"") for t in val[1:-1].split()]
         else:
@@ -78,8 +82,13 @@ def rdmds(froot: str, itr: Optional[int] = None) -> np.ndarray:
     meta = parse_meta(froot + ".meta")
     ndims = meta["nDims"]
     dimrows = meta["dimList"]
-    if ndims == 1:
+    if ndims == 1 or (dimrows and not isinstance(dimrows[0], list)):
         dimrows = [dimrows]
+    # reference-written metas separate dimList rows with commas, which parse
+    # into one flat row [nx,1,nx, ny,1,ny]: chunk into rows of 3
+    if len(dimrows) == 1 and len(dimrows[0]) > 3:
+        flat = dimrows[0]
+        dimrows = [flat[i:i + 3] for i in range(0, len(flat), 3)]
     gdims = [int(r[0]) for r in dimrows]  # global sizes, x first
     prec = meta.get("dataprec", meta.get("format", "float64"))
     if isinstance(prec, list):
@@ -118,7 +127,10 @@ def wrmds(
     write_raw(froot + ".data", a, dtype)
     lines = [f" nDims = [ {len(gdims):3d} ];", " dimList = ["]
     rows = [f" {n:5d},{1:5d},{n:5d}" for n in gdims]
-    lines.append(";\n".join(rows))   # reference row separator (mdsio_write_meta.F)
+    # reference row separator: comma-terminated rows, no trailing comma on the
+    # last row (mdsio_write_meta.F:120 writes 3(I5,",")); MITgcmutils.mds
+    # parsemeta rejects ';'-separated rows
+    lines.append(",\n".join(rows))
     lines.append(" ];")
     lines.append(f" dataprec = [ '{dataprec}' ];")
     lines.append(f" nrecords = [ {nrecords:5d} ];")

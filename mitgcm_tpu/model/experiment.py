@@ -426,21 +426,52 @@ def _interior(cfg, a):
 def write_pickup(exp: "Experiment", out_dir: str, myIter: int) -> str:
     """Write pickup.<iter10>.data/.meta (write_pickup.F field set/order)."""
     cfg, st = exp.cfg, exp.state
+    # AB3 carries a second tendency level (write_pickup.F:149/181 adds the
+    # *Nm2 records when beta_AB != 0)
+    flds3d = list(_PICKUP_3D)
+    if cfg.useAB3:
+        flds3d += ["GuNm2", "GvNm2", "GtNm2", "GsNm2"]
+    # extra vs reference: carry wVel so restart is bit-identical without
+    # relying on the recompute being fusion-identical to the in-step code
+    # (the reference recomputes in initialise_varia.F — same Fortran, same
+    # bits; XLA gives no such guarantee). Ignored by reference tooling.
+    flds3d += ["Wvel"]
     recs = []
-    for name in _PICKUP_3D:
+    for name in flds3d:
         fld = {"Uvel": st.uVel, "Vvel": st.vVel, "Theta": st.theta,
                "Salt": st.salt, "GuNm1": st.guNm1, "GvNm1": st.gvNm1,
-               "GtNm1": st.gtNm1, "GsNm1": st.gsNm1}[name]
+               "GtNm1": st.gtNm1, "GsNm1": st.gsNm1,
+               "GuNm2": st.guNm2, "GvNm2": st.gvNm2,
+               "GtNm2": st.gtNm2, "GsNm2": st.gsNm2,
+               "Wvel": st.wVel}[name]
         recs.append(_interior(cfg, fld))
     recs3d = np.concatenate(recs, axis=0)
     recs2d = np.stack([_interior(cfg, st.etaN),
                        _interior(cfg, st.dEtaHdt),
                        _interior(cfg, st.etaH)], axis=0)
     stack = np.concatenate([recs3d, recs2d], axis=0)
+    # companion pickups (packages_write_pickup.F): ptracers + ggl90
+    if cfg.usePTRACERS and st.pTr is not None and st.pTr.shape[0] > 0:
+        npt = st.pTr.shape[0]
+        pt_names = [f"pTr{i + 1:02d}" for i in range(npt)] + \
+                   [f"gPtr{i + 1:02d}m1" for i in range(npt)]
+        pt_stack = np.concatenate(
+            [_interior(cfg, st.pTr[i]) for i in range(npt)]
+            + [_interior(cfg, st.gPtrNm1[i]) for i in range(npt)], axis=0)
+        mds.wrmds(os.path.join(out_dir, "pickup_ptracers"), pt_stack,
+                  itr=myIter, dataprec="float64",
+                  nrecords=pt_stack.shape[0], fldlist=pt_names,
+                  timestep_number=myIter)
+    if cfg.useGGL90 and st.GGL90TKE is not None:
+        tke = _interior(cfg, st.GGL90TKE)
+        mds.wrmds(os.path.join(out_dir, "pickup_ggl90"), tke,
+                  itr=myIter, dataprec="float64",
+                  nrecords=tke.shape[0], fldlist=["GGL90TKE"],
+                  timestep_number=myIter)
     froot = os.path.join(out_dir, "pickup")
     mds.wrmds(froot, stack, itr=myIter, dataprec="float64",
               nrecords=stack.shape[0],
-              fldlist=_PICKUP_3D + _PICKUP_2D,
+              fldlist=flds3d + _PICKUP_2D,
               timestep_number=myIter)
     return froot
 
@@ -488,6 +519,12 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     }
     if "PhiHyd" in vals:
         updates["totPhiHyd"] = vals["PhiHyd"]
+    # AB3 second tendency level (read_pickup.F:285/305); if the pickup
+    # lacks them the reference warns and keeps zeros — we do the same
+    for pk, sk in (("GuNm2", "guNm2"), ("GvNm2", "gvNm2"),
+                   ("GtNm2", "gtNm2"), ("GsNm2", "gsNm2")):
+        if pk in vals:
+            updates[sk] = vals[pk]
     # r* restart: old-time factors equal current ones (initialise_varia.F
     # calls CALC_R_STAR then UPDATE_R_STAR from the same etaH)
     updates["etaHm1"] = vals["EtaH"]
@@ -509,8 +546,52 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
             "vNM1": pad3(raw[3 * nr:4 * nr]),
             "etaNm1": pad2(raw[4 * nr]),
         })
+    # ptracers companion pickup (pkg/ptracers/ptracers_read_pickup.F)
+    pt_root = os.path.join(in_dir, "pickup_ptracers")
+    if cfg.usePTRACERS:
+        if os.path.exists(f"{pt_root}.{myIter:010d}.meta"):
+            pfields, pmeta = mds.read_mflds(pt_root, itr=myIter)
+            pstack = pfields["__records__"]
+            pnames = [n.strip() for n in pmeta.get("fldList", [])
+                      if n and n.strip()]
+            npt = exp.state.pTr.shape[0]
+            ptr = list(jnp.asarray(exp.state.pTr))
+            gptr = list(jnp.asarray(exp.state.gPtrNm1))
+            off = 0
+            for name in pnames:
+                rec = pad3(pstack[off:off + nr]); off += nr
+                if name.startswith("pTr"):
+                    idx = int(name[3:5]) - 1
+                    if idx < npt:
+                        ptr[idx] = rec
+                elif name.startswith("gPtr"):
+                    idx = int(name[4:6]) - 1
+                    if idx < npt:
+                        gptr[idx] = rec
+            exp.state = State(**{**exp.state.__dict__,
+                                 "pTr": jnp.stack(ptr),
+                                 "gPtrNm1": jnp.stack(gptr)})
+        elif exp.state.pTr is not None and exp.state.pTr.shape[0] > 0:
+            raise FileNotFoundError(
+                f"usePTRACERS restart needs {pt_root}.{myIter:010d} "
+                "(refusing to silently reset passive tracers)")
+    # ggl90 companion pickup (pkg/ggl90/ggl90_read_pickup.F)
+    gg_root = os.path.join(in_dir, "pickup_ggl90")
+    if cfg.useGGL90:
+        if os.path.exists(f"{gg_root}.{myIter:010d}.meta"):
+            gfields, _gm = mds.read_mflds(gg_root, itr=myIter)
+            exp.state = State(**{**exp.state.__dict__,
+                                 "GGL90TKE": pad3(gfields["__records__"][:nr])})
+        else:
+            raise FileNotFoundError(
+                f"useGGL90 restart needs {gg_root}.{myIter:010d} "
+                "(refusing to silently reset GGL90TKE)")
     exp.cfg.startFromPickup = True
     exp.cfg.nIter0 = myIter
+    if "Wvel" in vals:
+        # our own pickups carry wVel — bit-identical restart, no recompute
+        exp.state = State(**{**exp.state.__dict__, "wVel": vals["Wvel"]})
+        return
     # initialise_varia.F:336: recompute wVel (and, with exactConserv,
     # dEtaHdt) from the restored velocities — wVel is not in the pickup
     g = exp.grid

@@ -69,12 +69,19 @@ def adams_bashforth3(cfg: Config, g, gNm1, gNm2, myIter,
     forward Euler on the cold-start step, AB2-like (alph only) on the
     next, full AB3 after. Returns (g_extrap, gNm1', gNm2')."""
     if startAB is None:
-        startAB = 1 if cfg.startFromPickup else 0
+        # restart with both *Nm1/*Nm2 levels restored engages full AB3 at
+        # once (check_pickup.F: startAB stays nIter0 when nothing missing;
+        # startAB==1 would mean only one level available)
+        startAB = 2 if cfg.startFromPickup else 0
     alph, beta = cfg.alph_AB, cfg.beta_AB
-    first = jnp.logical_and(myIter == cfg.nIter0, startAB == 0)
-    second = jnp.logical_or(
-        jnp.logical_and(myIter == cfg.nIter0, startAB == 1),
-        jnp.logical_and(myIter == cfg.nIter0 + 1, startAB == 0))
+    # 'levels' = number of previous tendency levels available at this step.
+    # Expressed so that a full restart (startAB=2, nIter0=m) embeds the SAME
+    # constant (nIter0-startAB) as a cold start (0-0): the traced program is
+    # then identical between a straight run and a restart continuation, so
+    # XLA fuses identically and 2+2 restart is bit-exact.
+    levels = myIter - (cfg.nIter0 - startAB)
+    first = levels == 0
+    second = levels == 1
     ab0 = jnp.where(first, 0.0, alph + jnp.where(second, 0.0, beta))
     ab1 = jnp.where(first, 0.0, -alph - jnp.where(second, 0.0, 2.0 * beta))
     ab2 = jnp.where(jnp.logical_or(first, second), 0.0, beta)

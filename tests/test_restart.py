@@ -35,6 +35,34 @@ def test_2plus2(tmp_path):
         assert np.array_equal(a, b), f"{name} differs after restart"
 
 
+def test_2plus2_ab3(tmp_path):
+    """AB3 restart must carry the second tendency level (*Nm2 records;
+    reference write_pickup.F:149/181, read_pickup.F:285/305)."""
+    def make_ab3():
+        e = _make()
+        e.cfg.useAB3 = True
+        e.cfg.alph_AB = 0.5
+        e.cfg.beta_AB = 5.0 / 12.0
+        return e
+
+    e4 = make_ab3()
+    e4.run(n_steps=4, collect_monitor=False)
+
+    e2 = make_ab3()
+    e2.run(n_steps=2, collect_monitor=False)
+    exp_mod.write_pickup(e2, str(tmp_path), myIter=2)
+
+    e22 = make_ab3()
+    exp_mod.read_pickup(e22, str(tmp_path), myIter=2)
+    e22.run(n_steps=2, collect_monitor=False)
+
+    ol = e4.cfg.olx
+    for name in ("uVel", "vVel", "theta", "etaN", "guNm1", "guNm2"):
+        a = np.asarray(getattr(e4.state, name))[..., ol:-ol, ol:-ol]
+        b = np.asarray(getattr(e22.state, name))[..., ol:-ol, ol:-ol]
+        assert np.array_equal(a, b), f"{name} differs after AB3 restart"
+
+
 def test_pickup_roundtrip(tmp_path):
     e = _make()
     e.run(n_steps=3, collect_monitor=False)
