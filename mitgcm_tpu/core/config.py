@@ -158,6 +158,11 @@ class Config:
     fluidIsAir: bool = False
     fluidIsWater: bool = True
     nFaces: int = 1                # 6 for the cubed sphere
+    gadMultiDimCompressible: bool = False  # GAD_MULTIDIM_COMPRESSIBLE
+    # exch2 global-file IO layout (pkg/exch2/w2_readparms.F:64 default -1):
+    # -1/0 = global 2-D map, faces side by side along x ([n, 6n]);
+    #  1   = compact, faces stacked along y ([6n, n])
+    W2_mapIO: int = -1
     custom_forcing_uv: object = None   # f(cfg,grid,state)->(gu,gv) 3-D adds
     custom_forcing_t: object = None    # f(cfg,grid,state)->gT 3-D add
     useSHAP_FILT: bool = False
@@ -480,13 +485,31 @@ def _set_attr(cfg: Config, key: str, val: Any) -> None:
         setattr(cfg, target, val)
 
 
+def read_size_h(code_dir: str):
+    """Parse sNx/sNy/Nr/OLx/OLy/nSx/nPx... assignments from a reference
+    SIZE.h (model/inc/SIZE.h format: `&  sNx =  32,`)."""
+    import re as _re
+    path = os.path.join(code_dir, "SIZE.h")
+    out = {}
+    if not os.path.exists(path):
+        return out
+    for line in open(path, errors="replace"):
+        if line[:1] in ("C", "c", "!"):
+            continue
+        for m in _re.finditer(r"(\w+)\s*=\s*(\d+)", line):
+            out[m.group(1)] = int(m.group(2))
+    return out
+
+
 def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
-                    olx: int = 2, oly: int = 2, grid_dir: str = "") -> Config:
+                    olx: int = 0, oly: int = 0, grid_dir: str = "") -> Config:
     """Build a Config from a reference-format experiment input directory.
 
     Reads `data` (PARM01-05) and `data.pkg` (PACKAGES); the domain size is
     inferred from delX/delY/delR lengths when not given (the reference bakes
-    it into SIZE.h at compile time instead).
+    it into SIZE.h at compile time instead). The halo width comes from the
+    experiment's code/SIZE.h OLx/OLy when present (the cubed-sphere
+    multi-dim advection passes are overlap-width-sensitive), else 2.
     """
     cfg = Config()
     cfg.run_dir = input_dir
@@ -505,6 +528,12 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
         from mitgcm_tpu.model import gmredi as gmredi_mod
         gmnl = nml.read_namelist(gm_path)
         cfg.gmredi = gmredi_mod.from_namelist(gmnl.get("GM_PARM01", {}))
+    x2_path = os.path.join(input_dir, "data.exch2")
+    if os.path.exists(x2_path):
+        x2nl = nml.read_namelist(x2_path)
+        x2 = {k.lower(): v for k, v in x2nl.get("W2_EXCH2_PARM01", {}).items()}
+        if "w2_mapio" in x2:
+            cfg.W2_mapIO = int(x2["w2_mapio"])
     pt_path = os.path.join(input_dir, "data.ptracers")
     if cfg.usePTRACERS and os.path.exists(pt_path):
         ptnl = nml.read_namelist(pt_path)
@@ -520,6 +549,11 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
             raise ValueError("dySpacing given without delY: pass ny=")
         cfg.delY = tuple([float(cfg.dySpacing)] * cfg.ny)
     cfg.nr = nr or max(len(cfg.delR), 1)
+    if not (olx and oly):
+        sz = read_size_h(os.path.join(
+            os.path.dirname(os.path.abspath(input_dir)), "code"))
+        olx = olx or sz.get("OLx", 2)
+        oly = oly or sz.get("OLy", 2)
     cfg.olx = olx
     cfg.oly = oly
     if not (cfg.usingCartesianGrid or cfg.usingSphericalPolarGrid

@@ -577,13 +577,20 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     recip_drC = _safe_recip(drC)
 
     pshape = (6 * nyp, nyp)
-    # bathymetry: global CS files store facets contiguously ([6n, n],
-    # exch2 W2_useE2ioLayOut)
+    # bathymetry: global CS record layout per W2_mapIO
+    # (see experiment.cs_global_to_faces)
     if cfg.bathyFile:
         prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
+        if cfg.W2_mapIO == 1:
+            bshape = (6 * n, n)
+        else:
+            bshape = (n, 6 * n)
         braw = mds.read_raw(os.path.join(cfg.run_dir, cfg.bathyFile),
-                            (6 * n, n), prec).astype(np.float64)
-        bfaces = np.stack([braw[f * n:(f + 1) * n, :] for f in range(6)])
+                            bshape, prec).astype(np.float64)
+        if cfg.W2_mapIO == 1:
+            bfaces = braw.reshape(6, n, n)
+        else:
+            bfaces = braw.reshape(n, 6, n).swapaxes(0, 1)
         R_low_in = bfaces
     else:
         R_low_in = np.full((6, n, n), rF[nr])

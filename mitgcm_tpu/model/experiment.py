@@ -26,18 +26,31 @@ from mitgcm_tpu.ops.stencil import cyclic_fill_halo
 from mitgcm_tpu.solver import cg2d as cg2d_mod
 
 
+def cs_global_to_faces(arr, n, mapIO=-1):
+    """Global cubed-sphere record -> [..., 6, n, n].
+
+    mapIO = W2_mapIO (pkg/exch2/w2_readparms.F:64): -1/0 = global 2-D map,
+    faces side by side along x ([n, 6n], exch2_txGlobalo x-offsets);
+    1 = compact layout, faces stacked along y ([6n, n]). Verified per
+    layout: advect_cs T.init (mapIO=-1) and solid-body S_init.bin
+    (mapIO=1) each reproduce the reference's volume-weighted tracer
+    statistics to >=13 digits only in their declared layout."""
+    lead = arr.shape[:-2]
+    if mapIO == 1:
+        return arr.reshape(lead + (6, n, n))
+    return arr.reshape(lead + (n, 6, n)).swapaxes(-3, -2)
+
+
 def _pad_and_fill(cfg: Config, arr, dtype, cs_fill=None):
-    """Pad a [..., ny(*nFaces), nx] interior array into the halo layout and
-    fill halos. Global cubed-sphere files store each facet contiguously in
-    sequence (exch2 W2_useE2ioLayOut): [..., 6n, n] with faces along the
-    slow axis — verified against the reference monitor's salt statistics."""
+    """Pad an interior array into the halo layout and fill halos.
+    Cartesian: arr is [..., ny, nx]. Cubed sphere: arr is the global-file
+    record [..., n, 6n] (x-concatenated faces)."""
     oly, olx = cfg.oly, cfg.olx
     if cfg.nFaces > 1:
         n = cfg.ny
         nyp = n + 2 * oly
         lead = arr.shape[:-2]
-        faces = np.stack([arr[..., f * n:(f + 1) * n, :]
-                          for f in range(cfg.nFaces)], axis=-3)
+        faces = cs_global_to_faces(arr, n, cfg.W2_mapIO)
         padded = np.zeros(lead + (cfg.nFaces, nyp, n + 2 * olx))
         padded[..., oly:oly + n, olx:olx + n] = faces
         filled = cs_fill.ex.fill_C(jnp.asarray(padded, dtype))
@@ -46,6 +59,15 @@ def _pad_and_fill(cfg: Config, arr, dtype, cs_fill=None):
                       + (cfg.ny + 2 * oly, cfg.nx + 2 * olx))
     padded[..., oly:oly + cfg.ny, olx:olx + cfg.nx] = arr
     return cyclic_fill_halo(jnp.asarray(padded, dtype), oly, olx)
+
+
+def _global_dims(cfg: Config):
+    """(rows, cols) of one global-file record (see cs_global_to_faces)."""
+    if cfg.nFaces > 1:
+        if cfg.W2_mapIO == 1:
+            return cfg.nFaces * cfg.ny, cfg.ny
+        return cfg.ny, cfg.nFaces * cfg.ny
+    return cfg.ny, cfg.nx
 
 
 def _load_2d(cfg: Config, fname: str, dtype, cs_fill=None, scale=1.0
@@ -58,9 +80,9 @@ def _load_2d(cfg: Config, fname: str, dtype, cs_fill=None, scale=1.0
         return None
     prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
     itemsize = 4 if cfg.readBinaryPrec == 32 else 8
-    gy = cfg.ny * cfg.nFaces
-    nrec = os.path.getsize(path) // (itemsize * gy * cfg.nx)
-    arr = mds.read_raw(path, (nrec, gy, cfg.nx), prec).astype(np.float64)
+    gy, gx = _global_dims(cfg)
+    nrec = os.path.getsize(path) // (itemsize * gy * gx)
+    arr = mds.read_raw(path, (nrec, gy, gx), prec).astype(np.float64)
     arr = arr * scale
     return _pad_and_fill(cfg, arr, dtype, cs_fill)
 
@@ -71,8 +93,8 @@ def _load_3d(cfg: Config, fname: str, dtype, cs_fill=None
     if not fname or not os.path.exists(path):
         return None
     prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
-    gy = cfg.ny * cfg.nFaces
-    arr = mds.read_raw(path, (cfg.nr, gy, cfg.nx), prec).astype(np.float64)
+    gy, gx = _global_dims(cfg)
+    arr = mds.read_raw(path, (cfg.nr, gy, gx), prec).astype(np.float64)
     return _pad_and_fill(cfg, arr, dtype, cs_fill)
 
 
@@ -247,6 +269,14 @@ class Experiment:
 
         op = cg2d_mod.build_cg2d(cfg, grid)
 
+        # experiment code/ overrides of GAD compile options
+        from mitgcm_tpu.model.kpp import scan_cpp_options as _scan_opts
+        gad_opts = _scan_opts(os.path.join(
+            os.path.dirname(os.path.abspath(input_dir)), "code",
+            "GAD_OPTIONS.h"))
+        if "GAD_MULTIDIM_COMPRESSIBLE" in gad_opts:
+            cfg.gadMultiDimCompressible = True
+
         kpp_obj = None
         if cfg.useKPP:
             from mitgcm_tpu.core import nml
@@ -310,12 +340,44 @@ class Experiment:
                 grp = nml.read_namelist(opath).get("OPPS_PARM01", {})
             opps_obj = opps_mod.OPPS(cfg, grid, grp)
 
-        return cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
-                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
-                   vmix=vmix_obj, opps=opps_obj)
+        exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
+                  cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
+                  vmix=vmix_obj, opps=opps_obj)
+        exp.init_continuity()
+        return exp
+
+    def init_continuity(self):
+        """initialise_varia.F:336: integrate continuity once at init for
+        the initial wVel (and, with exactConserv, dEtaHdt). Re-call after
+        overriding the initial velocities (custom ini_vel experiments)."""
+        cfg, grid = self.cfg, self.grid
+
+        @jax.jit
+        def _cont(st):
+            g = grid
+            if cfg.nonlinFreeSurf > 0 and cfg.select_rStar > 0:
+                from mitgcm_tpu.model import rstar as rstar_mod
+                fC, fW, fS = rstar_mod.rstar_facs(cfg, grid, st.etaH)
+                g = rstar_mod.rstar_view(cfg, grid, fC, fW, fS)
+            w, _etaN, _etaH, dEtaHdt = step_mod.integr_continuity(
+                cfg, g, st.uVel, st.vVel, st.etaN, st.etaH,
+                st.dEtaHdt, jnp.zeros_like(st.etaN),
+                jnp.asarray(cfg.nIter0), h0FacC=grid.hFacC)
+            fill = ((lambda a: self.cs_fill.fill(a))
+                    if self.cs_fill is not None
+                    else (lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)))
+            return fill(w), fill(dEtaHdt)
+
+        w, dEtaHdt = _cont(self.state)
+        upd = {"wVel": w}
+        if cfg.exactConserv:
+            upd["dEtaHdt"] = dEtaHdt
+        self.state = State(**{**self.state.__dict__, **upd})
 
     # ------------------------------------------------------------------
     def make_step_fn(self):
+        if getattr(self, "_step_fn", None) is not None:
+            return self._step_fn
         cfg, grid, op = self.cfg, self.grid, self.op
         hooks = {}
         if self.cs_fill is not None:
@@ -329,7 +391,8 @@ class Experiment:
                                          ggl90=self.ggl90, vmix=self.vmix,
                                          opps=self.opps, **hooks)
 
-        return jax.jit(fn)
+        self._step_fn = jax.jit(fn)
+        return self._step_fn
 
     def monitor_stats(self, state: Optional[State] = None) -> Dict[str, float]:
         st = state if state is not None else self.state

@@ -369,9 +369,12 @@ def multidim_advection(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w,
     (pkg/generic_advdiff/gad_advection.F, default non-compressible form,
     Cartesian-topology pass order X then Y then R).
 
-    Returns gTracer = (T_advected - T)/deltaT. The cubed-sphere 3-pass
-    variant with corner fills lands with the exch2 slice.
+    Returns gTracer = (T_advected - T)/deltaT. On the cubed sphere the
+    3-pass variant with corner fills is used instead.
     """
+    if cfg.nFaces == 6:
+        return multidim_advection_cs(cfg, grid, flow, u, v, w, tracer,
+                                     scheme, vert_scheme, deltaT)
     rhc = grid.recip_hFacC
     rdrF = grid.recip_drF[:, None, None]
     rrA = grid.recip_rA
@@ -399,3 +402,196 @@ def is_multidim(cfg: Config, scheme: int) -> bool:
     """set_parms.F logic: non-linear schemes use the multi-dim driver when
     multiDimAdvection is on."""
     return cfg.multiDimAdvection and scheme in MULTIDIM_SCHEMES
+
+
+# ----------------------------------------------------------------------
+# cubed-sphere multi-dimensional advection (gad_advection.F CS branch)
+# ----------------------------------------------------------------------
+
+_CS_MASK_CACHE = {}
+
+
+def _cs_pass_plan(n: int, ol: int):
+    """Per-pass / per-face update masks + corner-fill and direction flags
+    for the 3-pass cubed-sphere direction split (gad_advection.F:249-269,
+    single tile per face so all four edges are cube-face edges).
+
+    Returns for each pass p (0..2):
+      xmask, ymask: [6*nyp, nxp] float64 update masks (1 where the X/Y
+        update writes), already encoding overlapOnly/interiorOnly/full
+        row-column ranges;
+      fillx_pre / filly_pre: True if any face computes X (resp. Y) fluxes
+        in overlap-only mode this pass (corner fill before the flux);
+      fill_after: ipass==1 second corner fill (dir swapped).
+    """
+    key = (n, ol)
+    if key in _CS_MASK_CACHE:
+        return _CS_MASK_CACHE[key]
+    import numpy as np
+    nyp = nxp = n + 2 * ol
+    plans = []
+    for p in range(3):
+        xm = np.zeros((6, nyp, nxp))
+        ym = np.zeros((6, nyp, nxp))
+        x_over_faces, y_over_faces = [], []
+        for f1 in range(1, 7):          # 1-based face number = nCFace
+            if p == 0:
+                overlap = (f1 % 3) == 0
+                interior = (f1 % 3) != 0
+                do_x = f1 in (6, 1, 2)
+                do_y = f1 in (3, 4, 5)
+            elif p == 1:
+                overlap = (f1 % 3) == 2
+                interior = (f1 % 3) == 1
+                do_x = f1 in (2, 3, 4)
+                do_y = f1 in (5, 6, 1)
+            else:
+                overlap = False
+                interior = True
+                do_x = f1 in (5, 6)
+                do_y = f1 in (2, 3)
+            f = f1 - 1
+            if do_x and overlap:
+                x_over_faces.append(f)
+            if do_y and overlap:
+                y_over_faces.append(f)
+            if do_x:
+                if overlap:
+                    any_x_overlap = True
+                    xm[f, 0:ol, ol:ol + n] = 1.0
+                    xm[f, ol + n:nyp, ol:ol + n] = 1.0
+                elif interior:
+                    xm[f, ol:ol + n, 1:nxp - 1] = 1.0
+                else:
+                    xm[f, :, 1:nxp - 1] = 1.0
+            if do_y:
+                if overlap:
+                    any_y_overlap = True
+                    ym[f, ol:ol + n, 0:ol] = 1.0
+                    ym[f, ol:ol + n, ol + n:nxp] = 1.0
+                elif interior:
+                    ym[f, 1:nyp - 1, ol:ol + n] = 1.0
+                else:
+                    ym[f, 1:nyp - 1, :] = 1.0
+        plans.append((xm.reshape(6 * nyp, nxp), ym.reshape(6 * nyp, nxp),
+                      tuple(x_over_faces), tuple(y_over_faces)))
+    # flux-kernel write bands (gad_*_adv_x.F: i in [1-OLx+2, sNx+OLx-1];
+    # _adv_y.F: j likewise): af outside is zero — essential in the
+    # stacked-face layout where a shift would otherwise read the
+    # neighbouring face block
+    kx = np.zeros((1, nxp))
+    kx[0, 2:nxp - 1] = 1.0
+    ky = np.zeros((6, nyp, 1))
+    ky[:, 2:nyp - 1, :] = 1.0
+    ky = ky.reshape(6 * nyp, 1)
+    out = (plans, kx, ky)
+    _CS_MASK_CACHE[key] = out
+    return out
+
+
+def multidim_advection_cs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w,
+                          tracer, scheme: int, vert_scheme: int, deltaT):
+    """Cubed-sphere 3-pass direction-split advection
+    (pkg/generic_advdiff/gad_advection.F:249-269 pass schedule,
+    :455-575 X updates, :690-800 Y updates, :875-1075 vertical), with the
+    GAD_MULTIDIM_COMPRESSIBLE volume-tracking update when
+    cfg.gadMultiDimCompressible (set from the experiment's GAD_OPTIONS.h).
+
+    All six faces advance together: per pass, each face applies exactly
+    one direction (X or Y) selected by a precomputed mask, which maps the
+    reference's per-tile branch structure onto one fused XLA program.
+    """
+    from mitgcm_tpu.parallel.cs import fill_cs_corner, fill_cs_corner_uv
+
+    n, ol = cfg.ny, cfg.olx
+    plans, kx, ky = _cs_pass_plan(n, ol)
+    dtype = tracer.dtype
+    kx = jnp.asarray(kx, dtype)
+    ky = jnp.asarray(ky, dtype)
+    mIn = grid.maskInC
+    rhc = grid.recip_hFacC
+    rdrF = grid.recip_drF[:, None, None]
+    rrA = grid.recip_rA
+    uT, vT = flow.uTrans, flow.vTrans
+    compress = cfg.gadMultiDimCompressible
+
+    maskW, maskS = fill_cs_corner_uv(grid.maskW, grid.maskS, n, ol,
+                                     with_sign=False)
+
+    localT = tracer
+    if compress:
+        # localVol = rA*deepFac2C*rhoFac*drF*hFacC + (1-maskC)
+        localVol = (grid.rA * grid.drF[:, None, None] * grid.hFacC
+                    + (1.0 - grid.maskC))
+
+    nyp = n + 2 * ol
+
+    def sel_fill(a, d, faces):
+        # fill direction d, but only on the listed faces — the reference's
+        # corner fills are per-tile, and pass-1 post-fills must PERSIST
+        # into pass 2 on the faces that take the full-range update there
+        if not faces:
+            return a
+        filled = fill_cs_corner(a, d, n, ol)
+        if len(faces) == 6:
+            return filled
+        import numpy as _np
+        m = _np.zeros((6, 1, 1))
+        for f in faces:
+            m[f] = 1.0
+        m = jnp.asarray(_np.broadcast_to(m, (6, nyp, 1)).reshape(
+            6 * nyp, 1), dtype)
+        return m * filled + (1.0 - m) * a
+
+    for p, (xm, ym, x_over_faces, y_over_faces) in enumerate(plans):
+        xm = jnp.asarray(xm, dtype)
+        ym = jnp.asarray(ym, dtype)
+        # corner fills before the fluxes, on overlap-only faces exactly
+        # as the reference sequences them per tile
+        localT = sel_fill(localT, 1, x_over_faces)
+        afx = adv_flux_x(cfg, grid, scheme, uT, u, localT, deltaT,
+                         maskW) * kx
+        if p == 0:
+            localT = sel_fill(localT, 2, x_over_faces)
+        localT = sel_fill(localT, 2, y_over_faces)
+        afy = adv_flux_y(cfg, grid, scheme, vT, v, localT, deltaT,
+                         maskS) * ky
+        if p == 0:
+            localT = sel_fill(localT, 1, y_over_faces)
+        dafx = (sh(afx, di=1) - afx) * mIn
+        duT = (sh(uT, di=1) - uT) * mIn
+        dafy = (sh(afy, dj=1) - afy) * mIn
+        dvT = (sh(vT, dj=1) - vT) * mIn
+        if compress:
+            tmpX = localT * localVol - deltaT * dafx
+            volX = localVol - deltaT * duT
+            tmpY = localT * localVol - deltaT * dafy
+            volY = localVol - deltaT * dvT
+            localT = (xm * tmpX / volX + ym * tmpY / volY
+                      + (1.0 - xm - ym) * localT)
+            localVol = xm * volX + ym * volY + (1.0 - xm - ym) * localVol
+        else:
+            updX = localT - deltaT * rhc * rdrF * rrA * (
+                dafx - tracer * duT)
+            updY = localT - deltaT * rhc * rdrF * rrA * (
+                dafy - tracer * dvT)
+            localT = xm * updX + ym * updY + (1.0 - xm - ym) * localT
+
+    # vertical (gad_advection.F:938-1075): rTrans = w*rA*maskC(k-1),
+    # zero at surface; flux kernels applied to the post-horizontal field
+    mC = grid.maskC
+    mkm1 = jnp.concatenate([mC[:1], mC[:-1]], axis=0)
+    rT = w * grid.rA * mkm1
+    rT = rT.at[0].set(0.0)
+    rTKp = jnp.concatenate([rT[1:], jnp.zeros_like(rT[:1])], axis=0)
+    fVer = adv_flux_r(cfg, grid, vert_scheme, rT, w, localT, deltaT)
+    fVerKp = jnp.concatenate([fVer[1:], jnp.zeros_like(fVer[:1])], axis=0)
+    if compress:
+        tmpTrac = (localT * localVol
+                   - deltaT * (fVerKp - fVer) * cfg.rkSign * mIn)
+        localVol = localVol - deltaT * (rTKp - rT) * cfg.rkSign * mIn
+        return ((tmpTrac - tracer * localVol)
+                * rrA * rdrF * rhc / deltaT)
+    localT = localT - deltaT * rhc * rdrF * rrA * (
+        (fVerKp - fVer) - tracer * (rTKp - rT)) * cfg.rkSign * mIn
+    return (localT - tracer) / deltaT

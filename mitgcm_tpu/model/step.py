@@ -563,42 +563,61 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
 
-    (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
-     totPhiHyd) = dynamics(
-        cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
-        kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
-        vmix_fields=vmix_fields)
-    uStar, vStar = fill_uv(uStar, vStar)
+    if cfg.momStepping:
+        (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
+         totPhiHyd) = dynamics(
+            cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
+            kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
+            vmix_fields=vmix_fields)
+        uStar, vStar = fill_uv(uStar, vStar)
 
-    # with nonlinFreeSurf > 2 the cg2d matrix is rebuilt from the new
-    # geometry every step (forward_step.F:868 UPDATE_CG2D)
-    op_step = op
-    if use_rstar and cfg.nonlinFreeSurf > 2:
-        op_step = cg2d_mod.update_cg2d(cfg, grid_new, op, fill=fill)
+        # with nonlinFreeSurf > 2 the cg2d matrix is rebuilt from the new
+        # geometry every step (forward_step.F:868 UPDATE_CG2D)
+        op_step = op
+        if use_rstar and cfg.nonlinFreeSurf > 2:
+            op_step = cg2d_mod.update_cg2d(cfg, grid_new, op, fill=fill)
 
-    etaN, diag = solve_for_pressure(cfg, grid_new, op_step, state, uStar,
-                                    vStar, forc, psum=psum, fill=fill,
-                                    pmax=pmax)
-    # solve_for_pressure.F:88 (ALLOW_CD_CODE): etaNm1 := pre-solve etaN
-    cd_state = cd_state._replace(etaNm1=state.etaN)
+        etaN, diag = solve_for_pressure(cfg, grid_new, op_step, state,
+                                        uStar, vStar, forc, psum=psum,
+                                        fill=fill, pmax=pmax)
+        # solve_for_pressure.F:88 (ALLOW_CD_CODE): etaNm1 := pre-solve etaN
+        cd_state = cd_state._replace(etaNm1=state.etaN)
 
-    u, v = momentum_correction_step(cfg, grid_new, etaN, uStar, vStar)
-    if cfg.useSHAP_FILT and not cfg.shap.shap_filt_uvStar:
-        # momentum_correction_step.F:69-74: filter the corrected
-        # velocities before continuity sees them
-        from mitgcm_tpu.model import shap_filt as shap_mod
-        u, v = shap_mod.apply_uv(
-            cfg, grid, cfg.shap, u, v,
-            fill_uv_cg if fill_uv_cg is not None else fill_uv)
+        u, v = momentum_correction_step(cfg, grid_new, etaN, uStar, vStar)
+        if cfg.useSHAP_FILT and not cfg.shap.shap_filt_uvStar:
+            # momentum_correction_step.F:69-74: filter the corrected
+            # velocities before continuity sees them
+            from mitgcm_tpu.model import shap_filt as shap_mod
+            u, v = shap_mod.apply_uv(
+                cfg, grid, cfg.shap, u, v,
+                fill_uv_cg if fill_uv_cg is not None else fill_uv)
+    else:
+        # momStepping=F (forward_step.F:785 etc.): velocities frozen, no
+        # pressure solve; AB history and CD state carried unchanged
+        u, v = state.uVel, state.vVel
+        guNm1, guNm2 = state.guNm1, state.guNm2
+        gvNm1, gvNm2 = state.gvNm1, state.gvNm2
+        cd_state = cd_code.CDState(vVelD=state.vVelD, uVelD=state.uVelD,
+                                   uNM1=state.uNM1, vNM1=state.vNM1,
+                                   etaNm1=state.etaNm1)
+        totPhiHyd = state.totPhiHyd
+        etaN = state.etaN
+        z = jnp.zeros((), u.dtype)
+        diag = StepDiag(cg2d_init_res=z, cg2d_last_res=z,
+                        cg2d_iters=jnp.zeros((), jnp.int32))
 
     # the reference increments myIter between DYNAMICS and the pressure
     # solve (forward_step.F:806), so continuity sees nIter0+iloop.
     # Continuity runs on the locally-updated velocities (the uVel/vVel
     # exchange happens later, do_statevars_exch); the fill below only
     # refreshes halos for the next step's stencils.
-    w, etaN, etaH, dEtaHdt = integr_continuity(
-        cfg, grid_new, u, v, etaN, state.etaH, state.dEtaHdt, forc.EmPmR,
-        myIter + 1, h0FacC=grid.hFacC)
+    # calc_wVelocity = momStepping .OR. exactConserv (set_parms.F:98)
+    if cfg.momStepping or cfg.exactConserv:
+        w, etaN, etaH, dEtaHdt = integr_continuity(
+            cfg, grid_new, u, v, etaN, state.etaH, state.dEtaHdt,
+            forc.EmPmR, myIter + 1, h0FacC=grid.hFacC)
+    else:
+        w, etaH, dEtaHdt = state.wVel, state.etaH, state.dEtaHdt
     # staggered runs exchange the state velocities with EXCH_UV_3D_RL
     # (do_stagger_fields_exchanges.F); non-staggered with EXCH_UV_XYZ_RL
     # (do_fields_blocking_exchanges.F) — different corner conventions

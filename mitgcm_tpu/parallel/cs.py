@@ -771,6 +771,49 @@ class CSFill:
         return _from_faces(self.ex.fill_Z(_to_faces(a, self.nyp)))
 
 
+def fill_cs_corner_uv(u, v, n: int, ol: int, with_sign: bool = False):
+    """Fill the cube-corner halo blocks of a C-grid vector pair in the
+    stacked-face layout [..., 6*nyp, nxp]
+    (eesupp/src/fill_cs_corner_uv_rl.F, all four corners).
+
+    Pure gather: corner cells are written from the adjacent halo strips,
+    never read, so there are no in-place hazards."""
+    neg = -1.0 if with_sign else 1.0
+    nyp = n + 2 * ol
+    for f in range(6):
+        b = f * nyp
+        for j in range(1, ol + 1):
+            for i in range(1, ol + 1):
+                # SW: u(1-i,1-j) = neg*v(1-j,1+i); v(1-i,1-j) = neg*u(1+j,1-i)
+                u = u.at[..., b + ol - j, ol - i].set(
+                    neg * v[..., b + ol + i, ol - j])
+                v = v.at[..., b + ol - j, ol - i].set(
+                    neg * u[..., b + ol - i, ol + j])
+                # SE: u(sNx+i,1-j) = v(sNx+j,i) [i>=2];
+                #     v(sNx+i,1-j) = u(sNx+1-j,1-i)
+                if i >= 2:
+                    u = u.at[..., b + ol - j, ol + n - 1 + i].set(
+                        v[..., b + ol + i - 1, ol + n - 1 + j])
+                v = v.at[..., b + ol - j, ol + n - 1 + i].set(
+                    u[..., b + ol - i, ol + n - j])
+                # NW: u(1-i,sNy+j) = v(1-j,sNy+1-i);
+                #     v(1-i,sNy+j) = u(j,sNy+i) [j>=2]
+                u = u.at[..., b + ol + n - 1 + j, ol - i].set(
+                    v[..., b + ol + n - i, ol - j])
+                if j >= 2:
+                    v = v.at[..., b + ol + n - 1 + j, ol - i].set(
+                        u[..., b + ol + n - 1 + i, ol + j - 1])
+                # NE: u(sNx+i,sNy+j) = neg*v(sNx+j,sNy+2-i) [i>=2];
+                #     v(sNx+i,sNy+j) = neg*u(sNx+2-j,sNy+i) [j>=2]
+                if i >= 2:
+                    u = u.at[..., b + ol + n - 1 + j, ol + n - 1 + i].set(
+                        neg * v[..., b + ol + n + 1 - i, ol + n - 1 + j])
+                if j >= 2:
+                    v = v.at[..., b + ol + n - 1 + j, ol + n - 1 + i].set(
+                        neg * u[..., b + ol + n - 1 + i, ol + n + 1 - j])
+    return u, v
+
+
 def fill_cs_corner(a, fill4dir: int, n: int, ol: int,
                    with_sign: bool = False):
     """Overwrite the ol x ol cube-corner halo blocks of a stacked-face
