@@ -59,6 +59,11 @@ class State:
     # GGL90 prognostic turbulent kinetic energy (pkg/ggl90/GGL90.h);
     # zeros when useGGL90 is off
     GGL90TKE: jnp.ndarray = None
+    # SOM (Prather) sub-grid moments per tracer, [9, nr, ny, nx]
+    # (pkg/generic_advdiff/GAD_SOM_VARS.h som_T/som_S); zero-size unless
+    # temp/saltAdvScheme is 80/81
+    somT: jnp.ndarray = None
+    somS: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(
@@ -120,6 +125,11 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
     salt = sref * jnp.ones_like(z3) * grid.maskC
     nptr = n_ptracers(cfg)
     zp = jnp.zeros((nptr, cfg.nr, nyp, nxp), dtype=dtype)
+    z0 = jnp.zeros((0,), dtype=dtype)
+    somT = (jnp.zeros((9, cfg.nr, nyp, nxp), dtype=dtype)
+            if cfg.tempAdvScheme in (80, 81) else z0)
+    somS = (jnp.zeros((9, cfg.nr, nyp, nxp), dtype=dtype)
+            if cfg.saltAdvScheme in (80, 81) else z0)
     return State(
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
         etaN=z2, etaH=z2, dEtaHdt=z2,
@@ -127,7 +137,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
         etaHm1=z2, totPhiHyd=z3,
-        pTr=zp, gPtrNm1=zp, GGL90TKE=z3,
+        pTr=zp, gPtrNm1=zp, GGL90TKE=z3, somT=somT, somS=somS,
     )
 
 

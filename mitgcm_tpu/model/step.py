@@ -558,7 +558,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # forward_step.F:1010-1032)
     if not cfg.staggerTimeStep:
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
-         gPtrNm1) = thermo_mod.thermodynamics(
+         gPtrNm1, somT, somS) = thermo_mod.thermodynamics(
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
@@ -637,7 +637,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         stag_state = State(**{**state.__dict__,
                               "uVel": u, "vVel": v, "wVel": w})
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
-         gPtrNm1) = thermo_mod.thermodynamics(
+         gPtrNm1, somT, somS) = thermo_mod.thermodynamics(
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
@@ -659,6 +659,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         etaNm1=cd_state.etaNm1,
         pTr=fill(pTr) if pTr.size else pTr,
         gPtrNm1=gPtrNm1,
+        # SOM moment exchange (do_fields_blocking_exchanges.F:79
+        # GAD_SOM_EXCHANGES); Cartesian topology = plain cyclic fills
+        somT=fill(somT) if somT.size else somT,
+        somS=fill(somS) if somS.size else somS,
         GGL90TKE=fill(tkeNew) if ggl90 is not None else tkeNew,
         # r* time-level bookkeeping: next step's "old" factors are this
         # step's entry-time etaH (calc_r_star.F Nm1/Exp rotation)

@@ -165,8 +165,9 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
                      vert_scheme: int, diffKh: float, diffK4: float,
                      myIter, gm_tensor=None, interior_forc=None,
                      deltaT=None, gNm2=None, rstar_ratio=None,
-                     kpp_df=None):
-    """temp_integrate.F for one tracer; returns (tracer', gNm1', gNm2').
+                     kpp_df=None, som_state=None):
+    """temp_integrate.F for one tracer; returns
+    (tracer', gNm1', gNm2', som').
 
     rstar_ratio: rStarExpC = fac_new/fac_old; post-AB tendencies and the
     stored AB history are divided by it (freesurf_rescale_g.F), and the
@@ -175,8 +176,15 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
     from mitgcm_tpu.model.step import adams_bashforth
 
     dt = cfg.deltaTTracer if deltaT is None else deltaT
+    som_new = som_state
+    is_som = scheme in (80, 81)
     multidim = gad.is_multidim(cfg, scheme)
-    if multidim:
+    if is_som:
+        from mitgcm_tpu.model import som as som_mod
+        gTr, som_new = som_mod.som_advect(
+            cfg, grid, state.uVel, state.vVel, state.wVel, tracer,
+            som_state, scheme, dt)
+    elif multidim:
         gTr = gad.multidim_advection(
             cfg, grid, flow, state.uVel, state.vVel, state.wVel, tracer,
             scheme, vert_scheme, dt)
@@ -186,7 +194,7 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
     gTr = gTr + gad.calc_rhs(
         cfg, grid, flow, state.uVel, state.vVel, state.wVel, tracer,
         scheme, vert_scheme, diffKh, diffK4, kappaR, dt,
-        cfg.implicitDiffusion, calc_advection=not multidim,
+        cfg.implicitDiffusion, calc_advection=not (multidim or is_som),
         gm_tensor=gm_tensor, kpp_df=kpp_df)
 
     # surface forcing into surface cell (apply_forcing.F APPLY_FORCING_T)
@@ -216,7 +224,7 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
     tr_new = tracer + dt * gTr_ab    # timestep_tracer.F
     if cfg.implicitDiffusion:
         tr_new = impldiff(cfg, grid, tr_new, kappaR, recip_hFacNew, dt)
-    return tr_new, gNm1_new, gNm2_new
+    return tr_new, gNm1_new, gNm2_new, som_new
 
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
@@ -227,8 +235,10 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
     gtNm2, gsNm2 = state.gtNm2, state.gsNm2
     pTr, gPtrNm1 = state.pTr, state.gPtrNm1
+    somT, somS = state.somT, state.somS
     if not (cfg.tempStepping or cfg.saltStepping or pTr.shape[0]):
-        return theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1
+        return (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1,
+                somT, somS)
 
     flow = gad.calc_adv_flow(cfg, grid, state.uVel, state.vVel, state.wVel)
     sfT, sfS = surface_forcing_ts(
@@ -267,11 +277,11 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         intFT = None
         if cfg.custom_forcing_t is not None:
             intFT = cfg.custom_forcing_t(cfg, grid, state)
-        theta, gtNm1, gtNm2 = tracer_integrate(
+        theta, gtNm1, gtNm2, somT = tracer_integrate(
             cfg, grid, flow, state, theta, state.gtNm1, kapT, sfT,
             cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,
             gm_tensor=gm_tensor, interior_forc=intFT, gNm2=state.gtNm2,
-            rstar_ratio=ratioC, kpp_df=dfT)
+            rstar_ratio=ratioC, kpp_df=dfT, som_state=state.somT)
     if cfg.saltStepping:
         if kpp_fields is not None:
             kapS = kpp_fields["diffKzS"]
@@ -285,11 +295,11 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             if vmix_fields is not None:
                 kapS = kapS + (vmix_fields["diffKr"] - cfg.diffKrS)
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
-        salt, gsNm1, gsNm2 = tracer_integrate(
+        salt, gsNm1, gsNm2, somS = tracer_integrate(
             cfg, grid, flow, state, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
             gm_tensor=gm_tensor, gNm2=state.gsNm2, rstar_ratio=ratioC,
-            kpp_df=dfS)
+            kpp_df=dfS, som_state=state.somS)
 
     # passive tracers (pkg/ptracers/ptracers_integrate.F); the age-tracer
     # source/relaxation follows tutorial_global_oce_latlon/code overrides
@@ -313,7 +323,7 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             else:
                 sfP = jnp.zeros_like(sfT)
                 intF = None
-            trn, gn, _ = tracer_integrate(
+            trn, gn, _, _som = tracer_integrate(
                 cfg, grid, flow, state, pTr[itr], gPtrNm1[itr], kapP, sfP,
                 scheme, scheme, diffKh, 0.0, myIter,
                 gm_tensor=gm_tensor, interior_forc=intF)
@@ -321,4 +331,5 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             new_g.append(gn)
         pTr = jnp.stack(new_p)
         gPtrNm1 = jnp.stack(new_g)
-    return theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1
+    return (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1,
+            somT, somS)
