@@ -150,6 +150,7 @@ class Config:
     select3dCoriScheme: int = UNSET
     rhoConstFresh: float = UNSET
     allowFreezing: bool = False
+    shortwaveHeating: bool = False   # CPP SHORTWAVE_HEATING
     buoyancyRelation: str = "OCEANIC"
     atm_Rq: float = 0.0
     top_Pres: float = 0.0
@@ -281,6 +282,14 @@ class Config:
     useEXF: bool = False
     useCAL: bool = False
     exf_climtempfreeze: object = None  # set by model/exf.py when useEXF
+    exf_useBulk: bool = False          # exf bulk-formulae mode (atemp set)
+    # reference tile decomposition (SIZE.h): the seaice LSR tridiagonal
+    # sweeps are per-tile, so digit-matching needs the tile shape
+    sNx: int = 0
+    sNy: int = 0
+    nSx: int = 1
+    nSy: int = 1
+    seaice: object = None              # SeaiceParams when useSEAICE
     poly3: object = None               # POLY3.COEFFS (refT,refS,sig0,C)
     useKPP: bool = False
     useGGL90: bool = False
@@ -501,6 +510,32 @@ def read_size_h(code_dir: str):
     return out
 
 
+def ref_output_vintage(input_dir: str) -> Optional[tuple]:
+    """MITgcm version that produced the deck's committed reference output
+    ("// MITgcmUV version: checkpoint67t" in ../results/output.txt), as a
+    comparable tuple (67, 't').  None when no results file is present.
+    Verification decks in the reference repo carry outputs generated by
+    different code vintages; a few behaviors (e.g. GM Kux/Kvy tapering)
+    changed between them, and digit-matching requires honoring the stamp."""
+    import re
+    path = os.path.join(os.path.dirname(os.path.abspath(input_dir)),
+                        "results", "output.txt")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, errors="replace") as f:
+            for _ in range(200):
+                line = f.readline()
+                if not line:
+                    break
+                m = re.search(r"checkpoint(\d+)([a-z]*)", line)
+                if m:
+                    return (int(m.group(1)), m.group(2))
+    except OSError:
+        return None
+    return None
+
+
 def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
                     olx: int = 0, oly: int = 0, grid_dir: str = "") -> Config:
     """Build a Config from a reference-format experiment input directory.
@@ -528,6 +563,17 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
         from mitgcm_tpu.model import gmredi as gmredi_mod
         gmnl = nml.read_namelist(gm_path)
         cfg.gmredi = gmredi_mod.from_namelist(gmnl.get("GM_PARM01", {}))
+        # GM_NON_UNITY_DIAGONAL (see GMParams.nonUnityDiagonal): defined
+        # unless the deck ships a custom code/GMREDI_OPTIONS.h that
+        # #undef's it (lab_sea, cfc_example, ...).
+        opt = os.path.join(os.path.dirname(os.path.abspath(input_dir)),
+                           "code", "GMREDI_OPTIONS.h")
+        if os.path.exists(opt):
+            with open(opt, errors="replace") as f:
+                txt = f.read()
+            if "#undef GM_NON_UNITY_DIAGONAL" in txt:
+                cfg.gmredi = dataclasses.replace(
+                    cfg.gmredi, nonUnityDiagonal=False)
     x2_path = os.path.join(input_dir, "data.exch2")
     if os.path.exists(x2_path):
         x2nl = nml.read_namelist(x2_path)
@@ -549,11 +595,24 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
             raise ValueError("dySpacing given without delY: pass ny=")
         cfg.delY = tuple([float(cfg.dySpacing)] * cfg.ny)
     cfg.nr = nr or max(len(cfg.delR), 1)
+    sz = read_size_h(os.path.join(
+        os.path.dirname(os.path.abspath(input_dir)), "code"))
     if not (olx and oly):
-        sz = read_size_h(os.path.join(
-            os.path.dirname(os.path.abspath(input_dir)), "code"))
         olx = olx or sz.get("OLx", 2)
         oly = oly or sz.get("OLy", 2)
+    cfg.sNx = sz.get("sNx", cfg.nx)
+    cfg.sNy = sz.get("sNy", cfg.ny)
+    cfg.nSx = sz.get("nSx", 1)
+    cfg.nSy = sz.get("nSy", 1)
+    # SHORTWAVE_HEATING compile flag (model/inc/CPP_OPTIONS.h:22, default
+    # undef): penetrating-SW interior heating; decks opt in via a custom
+    # code/CPP_OPTIONS.h (lab_sea, global_with_exf, ...)
+    cpp_path = os.path.join(os.path.dirname(os.path.abspath(input_dir)),
+                            "code", "CPP_OPTIONS.h")
+    if os.path.exists(cpp_path):
+        with open(cpp_path, errors="replace") as f:
+            if "#define SHORTWAVE_HEATING" in f.read():
+                cfg.shortwaveHeating = True
     cfg.olx = olx
     cfg.oly = oly
     if not (cfg.usingCartesianGrid or cfg.usingSphericalPolarGrid

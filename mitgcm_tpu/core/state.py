@@ -64,6 +64,16 @@ class State:
     # temp/saltAdvScheme is 80/81
     somT: jnp.ndarray = None
     somS: jnp.ndarray = None
+    # sea ice prognostic state (pkg/seaice/SEAICE.h); zero-size unless
+    # useSEAICE
+    uIce: jnp.ndarray = None
+    vIce: jnp.ndarray = None
+    siAREA: jnp.ndarray = None
+    siHEFF: jnp.ndarray = None
+    siHSNOW: jnp.ndarray = None
+    siHSALT: jnp.ndarray = None
+    siTICES: jnp.ndarray = None      # [multDim, ny, nx]
+    SItracer: jnp.ndarray = None     # [nTr, ny, nx]
 
 
 jax.tree_util.register_dataclass(
@@ -102,6 +112,8 @@ class Forcing:
     # consecutive records at these knots instead of the periodic-cycle
     # logic (see model/exf.py)
     tknots: dict
+    wspeed: jnp.ndarray = None   # exf wind speed (bulk formulae input)
+    evap: jnp.ndarray = None     # exf evaporation [m/s]
 
 
 jax.tree_util.register_dataclass(
@@ -131,6 +143,13 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
     somS = (jnp.zeros((9, cfg.nr, nyp, nxp), dtype=dtype)
             if cfg.saltAdvScheme in (80, 81) else z0)
     return State(
+        uIce=z2 if cfg.useSEAICE else z0,
+        vIce=z2 if cfg.useSEAICE else z0,
+        siAREA=z2 if cfg.useSEAICE else z0,
+        siHEFF=z2 if cfg.useSEAICE else z0,
+        siHSNOW=z2 if cfg.useSEAICE else z0,
+        siHSALT=z2 if cfg.useSEAICE else z0,
+        siTICES=z0, SItracer=z0,
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
         etaN=z2, etaH=z2, dEtaHdt=z2,
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,
@@ -154,4 +173,4 @@ def zero_forcing(cfg: Config, dtype=jnp.float64) -> Forcing:
     return Forcing(tknots={}, atemp=z2, aqh=z2, uwind=z2, vwind=z2,
                    precip=z2, swdown=z2, lwdown=z2, runoff=z2,
                    fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
-                   saltFlux=z2, SST=z2, SSS=z2)
+                   saltFlux=z2, SST=z2, SSS=z2, wspeed=z2, evap=z2)

@@ -161,6 +161,19 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
         stack, knots = masked_records("climsss", maskC0)
         upd["SSS"] = jnp.asarray(refill(stack))
         tknots["SSS"] = jnp.asarray(knots)
+    # bulk-formulae mode (ALLOW_ATM_TEMP/ALLOW_ATM_WIND): carry the raw
+    # atmospheric state; fluxes are computed per step in forward_step
+    for name, fkey in (("atemp", "atemp"), ("aqh", "aqh"),
+                       ("uwind", "uwind"), ("vwind", "vwind"),
+                       ("precip", "precip"), ("swdown", "swdown"),
+                       ("lwdown", "lwdown"), ("runoff", "runoff"),
+                       ("evap", "evap"), ("wspeed", "wspeed")):
+        if name in fields:
+            stack, knots = masked_records(name, maskC0)
+            upd[fkey] = jnp.asarray(refill(stack))
+            tknots[fkey] = jnp.asarray(knots)
+    if "atemp" in fields:
+        cfg.exf_useBulk = True
     return Forcing(**{**forcing.__dict__, **upd, "tknots": tknots})
 
 
@@ -178,6 +191,7 @@ class Experiment:
     ggl90: object = None     # GGL90 instance when useGGL90
     vmix: object = None      # PP81/MY82 instance
     opps: object = None      # OPPS convection instance
+    seaice: object = None    # SeaIce instance when useSEAICE
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64, **size_kw):
@@ -285,11 +299,15 @@ class Experiment:
             kpath = os.path.join(input_dir, "data.kpp")
             if os.path.exists(kpath):
                 knl = nml.read_namelist(kpath).get("KPP_PARM01", {})
-            opts = kpp_mod.scan_cpp_options(os.path.join(
+            opt_path = os.path.join(
                 os.path.dirname(os.path.abspath(input_dir)), "code",
-                "KPP_OPTIONS.h"))
-            for bad in ("KPP_SMOOTH_SHSQ", "KPP_SMOOTH_DVSQ",
-                        "KPP_SMOOTH_DBLOC", "KPP_SMOOTH_DENS",
+                "KPP_OPTIONS.h")
+            if os.path.exists(opt_path):
+                opts = kpp_mod.scan_cpp_options(opt_path)
+            else:
+                # pkg/kpp/KPP_OPTIONS.h defaults
+                opts = {"KPP_SMOOTH_SHSQ", "KPP_SMOOTH_DBLOC", "KPP_GHAT"}
+            for bad in ("KPP_SMOOTH_DVSQ", "KPP_SMOOTH_DENS",
                         "KPP_SMOOTH_VISC", "KPP_SMOOTH_DIFF",
                         "ALLOW_KPP_VERTICALLY_SMOOTH"):
                 if bad in opts:
@@ -340,9 +358,30 @@ class Experiment:
                 grp = nml.read_namelist(opath).get("OPPS_PARM01", {})
             opps_obj = opps_mod.OPPS(cfg, grid, grp)
 
+        seaice_obj = None
+        if cfg.useSEAICE:
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import seaice as seaice_mod
+            s1, s3 = {}, {}
+            spath = os.path.join(input_dir, "data.seaice")
+            if os.path.exists(spath):
+                snl = nml.read_namelist(spath)
+                s1 = snl.get("SEAICE_PARM01", {})
+                s3 = snl.get("SEAICE_PARM03", {})
+            sip = seaice_mod.params_from_namelists(cfg, s1, s3)
+            cfg.seaice = sip
+            seaice_obj = seaice_mod.SeaIce(cfg, grid, sip)
+            ice0 = seaice_obj.init_state(dtype)
+            state = State(**{**state.__dict__,
+                             "uIce": ice0.uIce, "vIce": ice0.vIce,
+                             "siAREA": ice0.AREA, "siHEFF": ice0.HEFF,
+                             "siHSNOW": ice0.HSNOW, "siHSALT": ice0.HSALT,
+                             "siTICES": ice0.TICES,
+                             "SItracer": ice0.SItracer})
+
         exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
-                  vmix=vmix_obj, opps=opps_obj)
+                  vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj)
         exp.init_continuity()
         return exp
 
@@ -389,7 +428,8 @@ class Experiment:
             return step_mod.forward_step(cfg, grid, op, state, forcing,
                                          myIter, kpp=self.kpp,
                                          ggl90=self.ggl90, vmix=self.vmix,
-                                         opps=self.opps, **hooks)
+                                         opps=self.opps,
+                                         seaice=self.seaice, **hooks)
 
         self._step_fn = jax.jit(fn)
         return self._step_fn
@@ -407,7 +447,25 @@ class Experiment:
                     from mitgcm_tpu.model import rstar as rstar_mod
                     fC, fW, fS = rstar_mod.rstar_facs(cfg, grid, s.etaHm1)
                     g = rstar_mod.rstar_view(cfg, grid, fC, fW, fS)
-                return monitor.dynstat(cfg, g, s)
+                stats = monitor.dynstat(cfg, g, s)
+                if self.seaice is not None:
+                    # pkg/seaice/seaice_monitor.F MON_WRITESTATS_RL calls
+                    drn = grid.drF[:1]
+                    rows = [("uice", s.uIce, grid.maskInW, grid.rAw),
+                            ("vice", s.vIce, grid.maskInS, grid.rAs),
+                            ("area", s.siAREA, grid.maskInC, grid.rA),
+                            ("heff", s.siHEFF, grid.maskInC, grid.rA),
+                            ("hsnow", s.siHSNOW, grid.maskInC, grid.rA)]
+                    for i in range(self.seaice.p.SItrNumInUse):
+                        rows.append((f"sitracer{i + 1:02d}",
+                                     s.SItracer[i], grid.maskInC,
+                                     grid.rA))
+                    for nm, fld, mk, ar in rows:
+                        st = monitor.calc_stats(cfg, fld[None], mk[None],
+                                                mk, ar, drn)
+                        for k2, v2 in st.items():
+                            stats[f"seaice_{nm}_{k2}"] = v2
+                return stats
 
             self._monitor_fn = jax.jit(mon)
         stats = self._monitor_fn(st)
@@ -458,7 +516,8 @@ class Experiment:
         def body(state, myIter):
             new_state, diag = step_mod.forward_step(
                 cfg, grid, op, state, forcing, myIter, kpp=self.kpp,
-                ggl90=self.ggl90, vmix=self.vmix, opps=self.opps, **hooks)
+                ggl90=self.ggl90, vmix=self.vmix, opps=self.opps,
+                seaice=self.seaice, **hooks)
             return new_state, diag
 
         iters = cfg.nIter0 + jnp.arange(n)
@@ -649,6 +708,30 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
             raise FileNotFoundError(
                 f"useGGL90 restart needs {gg_root}.{myIter:010d} "
                 "(refusing to silently reset GGL90TKE)")
+    # seaice companion pickup (pkg/seaice/seaice_read_pickup.F); old
+    # format: per-field single records, 'siTICE' broadcast to all
+    # categories, 'siTrac*' tolerated missing (keeps init values)
+    si_meta = os.path.join(in_dir, f"pickup_seaice.{myIter:010d}.meta")
+    if cfg.useSEAICE and os.path.exists(si_meta):
+        sfields, smeta = mds.read_mflds(
+            os.path.join(in_dir, "pickup_seaice"), itr=myIter)
+        sstack = sfields["__records__"]
+        snames = [n.strip() for n in smeta.get("fldList", [])
+                  if n and n.strip()]
+        svals = {nm: pad2(sstack[i]) for i, nm in enumerate(snames)}
+        su = {}
+        if "siTICE" in svals:
+            md = exp.state.siTICES.shape[0]
+            su["siTICES"] = jnp.broadcast_to(
+                svals["siTICE"], (md,) + svals["siTICE"].shape)
+        if "siTICES" in svals:
+            raise NotImplementedError("multi-category siTICES pickup")
+        for pk, sk in (("siAREA", "siAREA"), ("siHEFF", "siHEFF"),
+                       ("siHSNOW", "siHSNOW"), ("siHSALT", "siHSALT"),
+                       ("siUICE", "uIce"), ("siVICE", "vIce")):
+            if pk in svals:
+                su[sk] = svals[pk]
+        exp.state = State(**{**exp.state.__dict__, **su})
     exp.cfg.startFromPickup = True
     exp.cfg.nIter0 = myIter
     if "Wvel" in vals:

@@ -324,7 +324,7 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
         fMer = fMer + (diffK4 * flow.yA * grid.recip_dyC
                        * (del2 - sh(del2, dj=-1)))
 
-    if gm_tensor is not None:
+    if gm_tensor is not None and gm_tensor.Kux is not None:
         from mitgcm_tpu.model import gmredi
         gx, gy = gmredi.xy_flux(cfg, grid, gm_tensor, flow.xA, flow.yA,
                                 tracer)

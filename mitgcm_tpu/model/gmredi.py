@@ -38,6 +38,17 @@ class GMParams:
     slopeSqCutoff: float = 1.0e48
     bigSlope: float = 99999.0
     advForm: bool = False
+    # GM_NON_UNITY_DIAGONAL compile flag.  True: Kux/Kvy per-point tapered
+    # (gmredi_calc_tensor.F:768-802/1010-1044, max(isopycK*taperFct,
+    # GM_Kmin_horiz) with slopes recomputed at U/V points).  False: the
+    # "simplified setting" constant GM_isopycK
+    # (gmredi_calc_tensor.F:1164-1185).  The committed verification outputs
+    # were produced in the long era when the PKG-DEFAULT options file
+    # defined it (doc/tag-index checkpoint56-era "compile everything except
+    # Visbeck"), so decks WITHOUT a custom code/GMREDI_OPTIONS.h need True;
+    # decks that ship a custom header opting out (lab_sea, cfc_example)
+    # need False.  load_experiment sniffs the deck's header.
+    nonUnityDiagonal: bool = True
 
     def resolved_isopycK(self) -> float:
         return self.background_K if self.isopycK == -999.0 else self.isopycK
@@ -65,7 +76,8 @@ class GMTensor(NamedTuple):
     Kwz: jnp.ndarray
 
 
-def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr):
+def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
+                 Lrho=None, rDepth=None):
     """gmredi_slope_limit.F tapering branch (z-coords, convSlopeUnit=1).
 
     Returns (SlopeX, SlopeY, SlopeSqr, taperFct)."""
@@ -105,6 +117,17 @@ def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr):
         taper = jnp.where(
             (ssq != 0.0) & (ssq < gm.slopeSqCutoff),
             0.5 * (1.0 + jnp.tanh((gm.Scrit - smod) / gm.Sd)), taper)
+    elif scheme == "ldd97":
+        # Large et al. 97: dm95's f1 times the near-boundary sine ramp
+        # f2(Rnondim = rDepth / (Lrho * |S|))
+        smod = jnp.sqrt(ssq)
+        f1 = 0.5 * (1.0 + jnp.tanh((gm.Scrit - smod) / gm.Sd))
+        denom = Lrho * jnp.where(smod == 0.0, 1.0, smod)
+        rnon = rDepth / denom
+        f2 = jnp.where(rnon >= 1.0, 1.0,
+                       0.5 * (1.0 + jnp.sin(jnp.pi * (rnon - 0.5))))
+        taper = jnp.where(
+            (ssq != 0.0) & (ssq < gm.slopeSqCutoff), f1 * f2, taper)
     elif scheme in ("", "clipping", "orig"):
         # slope clipping (gmredi_slope_limit.F clipping branch): limit
         # dSigmaDr so |S| <= maxSlope, no taper
@@ -141,7 +164,24 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
     dSyW = 0.25 * (sh(sigmaY, dj=1) + sigmaY
                    + sh(sigY_km1, dj=1) + sigY_km1) * maskFk
     dSrW = gsign * sigmaR
-    sx, sy, ssq, taper = _slope_limit(gm, dSxW, dSyW, dSrW)
+    LrhoC = LrhoW = LrhoS = None
+    rDepF = rDepC = None
+    if gm.taper_scheme == "ldd97":
+        # gmredi_calc_tensor.F:111-156: 1st baroclinic Rossby radius
+        Cspd, LrhoInf, LrhoSup = 2.0, 15.0e3, 100.0e3
+
+        def _lrho(f):
+            L = jnp.where(f != 0.0, Cspd / jnp.where(
+                f != 0.0, jnp.abs(f), 1.0), LrhoSup)
+            return jnp.clip(L, LrhoInf, LrhoSup)
+
+        LrhoC = _lrho(grid.fCori)
+        LrhoW = _lrho(0.5 * (grid.fCori + sh(grid.fCori, di=-1)))
+        LrhoS = _lrho(0.5 * (grid.fCori + sh(grid.fCori, dj=-1)))
+        rDepF = (grid.rF[0] - grid.rF[:cfg.nr])[:, None, None]
+        rDepC = (grid.rF[0] - grid.rC)[:, None, None]
+    sx, sy, ssq, taper = _slope_limit(gm, dSxW, dSyW, dSrW,
+                                      Lrho=LrhoC, rDepth=rDepF)
     sx = sx * maskFk
     sy = sy * maskFk
     ssq = ssq * maskFk
@@ -153,7 +193,14 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
     Kwy = Kwy.at[0].set(0.0)
     Kwz = Kwz.at[0].set(0.0)
 
-    # ---- U-point component (loop k=Nr..1, slope at cell center depth) ----
+    # ---- U/V-point components (see GMParams.nonUnityDiagonal) ----
+    if not gm.nonUnityDiagonal:
+        # "simplified setting": constant, untapered (broadcast scalar)
+        return GMTensor(Kux=jnp.asarray(isoK), Kvy=jnp.asarray(isoK),
+                        Kwx=Kwx, Kwy=Kwy, Kwz=Kwz)
+
+    # GM_NON_UNITY_DIAGONAL: slopes recomputed at U/V points at
+    # cell-center depth (loop k=Nr..1 of gmredi_calc_tensor.F:741-806)
     nr = cfg.nr
     maskp1 = jnp.where(jnp.arange(nr)[:, None, None] == nr - 1, 0.0, 1.0)
     sigR_kp1 = jnp.concatenate([sigmaR[1:], sigmaR[-1:]], axis=0)
@@ -163,17 +210,18 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
     dSrU = 0.25 * (sh(sigmaR, di=-1) + sigmaR
                    + (sh(sigR_kp1, di=-1) + sigR_kp1) * maskp1
                    ) * grid.maskW * gsign
-    _, _, _, taperU = _slope_limit(gm, dSxU, dSyU, dSrU)
+    _, _, _, taperU = _slope_limit(gm, dSxU, dSyU, dSrU,
+                                   Lrho=LrhoW, rDepth=rDepC)
     Kux = jnp.maximum(isoK * taperU, gm.Kmin_horiz)
 
-    # ---- V-point component ----
     dSxV = 0.25 * (sh(sigmaX, dj=-1, di=1) + sh(sigmaX, di=1)
                    + sh(sigmaX, dj=-1) + sigmaX) * grid.maskS
     dSyV = sigmaY * grid.maskS
     dSrV = 0.25 * (sh(sigmaR, dj=-1) + sigmaR
                    + (sh(sigR_kp1, dj=-1) + sigR_kp1) * maskp1
                    ) * grid.maskS * gsign
-    _, _, _, taperV = _slope_limit(gm, dSxV, dSyV, dSrV)
+    _, _, _, taperV = _slope_limit(gm, dSxV, dSyV, dSrV,
+                                   Lrho=LrhoS, rDepth=rDepC)
     Kvy = jnp.maximum(isoK * taperV, gm.Kmin_horiz)
 
     return GMTensor(Kux=Kux, Kvy=Kvy, Kwx=Kwx, Kwy=Kwy, Kwz=Kwz)

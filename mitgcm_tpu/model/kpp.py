@@ -112,6 +112,10 @@ class KPP:
         options = options or set()
         self.estimate_uref = "KPP_ESTIMATE_UREF" in options
         self.use_ghat = ("KPP_GHAT" in options) if options else True
+        # pkg/kpp/KPP_OPTIONS.h defaults define both smoothings; configs
+        # opt out via a custom code/KPP_OPTIONS.h (e.g. vermix)
+        self.smooth_shsq = "KPP_SMOOTH_SHSQ" in options
+        self.smooth_dbloc = "KPP_SMOOTH_DBLOC" in options
 
         # --- derived constants (kpp_init_fixed.F:125-126) ---
         self.Vtc = (p["concv"] * np.sqrt(0.2 / p["concs"] / p["epsilon"])
@@ -625,6 +629,25 @@ class KPP:
         return difT_f, difS_f
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _smooth_horiz(fld, msk):
+        """SMOOTH_HORIZ (kpp_routines.F:1216-1280): masked 9-point 121
+        filter, normalized by the local mask weight; points whose weight
+        falls below 0.25 keep their raw value.  fld/msk: [nr, ny, nx]."""
+        side_m = (sh(msk, di=-1) + sh(msk, di=1)
+                  + sh(msk, dj=-1) + sh(msk, dj=1))
+        corn_m = (sh(msk, di=-1, dj=-1) + sh(msk, di=-1, dj=1)
+                  + sh(msk, di=1, dj=-1) + sh(msk, di=1, dj=1))
+        w = 0.25 * msk + 0.125 * side_m + 0.0625 * corn_m
+        fm = fld * msk
+        num = (0.25 * fm
+               + 0.125 * (sh(fm, di=-1) + sh(fm, di=1)
+                          + sh(fm, dj=-1) + sh(fm, dj=1))
+               + 0.0625 * (sh(fm, di=-1, dj=-1) + sh(fm, di=-1, dj=1)
+                           + sh(fm, di=1, dj=-1) + sh(fm, di=1, dj=1)))
+        return jnp.where(w >= 0.25,
+                         num / jnp.where(w == 0.0, 1.0, w), fld)
+
     def calc(self, u, v, theta, salt, totPhiHyd, sfU, sfV, sfT, sfS, Qsw,
              difT_prof, difS_prof):
         """KPP_CALC (kpp_calc.F:120-700): full scheme, one call per step.
@@ -652,7 +675,18 @@ class KPP:
         Ritop_c = jnp.asarray(zg[1] - zg[1:nr + 1])[:, None, None] * Ritop_c
         zero2 = jnp.zeros_like(dbloc_c[:1])
         dbloc_f = jnp.concatenate([zero2, dbloc_c, zero2], axis=0)
-        ghat_in_f = dbloc_f                       # no horizontal smoothing
+        if self.smooth_dbloc:
+            # KPP_SMOOTH_DBLOC (kpp_calc.F:264-277): 9-point masked 121
+            # filter of the RAW dbloc copy, per level k with the k+1
+            # mask (SMOOTH_HORIZ, kpp_routines.F:1216); the smoothed copy
+            # feeds only the shear-Ri part of Ri_iwmix.  Levels 1..Nr-1.
+            ghat_c = self._smooth_horiz(dbloc_f0[1:nr + 1], mask_kp1)
+            ghat_c = ghat_c.at[nr - 1].set(dbloc_f0[nr])
+            ghat_c = ghat_c * maskC * mask_kp1
+            ghat_c = jnp.where(at_bot, 0.0, ghat_c)
+            ghat_in_f = jnp.concatenate([zero2, ghat_c, zero2], axis=0)
+        else:
+            ghat_in_f = dbloc_f                   # no horizontal smoothing
         Ritop_f = jnp.concatenate([zero2, Ritop_c], axis=0)
 
         ustar, bo, bosol, dVsq = self.forcing_surf(
@@ -665,6 +699,14 @@ class KPP:
         dv = v[:-1] - v[1:]
         dv1 = sh(v, dj=1)[:-1] - sh(v, dj=1)[1:]
         shsq = 0.5 * (du * du + du1 * du1 + dv * dv + dv1 * dv1)
+        if self.smooth_shsq:
+            # KPP_SMOOTH_SHSQ (kpp_calc.F:468-486): inline unmasked 121
+            # blend with the 8 surrounding vertical-shear-squared values
+            shsq = 0.5 * shsq + 0.125 * (
+                sh(du, dj=-1) ** 2 + sh(du, di=1, dj=-1) ** 2
+                + sh(du, dj=1) ** 2 + sh(du, di=1, dj=1) ** 2
+                + sh(dv, di=-1) ** 2 + sh(dv, di=-1, dj=1) ** 2
+                + sh(dv, di=1) ** 2 + sh(dv, di=1, dj=1) ** 2)
         shsq_f = jnp.concatenate(
             [zero2, shsq, zero2, zero2], axis=0)   # [nr+2]
 
@@ -693,7 +735,8 @@ class KPP:
         frac = swfrac(-hbl)
         return dict(viscAz=viscAz, diffKzT=diffKzT, diffKzS=diffKzS,
                     ghat=ghat, hbl=hbl, frac=frac,
-                    diffKzS_full=difs_f, diffKzT_full=dift_f)
+                    diffKzS_full=difs_f, diffKzT_full=dift_f,
+                    ghatUseTotalDiffus=self.p["KPP_ghatUseTotalDiffus"])
 
 
 def visc_uv(cfg: Config, grid: Grid, kpp_fields, kappaRU, kappaRV):

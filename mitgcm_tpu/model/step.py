@@ -118,7 +118,8 @@ def load_fields(cfg: Config, forcing: Forcing, myTime) -> Forcing:
     out = {}
     for name in ("fu", "fv", "Qnet", "Qsw", "EmPmR", "saltFlux",
                  "SST", "SSS", "atemp", "aqh", "uwind", "vwind",
-                 "precip", "swdown", "lwdown", "runoff"):
+                 "precip", "swdown", "lwdown", "runoff", "wspeed",
+                 "evap"):
         a = getattr(forcing, name)
         if name in forcing.tknots:
             tk = forcing.tknots[name]
@@ -421,7 +422,7 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
                  fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
-                 opps=None) -> Tuple[State, StepDiag]:
+                 opps=None, seaice=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -438,6 +439,38 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # LOAD_FIELDS_DRIVER: interpolate periodic forcing to myTime
     myTime = cfg.startTime + (myIter - cfg.nIter0) * cfg.deltaTClock
     forc = load_fields(cfg, forcing, myTime)
+
+    # pkg/exf bulk formulae (exf_getforcing.F): fluxes from the
+    # atmospheric state, recomputed every step from the current SST
+    if cfg.exf_useBulk:
+        from mitgcm_tpu.model import exf as exf_mod
+        bf = exf_mod.bulk_fluxes(cfg, grid, forc, state.theta[0])
+        forc = Forcing(**{**forc.__dict__,
+                          "fu": bf["fu"], "fv": bf["fv"],
+                          "Qnet": bf["Qnet"], "Qsw": bf["Qsw"],
+                          "EmPmR": bf["EmPmR"], "wspeed": bf["wspeed"],
+                          "evap": bf["evap"]})
+
+    # pkg/seaice (do_oceanic_phys.F:448 SEAICE_MODEL): updates the ice
+    # state and overwrites fu/fv/Qnet/Qsw/EmPmR/saltFlux seen by the ocean
+    if seaice is not None:
+        from mitgcm_tpu.model import seaice as seaice_mod
+        ice_in = seaice_mod.IceState(
+            uIce=state.uIce, vIce=state.vIce, AREA=state.siAREA,
+            HEFF=state.siHEFF, HSNOW=state.siHSNOW, HSALT=state.siHSALT,
+            TICES=state.siTICES, SItracer=state.SItracer)
+        kSrf = 0 if not cfg.usingPCoords else cfg.nr - 1
+        ice_out, si_upd = seaice.step(
+            ice_in, forc, state.uVel[kSrf], state.vVel[kSrf], state.etaN,
+            state.theta[kSrf], state.salt[kSrf], forc.fu, forc.fv)
+        forc = Forcing(**{**forc.__dict__, **si_upd})
+        state = State(**{**state.__dict__,
+                         "uIce": ice_out.uIce, "vIce": ice_out.vIce,
+                         "siAREA": ice_out.AREA, "siHEFF": ice_out.HEFF,
+                         "siHSNOW": ice_out.HSNOW,
+                         "siHSALT": ice_out.HSALT,
+                         "siTICES": ice_out.TICES,
+                         "SItracer": ice_out.SItracer})
 
     # DO_OCEANIC_PHYS
     theta0 = state.theta
@@ -668,5 +701,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         # step's entry-time etaH (calc_r_star.F Nm1/Exp rotation)
         etaHm1=state.etaH if use_rstar else state.etaHm1,
         totPhiHyd=totPhiHyd,
+        # sea ice state was updated in-place on `state` at the top
+        uIce=state.uIce, vIce=state.vIce, siAREA=state.siAREA,
+        siHEFF=state.siHEFF, siHSNOW=state.siHSNOW,
+        siHSALT=state.siHSALT, siTICES=state.siTICES,
+        SItracer=state.SItracer,
     )
     return new_state, diag

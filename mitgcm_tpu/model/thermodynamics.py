@@ -94,7 +94,11 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
         sfS = sfS * rstar_ratio
     # heat / freshwater / salt fluxes (external_forcing_surf.F:161-180)
     recip_Cp = 1.0 / cfg.HeatCapacity_Cp
-    sfT = sfT - (forcing.Qnet - forcing.Qsw) * recip_Cp * cfg.mass2rUnit
+    # without SHORTWAVE_HEATING compiled in, the full Qnet (which includes
+    # Qsw) enters at the surface; with it, Qsw is applied as a penetrating
+    # interior term instead (external_forcing_surf.F:252-262)
+    qsw_sub = forcing.Qsw if cfg.shortwaveHeating else 0.0
+    sfT = sfT - (forcing.Qnet - qsw_sub) * recip_Cp * cfg.mass2rUnit
     sfS = sfS - forcing.saltFlux * cfg.mass2rUnit
     # virtual E-P-R tracer flux (external_forcing_surf.F:130-208): the
     # PmEpR branch applies only for nonlinear-FS/p-coords real-FW runs;
@@ -197,10 +201,16 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
         cfg.implicitDiffusion, calc_advection=not (multidim or is_som),
         gm_tensor=gm_tensor, kpp_df=kpp_df)
 
-    # surface forcing into surface cell (apply_forcing.F APPLY_FORCING_T)
-    gTr = gTr.at[0].add(sfc_forc * grid.recip_drF[0] * grid.recip_hFacC[0])
+    # surface forcing into surface cell (apply_forcing.F APPLY_FORCING_T);
+    # with tracForcingOutAB=1 the forcing joins AFTER the AB extrapolation
+    # (temp_integrate.F:'tracForcingOutAB.NE.1' / '.EQ.1' blocks)
+    gForc = jnp.zeros_like(tracer).at[0].add(
+        sfc_forc * grid.recip_drF[0] * grid.recip_hFacC[0])
     if interior_forc is not None:
-        gTr = gTr + interior_forc
+        gForc = gForc + interior_forc
+    forc_in_ab = cfg.tracForcingOutAB != 1
+    if forc_in_ab:
+        gTr = gTr + gForc
 
     # AB on the tendency only for linear schemes (gad_init_fixed.F:147-156:
     # AdamsBashforthGt only for centered-2nd/upwind-3rd/centered-4th)
@@ -212,6 +222,8 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
             cfg, gTr, gNm1, gNm2_in, myIter)
     else:
         gTr_ab, gNm1_new, gNm2_new = gTr, gNm1, gNm2_in
+    if not forc_in_ab:
+        gTr_ab = gTr_ab + gForc
 
     recip_hFacNew = grid.recip_hFacC
     if rstar_ratio is not None:
@@ -225,6 +237,28 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
     if cfg.implicitDiffusion:
         tr_new = impldiff(cfg, grid, tr_new, kappaR, recip_hFacNew, dt)
     return tr_new, gNm1_new, gNm2_new, som_new
+
+
+def shortwave_heating(cfg: Config, grid: Grid, forcing: Forcing):
+    """SHORTWAVE_HEATING penetrating radiation (external_forcing.F:527-549):
+    gT(k) -= Qsw*(swfrac(|rF(k)|)*maskC(k) - swfrac(|rF(k+1)|)*maskC(k+1))
+             *recip_Cp*mass2rUnit*recip_drF(k)*recip_hFacC(k).
+    The k+1 mask means any flux reaching the sea floor is absorbed in the
+    deepest wet cell (conservation is exact); at k=Nr the lower fraction
+    is forced to zero."""
+    from mitgcm_tpu.model.kpp import swfrac
+    nr = cfg.nr
+    fb = swfrac(-jnp.abs(grid.rF))                  # [nr+1] interfaces
+    fb1 = fb[:nr][:, None, None]
+    fb2 = fb[1:nr + 1].at[nr - 1].set(0.0)[:, None, None]
+    mC = grid.maskC
+    mKp1 = jnp.concatenate([mC[1:], mC[-1:]], axis=0)
+    q = forcing.Qsw
+    if q.ndim == 3:
+        q = q[0]
+    recip_Cp = 1.0 / cfg.HeatCapacity_Cp
+    return (-q[None] * (fb1 * mC - fb2 * mKp1) * recip_Cp * cfg.mass2rUnit
+            * grid.recip_drF[:, None, None] * grid.recip_hFacC)
 
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
@@ -254,9 +288,16 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         recip_Cp = 1.0 / cfg.HeatCapacity_Cp
         qswT = (-forcing.Qsw * recip_Cp * (1.0 / cfg.rhoConst)
                 * (1.0 - kpp_fields["frac"]))
-        dfT = kpp_mod.ghat_flux(cfg, grid, kpp_fields["diffKzT"],
+        # KPP_ghatUseTotalDiffus (kpp_transport_t.F:69-77): with GM-Redi
+        # the ghat flux multiplies (KPPdiffKz + Kwz)
+        kzT, kzS = kpp_fields["diffKzT"], kpp_fields["diffKzS"]
+        if (gm_tensor is not None
+                and kpp_fields.get("ghatUseTotalDiffus", False)):
+            kzT = kzT + gm_tensor.Kwz
+            kzS = kzS + gm_tensor.Kwz
+        dfT = kpp_mod.ghat_flux(cfg, grid, kzT,
                                 kpp_fields["ghat"], sfT, qswT, flow.maskUp)
-        dfS = kpp_mod.ghat_flux(cfg, grid, kpp_fields["diffKzS"],
+        dfS = kpp_mod.ghat_flux(cfg, grid, kzS,
                                 kpp_fields["ghat"], sfS, 0.0 * sfS,
                                 flow.maskUp)
 
@@ -277,6 +318,9 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         intFT = None
         if cfg.custom_forcing_t is not None:
             intFT = cfg.custom_forcing_t(cfg, grid, state)
+        if cfg.shortwaveHeating:
+            sw = shortwave_heating(cfg, grid, forcing)
+            intFT = sw if intFT is None else intFT + sw
         theta, gtNm1, gtNm2, somT = tracer_integrate(
             cfg, grid, flow, state, theta, state.gtNm1, kapT, sfT,
             cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,

@@ -133,7 +133,42 @@ def find_alpha(cfg: Config, grid, theta, salt, totPhiHyd=None):
                                         + 2.0 * d[9] * sp5))
                    + p1 * p1 * (3.0 * d[11] * t2 + d[12] * p1))
         return rhoDen * (dnum_dt - (rhoLoc * rhoDen) * dden_dt)
+    if eos in ("JMD95Z", "JMD95P", "UNESCO"):
+        # find_alpha.F JMD95 branch: analytic d(rho)/dT of the rational
+        # EOS rho = rhoP0/(1 - p/K)
+        p1 = _jmd_pbar(cfg, grid, totPhiHyd)
+        t1 = theta
+        t2 = t1 * t1
+        t3 = t2 * t1
+        s1 = jnp.maximum(salt, 0.0)
+        s3o2 = jnp.sqrt(s1 * s1 * s1)
+        p2 = p1 * p1
+        cF, cS = _EOS_JMDCFW, _EOS_JMDCSW
+        kF, kS, kP = _EOS_JMDCKFW, _EOS_JMDCKSW, _EOS_JMDCKP
+        drhoP0dt = (cF[1] + 2.0 * cF[2] * t1 + 3.0 * cF[3] * t2
+                    + 4.0 * cF[4] * t3 + 5.0 * cF[5] * t3 * t1
+                    + s1 * (cS[1] + 2.0 * cS[2] * t1 + 3.0 * cS[3] * t2
+                            + 4.0 * cS[4] * t3)
+                    + s3o2 * (cS[6] + 2.0 * cS[7] * t1))
+        dKdt = (kF[1] + 2.0 * kF[2] * t1 + 3.0 * kF[3] * t2
+                + 4.0 * kF[4] * t3
+                + s1 * (kS[1] + 2.0 * kS[2] * t1 + 3.0 * kS[3] * t2)
+                + s3o2 * (kS[5] + 2.0 * kS[6] * t1)
+                + p1 * (kP[1] + 2.0 * kP[2] * t1 + 3.0 * kP[3] * t2)
+                + p1 * s1 * (kP[5] + 2.0 * kP[6] * t1)
+                + p2 * (kP[9] + 2.0 * kP[10] * t1)
+                + p2 * s1 * (kP[12] + 2.0 * kP[13] * t1))
+        K = bulkmod(p1, t1, s1)
+        rp0 = rho_p0(t1, s1)
+        return ((K * K * drhoP0dt - K * p1 * drhoP0dt - rp0 * p1 * dKdt)
+                / (K - p1) ** 2)
     raise NotImplementedError(f"find_alpha eosType={cfg.eosType}")
+
+
+def _jmd_pbar(cfg: Config, grid, totPhiHyd):
+    """Pressure [bar] for the JMD95/UNESCO EOS derivative routines
+    (find_alpha.F PRESSURE_FOR_EOS + SItoBar)."""
+    return _pressure_for_eos(cfg, grid, totPhiHyd) * _SI2BAR
 
 
 def find_beta(cfg: Config, grid, theta, salt, totPhiHyd=None):
@@ -154,6 +189,28 @@ def find_beta(cfg: Config, grid, theta, salt, totPhiHyd=None):
         dden_ds = (d[5] + t1 * (d[6] + d[7] * t2)
                    + 1.5 * sp5 * (d[8] + d[9] * t2))
         return rhoDen * (dnum_ds - (rhoLoc * rhoDen) * dden_ds)
+    if eos in ("JMD95Z", "JMD95P", "UNESCO"):
+        p1 = _jmd_pbar(cfg, grid, totPhiHyd)
+        t1 = theta
+        t2 = t1 * t1
+        t3 = t2 * t1
+        s1 = jnp.maximum(salt, 0.0)
+        s3o2 = 1.5 * jnp.sqrt(s1)
+        cS = _EOS_JMDCSW
+        kS, kP = _EOS_JMDCKSW, _EOS_JMDCKP
+        drhoP0dS = (cS[0] + cS[1] * t1 + cS[2] * t2 + cS[3] * t3
+                    + cS[4] * t3 * t1
+                    + s3o2 * (cS[5] + cS[6] * t1 + cS[7] * t2)
+                    + 2.0 * cS[8] * s1)
+        dKdS = (kS[0] + kS[1] * t1 + kS[2] * t2 + kS[3] * t3
+                + s3o2 * (kS[4] + kS[5] * t1 + kS[6] * t2)
+                + p1 * (kP[4] + kP[5] * t1 + kP[6] * t2)
+                + s3o2 * p1 * kP[7]
+                + p1 * p1 * (kP[11] + kP[12] * t1 + kP[13] * t2))
+        K = bulkmod(p1, t1, s1)
+        rp0 = rho_p0(t1, s1)
+        return ((K * K * drhoP0dS - K * p1 * drhoP0dS - rp0 * p1 * dKdS)
+                / (K - p1) ** 2)
     raise NotImplementedError(f"find_beta eosType={cfg.eosType}")
 
 
