@@ -480,15 +480,20 @@ class Experiment:
         n = n_steps if n_steps is not None else cfg.nTimeSteps
         step_fn = self.make_step_fn()
         records: List[Dict[str, float]] = []
+        # continue from wherever a previous run() call left off, so
+        # incremental run(1) calls step through time like one long run
+        if not hasattr(self, "_cur_iter") or self._cur_iter is None:
+            self._cur_iter = cfg.nIter0
         if collect_monitor:
-            rec = {"iter": cfg.nIter0}
+            rec = {"iter": self._cur_iter}
             rec.update(self.monitor_stats())
             records.append(rec)
         state = self.state
-        for iloop in range(1, n + 1):
-            myIter = cfg.nIter0 + iloop - 1
+        for _ in range(n):
+            myIter = self._cur_iter
             state, diag = step_fn(state, self.forcing, myIter)
-            rec = {"iter": cfg.nIter0 + iloop,
+            self._cur_iter = myIter + 1
+            rec = {"iter": self._cur_iter,
                    "cg2d_init_res": float(diag.cg2d_init_res),
                    "cg2d_iters": int(diag.cg2d_iters),
                    "cg2d_last_res": float(diag.cg2d_last_res)}
@@ -734,6 +739,7 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
         exp.state = State(**{**exp.state.__dict__, **su})
     exp.cfg.startFromPickup = True
     exp.cfg.nIter0 = myIter
+    exp._cur_iter = None   # restart run() iteration tracking
     if "Wvel" in vals:
         # our own pickups carry wVel — bit-identical restart, no recompute
         exp.state = State(**{**exp.state.__dict__, "wVel": vals["Wvel"]})

@@ -842,6 +842,9 @@ class SeaIce:
             uIce, vIce = self._lsr_iterate(
                 AU, BU, CU, AV, BV, CV, uRt1, uRt2, vRt1, vRt2,
                 rhsU, rhsV, uIce, vIce)
+            if getattr(self, "debug", False):
+                self.last_lsr = getattr(self, "last_lsr", [])
+                self.last_lsr.append(self._lsr_diag)
 
         uIce = uIce * self.seaiceMaskU
         vIce = vIce * self.seaiceMaskV
@@ -858,12 +861,12 @@ class SeaIce:
         mU, mV = self.seaiceMaskU, self.seaiceMaskV
 
         def cond(st):
-            (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m) = st
+            (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m, ic1, ic2) = st
             return jnp.logical_and(m < p.linearIterMax,
                                    jnp.logical_or(it4u, it4v))
 
         def body(st):
-            (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m) = st
+            (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m, ic1, ic2) = st
             uTmp, vTmp = u, v
             u_new = self._tridiagU(AU, BU, CU, uRt1, uRt2, rhsU, uTmp,
                                    wfau, u)
@@ -884,20 +887,26 @@ class SeaIce:
                 m > 1, s2 > s2a)), 0.0, wfav)
             s1a = jnp.where(chku, s1, s1a)
             s2a = jnp.where(chkv, s2, s2a)
-            it4u = jnp.where(jnp.logical_and(chku, s1 < p.LSR_ERROR),
-                             False, it4u)
-            it4v = jnp.where(jnp.logical_and(chkv, s2 < p.LSR_ERROR),
-                             False, it4v)
+            stopu = jnp.logical_and(chku, s1 < p.LSR_ERROR)
+            stopv = jnp.logical_and(chkv, s2 < p.LSR_ERROR)
+            ic1 = jnp.where(stopu, m, ic1)
+            ic2 = jnp.where(stopv, m, ic2)
+            it4u = jnp.where(stopu, False, it4u)
+            it4v = jnp.where(stopv, False, it4v)
             u = self.fill(u)
             v = self.fill(v)
-            return (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m)
+            return (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m, ic1, ic2)
 
         st0 = (uIce, vIce,
                jnp.asarray(p.LSRrelaxU, uIce.dtype),
                jnp.asarray(p.LSRrelaxV, uIce.dtype),
                jnp.asarray(0.8, uIce.dtype), jnp.asarray(0.8, uIce.dtype),
-               jnp.asarray(True), jnp.asarray(True), jnp.asarray(0))
+               jnp.asarray(True), jnp.asarray(True), jnp.asarray(0),
+               jnp.asarray(p.linearIterMax), jnp.asarray(p.linearIterMax))
         out = jax.lax.while_loop(cond, body, st0)
+        # (ICOUNT1, ICOUNT2, S1A, S2A) — matches the reference's
+        # "SEAICE_LSR (ipass=..) iters,dU" diagnostic (seaice_lsr.F:1601)
+        self._lsr_diag = (out[9], out[10], out[4], out[5])
         return out[0], out[1]
 
     # ------------------------------------------------------------------

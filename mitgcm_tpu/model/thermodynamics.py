@@ -78,14 +78,22 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
     dtype = state.theta.dtype
     sfT = jnp.zeros(state.etaN.shape, dtype)
     sfS = jnp.zeros(state.etaN.shape, dtype)
-    # climatological relaxation (forcing_surf_relax.F, ks=1 z-coords)
+    # climatological relaxation (forcing_surf_relax.F, ks=1 z-coords);
+    # with seaice and SEAICErestoreUnderIce=F (default), no restoring
+    # under ice: scale by the open-water fraction (1-AREA), using the
+    # post-seaice-step area (forcing_surf_relax.F:75-90)
+    openFrac = 1.0
+    if cfg.useSEAICE and cfg.seaice is not None \
+            and not getattr(cfg.seaice, "restoreUnderIce", False) \
+            and state.siAREA is not None and state.siAREA.ndim == 2:
+        openFrac = 1.0 - state.siAREA
     if cfg.tauThetaClimRelax > 0.0:
         lam = 1.0 / cfg.tauThetaClimRelax
-        sfT = sfT - lam * (state.theta[0] - forcing.SST) \
+        sfT = sfT - lam * openFrac * (state.theta[0] - forcing.SST) \
             * grid.drF[0] * grid.hFacC[0]
     if cfg.tauSaltClimRelax > 0.0:
         lam = 1.0 / cfg.tauSaltClimRelax
-        sfS = sfS - lam * (state.salt[0] - forcing.SSS) \
+        sfS = sfS - lam * openFrac * (state.salt[0] - forcing.SSS) \
             * grid.drF[0] * grid.hFacC[0]
     if rstar_ratio is not None:
         # forcing_surf_relax.F:118-125: climatology relaxation scales

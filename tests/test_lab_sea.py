@@ -30,13 +30,13 @@ DIR = reference_exp("lab_sea")
 CHECKS = {
     "dynstat_theta_max": (11, 3),
     "dynstat_theta_mean": (11, 3),
-    "dynstat_theta_min": (4, 3),
+    "dynstat_theta_min": (11, 3),
     "dynstat_salt_max": (12, 5),
-    "dynstat_salt_mean": (7, 6),
+    "dynstat_salt_mean": (11, 6),
     "dynstat_uvel_max": (10, 0),
-    "dynstat_uvel_mean": (9, 2),
-    "dynstat_vvel_max": (4, 1),
-    "ke_mean": (4, 1),
+    "dynstat_uvel_mean": (9, 1),
+    "dynstat_vvel_max": (10, 1),
+    "ke_mean": (10, 1),
     "cg2d_init_res": (8, 2),
     "seaice_area_max": (11, 3),
     "seaice_area_mean": (11, 3),
