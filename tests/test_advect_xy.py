@@ -81,3 +81,41 @@ def test_80step_series(exp, ref_series):
         for k in KEYS:
             assert refout.matching_digits(ref_series[ev][k], mine[k]) >= 10, (
                 ev, k, ref_series[ev][k], mine[k])
+
+
+def test_ab3_c4_series():
+    """input.ab3_c4: centered-4th advection (tempAdvScheme=4) under AB-3
+    (alph_AB=0.5, beta_AB=0.281105) vs results/output.ab3_c4.txt."""
+    e = Experiment.from_dir(DIR + "/input.ab3_c4", nx=20, ny=20, nr=1)
+    cfg, grid = e.cfg, e.grid
+    assert cfg.useAB3 and cfg.tempAdvScheme == 4
+    u1 = jnp.ones_like(e.state.uVel) * grid.maskW
+    v1 = jnp.ones_like(e.state.vVel) * grid.maskS
+    xC = np.asarray(grid.xC)
+    yC = np.asarray(grid.yC)
+    rC = float(grid.rC[0])
+    ol = cfg.olx
+    rD = np.sqrt((xC - 40e3) ** 2 + (yC - 40e3) ** 2 + (rC + 50e3) ** 2)
+    th = np.exp(-0.5 * (rD / 20e3) ** 2)
+    thp = np.zeros_like(th)
+    thp[ol:-ol, ol:-ol] = th[ol:-ol, ol:-ol]
+    theta = cyclic_fill_halo(jnp.asarray(thp)[None], cfg.oly, cfg.olx)
+    sa = np.where(rD <= 60e3, cfg.sRef[0] + 1.0, cfg.sRef[0])
+    salt = cyclic_fill_halo(jnp.asarray(sa)[None], cfg.oly, cfg.olx)
+    e.state = State(**{**e.state.__dict__, "uVel": u1, "vVel": v1,
+                       "theta": theta * grid.maskC,
+                       "salt": salt * grid.maskC})
+    e.init_continuity()
+    ref = refout.parse_monitor_series(DIR + "/results/output.ab3_c4.txt")
+    mine = e.monitor_stats()
+    for k in KEYS:
+        assert refout.matching_digits(ref[0][k], mine[k]) >= 10
+    prev_iter = 0
+    for ev in range(1, len(ref)):
+        it = int(round(ref[ev]["time_secondsf"] / cfg.deltaTTracer))
+        e.run(n_steps=it - prev_iter, collect_monitor=False)
+        prev_iter = it
+        mine = e.monitor_stats()
+        for k in KEYS:
+            assert refout.matching_digits(ref[ev][k], mine[k]) >= 10, (
+                ev, k, ref[ev][k], mine[k])
