@@ -75,7 +75,8 @@ def parse_meta(path: str) -> Dict[str, object]:
     return out
 
 
-def rdmds(froot: str, itr: Optional[int] = None) -> np.ndarray:
+def rdmds(froot: str, itr: Optional[int] = None,
+          return_meta: bool = False):
     """Read an MDS field by file root (like MITgcmutils.mds.rdmds, global files)."""
     if itr is not None:
         froot = f"{froot}.{itr:010d}"
@@ -97,6 +98,13 @@ def rdmds(froot: str, itr: Optional[int] = None) -> np.ndarray:
     nrec = int(meta.get("nrecords", 1))
     shape = [nrec] + gdims[::-1] if nrec > 1 else gdims[::-1]
     arr = read_raw(froot + ".data", shape, dtype)
+    if return_meta:
+        fl = meta.get("fldList", meta.get("fldlist"))
+        if fl is not None and not isinstance(fl, list):
+            fl = [fl]
+        if fl is not None:
+            meta["fldList"] = [s for s in (str(f).strip() for f in fl) if s]
+        return arr, meta
     return arr
 
 

@@ -479,6 +479,7 @@ class Experiment:
         cfg = self.cfg
         n = n_steps if n_steps is not None else cfg.nTimeSteps
         step_fn = self.make_step_fn()
+        diag_mgr = getattr(self, "diag_mgr", None)
         records: List[Dict[str, float]] = []
         # continue from wherever a previous run() call left off, so
         # incremental run(1) calls step through time like one long run
@@ -500,9 +501,26 @@ class Experiment:
             if collect_monitor:
                 rec.update(self.monitor_stats(state))
             records.append(rec)
+            if diag_mgr is not None:
+                self.state = state   # diagnostics read exp.state
+                myTime = cfg.startTime \
+                    + (self._cur_iter - cfg.nIter0) * cfg.deltaTClock
+                diag_mgr.step(myTime, self._cur_iter)
         self.state = state
         self.diags = records
         return records
+
+    def enable_diagnostics(self, out_dir: str = ".",
+                           path: Optional[str] = None) -> None:
+        """Activate the pkg/diagnostics manager: parse the deck's
+        data.diagnostics (or `path`) and write its output streams under
+        out_dir during run()."""
+        from mitgcm_tpu.model import diagnostics as diag_mod
+        if path is None:
+            path = os.path.join(self.cfg.run_dir, "data.diagnostics")
+        os.makedirs(out_dir, exist_ok=True)
+        self.diag_mgr = diag_mod.Diagnostics.from_file(self, path,
+                                                       out_dir=out_dir)
 
     def run_scan(self, n_steps: Optional[int] = None):
         """lax.scan runner: the whole run is ONE compiled XLA program
