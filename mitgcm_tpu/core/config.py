@@ -510,6 +510,51 @@ def read_size_h(code_dir: str):
     return out
 
 
+# namelist keys with no effect on the computed solution (IO cadence,
+# precision of file output, runtime chatter); accepted silently by
+# config_check rather than failing the run (model/src/config_check.F
+# analog: anything else unknown raises)
+_IGNORABLE_KEYS = {
+    "tavefreq", "tavefreq_diag", "usesinglecpuio", "monitorselect",
+    "debuglevel", "plotlevel", "dumpinitandlast", "pickupsuff",
+    "writepickupatend", "rwsuffixtype", "adjmonitorfreq", "diagfreq",
+    "adjdumpfreq", "outputtypesinclusive", "usemnc", "debugmode",
+    "the_run_name", "usecoordletter", "readpickupwithtracer",
+    "writepickupwithtracer", "globalfiles", "useexfcheckrange",
+    "dumpatlast", "diag_mnc", "diagst_mnc", "timeave_mnc", "snapshot_mnc",
+    "monitor_mnc", "pickup_mnc", "mdsiolocaldir", "checkinitemp",
+    "checkinisalt",
+    # diagnostic-only packages: they sample/report the state but never
+    # feed back into it (pkg/sbo angular-momentum budgets, pkg/profiles
+    # observation sampling), so a deck enabling them still computes the
+    # same solution
+    "usesbo", "useprofiles",
+    # hFac recompute-from-pickup control (ini_masks_etc.F); our grids are
+    # always rebuilt from the bathymetry so both settings are equivalent
+    "doresethfactors",
+}
+
+
+class ConfigCheckError(ValueError):
+    """Raised when a deck requests parameters/packages the framework
+    does not implement (fail-loudly analog of config_check.F)."""
+
+
+def config_check(cfg: Config, strict: bool = True) -> List[str]:
+    """Return (and optionally raise on) namelist keys that were read but
+    not understood.  The reference's CONFIG_CHECK stops the run on
+    inconsistent/unsupported settings; silently dropping a key here can
+    silently change the physics, so unknown non-IO keys are fatal."""
+    unknown = sorted(k for k in cfg.extra
+                     if k.split("(")[0].lower() not in _IGNORABLE_KEYS)
+    if unknown and strict:
+        raise ConfigCheckError(
+            "config_check: deck parameters not implemented by mitgcm_tpu: "
+            + ", ".join(unknown)
+            + "  (pass strict_config=False to run anyway)")
+    return unknown
+
+
 def ref_output_vintage(input_dir: str) -> Optional[tuple]:
     """MITgcm version that produced the deck's committed reference output
     ("// MITgcmUV version: checkpoint67t" in ../results/output.txt), as a

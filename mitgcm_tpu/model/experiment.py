@@ -194,12 +194,15 @@ class Experiment:
     seaice: object = None    # SeaIce instance when useSEAICE
 
     @classmethod
-    def from_dir(cls, input_dir: str, dtype=jnp.float64, **size_kw):
+    def from_dir(cls, input_dir: str, dtype=jnp.float64,
+                 strict_config: bool = True, **size_kw):
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             # digit-level verification needs real f64; the JAX_ENABLE_X64 env
             # var can be pre-empted by platform plugins, so set it directly
             jax.config.update("jax_enable_x64", True)
         cfg = config_mod.load_experiment(input_dir, **size_kw)
+        # fail-loudly on deck parameters we would otherwise silently drop
+        config_mod.config_check(cfg, strict=strict_config)
         cs_fill = None
         if cfg.usingCurvilinearGrid:
             from mitgcm_tpu.core.grid import build_cs_grid
@@ -476,10 +479,18 @@ class Experiment:
 
         Returns list of dicts: one per monitor event (iter 0 included).
         """
+        import time as _time
         cfg = self.cfg
         n = n_steps if n_steps is not None else cfg.nTimeSteps
+        timers = getattr(self, "_timers", None)
+        if timers is None:
+            timers = self._timers = {}
+        t0 = _time.perf_counter()
         step_fn = self.make_step_fn()
+        timers["make_step_fn"] = timers.get("make_step_fn", 0.0) \
+            + _time.perf_counter() - t0
         diag_mgr = getattr(self, "diag_mgr", None)
+        nan_trap = getattr(self, "nan_trap", False)
         records: List[Dict[str, float]] = []
         # continue from wherever a previous run() call left off, so
         # incremental run(1) calls step through time like one long run
@@ -492,23 +503,55 @@ class Experiment:
         state = self.state
         for _ in range(n):
             myIter = self._cur_iter
+            t0 = _time.perf_counter()
             state, diag = step_fn(state, self.forcing, myIter)
             self._cur_iter = myIter + 1
             rec = {"iter": self._cur_iter,
                    "cg2d_init_res": float(diag.cg2d_init_res),
                    "cg2d_iters": int(diag.cg2d_iters),
                    "cg2d_last_res": float(diag.cg2d_last_res)}
+            timers["forward_step"] = timers.get("forward_step", 0.0) \
+                + _time.perf_counter() - t0
+            if nan_trap:
+                # debug NaN-trap: stop at the first step that corrupts
+                # the state (the reference relies on post-mortem dumps)
+                import numpy as _np
+                for fname in ("etaN", "uVel", "theta", "salt"):
+                    a = getattr(state, fname)
+                    if a.size and not bool(_np.isfinite(
+                            _np.asarray(a)).all()):
+                        raise FloatingPointError(
+                            f"NaN-trap: non-finite {fname} after iteration "
+                            f"{self._cur_iter} (cg2d_init_res="
+                            f"{rec['cg2d_init_res']!r})")
             if collect_monitor:
+                t0 = _time.perf_counter()
                 rec.update(self.monitor_stats(state))
+                timers["monitor"] = timers.get("monitor", 0.0) \
+                    + _time.perf_counter() - t0
             records.append(rec)
             if diag_mgr is not None:
                 self.state = state   # diagnostics read exp.state
                 myTime = cfg.startTime \
                     + (self._cur_iter - cfg.nIter0) * cfg.deltaTClock
+                t0 = _time.perf_counter()
                 diag_mgr.step(myTime, self._cur_iter)
+                timers["diagnostics"] = timers.get("diagnostics", 0.0) \
+                    + _time.perf_counter() - t0
         self.state = state
         self.diags = records
         return records
+
+    def timing_report(self) -> str:
+        """Per-phase wall-clock table (eesupp/src/timers.F analog for the
+        python driver loop; inside jit, XLA owns the schedule)."""
+        timers = getattr(self, "_timers", {})
+        total = sum(timers.values()) or 1.0
+        lines = [" phase            seconds      %"]
+        for k, v in sorted(timers.items(), key=lambda kv: -kv[1]):
+            lines.append(f" {k:<16s} {v:8.3f} {100.0 * v / total:6.1f}")
+        lines.append(f" {'total':<16s} {total:8.3f}  100.0")
+        return "\n".join(lines)
 
     def enable_diagnostics(self, out_dir: str = ".",
                            path: Optional[str] = None) -> None:
