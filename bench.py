@@ -1,17 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: barotropic-gyre-style core step throughput on one chip.
+"""Benchmark: forward-step throughput + roofline on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Headline metric stays the barotropic-gyre
+points*steps/s (comparable across rounds, vs the reference's committed
+single-CPU timer baseline ~2.2e4 from BASELINE.md); extra keys report:
+  - configs: points*steps/s for 3 configs, including a large
+    bandwidth-bound domain (1024x1024x32 stratified gyre, f32)
+  - hbm_gbps: STREAM-triad-style measured HBM bandwidth on this chip
+  - model_gbps / roofline_frac: estimated bytes moved by the large-domain
+    step (3-D field traffic) vs the measured bandwidth
 
-Baseline: the reference's committed single-CPU timer reports give
-~2.2e4-8.5e4 grid-points*steps/s on its tutorial configs (BASELINE.md).
-We report grid-points*steps/s of the jit-compiled forward step on the
-tutorial_barotropic_gyre deck (62x62x1, same numerics, f32 on TPU).
+Everything runs through run_scan (the whole n-step loop is ONE compiled
+XLA program; monitor stays off the hot path).
 """
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
@@ -20,31 +24,96 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    from mitgcm_tpu.model.experiment import Experiment
-
-    exp_dir = "/root/reference/verification/tutorial_barotropic_gyre/input"
-    dtype = jnp.float32
-    exp = Experiment.from_dir(exp_dir, dtype=dtype)
-
-    n_steps = 200
-    # warm-up/compile
-    final_state, diags = exp.run_scan(n_steps=2)
+def _time_scan(exp, n_steps, warmup=2):
+    final_state, _ = exp.run_scan(n_steps=warmup)
     jax.block_until_ready(final_state.etaN)
-
     t0 = time.perf_counter()
-    final_state, diags = exp.run_scan(n_steps=n_steps)
+    final_state, _ = exp.run_scan(n_steps=n_steps)
     jax.block_until_ready(final_state.etaN)
-    dt = time.perf_counter() - t0
+    return time.perf_counter() - t0
 
+
+def bench_deck(exp_dir, n_steps, dtype, **size_kw):
+    from mitgcm_tpu.model.experiment import Experiment
+    exp = Experiment.from_dir(exp_dir, dtype=dtype, **size_kw)
+    dt = _time_scan(exp, n_steps)
     pts = exp.cfg.nx * exp.cfg.ny * exp.cfg.nr
+    return pts * n_steps / dt, dt
+
+
+def bench_large(nx=1024, ny=1024, nr=32, n_steps=20):
+    """Large stratified gyre: HBM-bandwidth-bound on a single chip."""
+    from mitgcm_tpu.model.experiment import Experiment
+    from mitgcm_tpu.utils import synthetic
+
+    cfg = synthetic.gyre_config(nx=nx, ny=ny, nr=nr, deltaT=600.0)
+    grid, state, forcing, op = synthetic.gyre_setup(cfg, dtype=jnp.float32)
+    exp = Experiment(cfg=cfg, grid=grid, state=state, forcing=forcing,
+                     op=op)
+    dt = _time_scan(exp, n_steps, warmup=2)
+    pts = nx * ny * nr
     rate = pts * n_steps / dt
-    baseline = 2.2e4  # ref tutorial_barotropic_gyre points*steps/s (BASELINE.md)
+    # 3-D field traffic estimate per step: the hot loop reads the state
+    # (u,v,w,T + 4 AB slots ~ 8 fields), streams the tendency pipeline
+    # (~24 intermediate field-sized reads+writes XLA cannot all fuse
+    # away: advective fluxes x3, viscous fluxes x3, implicit solve
+    # sweeps x2, cg2d ~15 iterations on 2-D fields ~ 1 3-D equivalent)
+    # and writes ~8 fields back: ~40 field-traversals * 4 B.
+    field_traversals = 40.0
+    model_gbps = rate * field_traversals * 4.0 / 1e9
+    return rate, dt, model_gbps
+
+
+def measure_hbm_gbps():
+    """STREAM-triad on 256 MiB operands: a = b*s + c."""
+    n = 64 * 1024 * 1024
+    b = jnp.arange(n, dtype=jnp.float32)
+    c = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def triad(b, c):
+        return b * 1.5 + c
+
+    a = triad(b, c)
+    jax.block_until_ready(a)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        a = triad(b, c)
+    jax.block_until_ready(a)
+    dt = time.perf_counter() - t0
+    # 2 reads + 1 write x 4 bytes
+    return reps * 3 * 4 * n / dt / 1e9
+
+
+def main():
+    results = {}
+    gyre_dir = "/root/reference/verification/tutorial_barotropic_gyre/input"
+    rate_g, _ = bench_deck(gyre_dir, 200, jnp.float32)
+    results["barotropic_gyre_62x62x1_f32"] = round(rate_g, 1)
+
+    latlon = "/root/reference/verification/tutorial_global_oce_latlon/input"
+    try:
+        rate_l, _ = bench_deck(latlon, 60, jnp.float32)
+        results["global_oce_latlon_90x40x15_f32"] = round(rate_l, 1)
+    except Exception as e:          # pragma: no cover - report, keep going
+        results["global_oce_latlon_90x40x15_f32"] = f"failed: {e}"
+
+    rate_big, _, model_gbps = bench_large()
+    results["gyre_1024x1024x32_f32"] = round(rate_big, 1)
+
+    hbm = measure_hbm_gbps()
+
+    baseline = 2.2e4   # reference tutorial_barotropic_gyre (BASELINE.md)
     print(json.dumps({
         "metric": "barotropic_gyre_points_steps_per_s",
-        "value": round(rate, 1),
+        "value": round(rate_g, 1),
         "unit": "gridpoints*steps/s",
-        "vs_baseline": round(rate / baseline, 2),
+        "vs_baseline": round(rate_g / baseline, 2),
+        "configs": results,
+        "hbm_gbps_measured": round(hbm, 1),
+        "large_model_gbps_est": round(model_gbps, 1),
+        "roofline_frac_est": round(model_gbps / hbm, 3),
     }))
 
 

@@ -579,20 +579,23 @@ class Experiment:
                      "fill_uv": self.cs_fill.fill_uv,
                      "fill_uv_cg": self.cs_fill.fill_uv_cg}
 
-        def body(state, myIter):
-            new_state, diag = step_mod.forward_step(
-                cfg, grid, op, state, forcing, myIter, kpp=self.kpp,
-                ggl90=self.ggl90, vmix=self.vmix, opps=self.opps,
-                seaice=self.seaice, **hooks)
-            return new_state, diag
-
         iters = cfg.nIter0 + jnp.arange(n)
 
+        # grid/op/forcing enter as jit ARGUMENTS (they are pytrees of
+        # device arrays): closed-over arrays would be inlined into the
+        # serialized module as literals, which bloats/defeats remote
+        # compilation for large domains
         @jax.jit
-        def runner(state):
+        def runner(state, grid_a, op_a, forcing_a):
+            def body(state, myIter):
+                new_state, diag = step_mod.forward_step(
+                    cfg, grid_a, op_a, state, forcing_a, myIter,
+                    kpp=self.kpp, ggl90=self.ggl90, vmix=self.vmix,
+                    opps=self.opps, seaice=self.seaice, **hooks)
+                return new_state, diag
             return jax.lax.scan(body, state, iters)
 
-        final_state, diags = runner(self.state)
+        final_state, diags = runner(self.state, grid, op, forcing)
         self.state = final_state
         return final_state, diags
 

@@ -226,7 +226,7 @@ class KPP:
                      ttalpha, ssbeta, u, v, dbloc_f):
         """kpp_forcing_surf.F: ustar, bo, bosol, dVsq (KPP_ESTIMATE_UREF)."""
         cfg, grid, p = self.cfg, self.grid, self.p
-        drF1 = float(np.asarray(grid.drF)[0])
+        drF1 = float(cfg.delR[0])   # static (grid.drF may be traced)
         work3 = ((sfU + sh(sfU, di=1)) ** 2 + (sfV + sh(sfV, dj=1)) ** 2)
         epsLocSq = p["phepsi"] ** 2 * drF1 ** 2
         ustar = jnp.where(work3 < epsLocSq,

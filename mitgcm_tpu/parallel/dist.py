@@ -75,9 +75,16 @@ def untile(blocks, oly: int, olx: int):
 
 
 class DistModel:
-    """Sharded model: same numerics, ppermute halos, psum reductions."""
+    """Sharded model: same numerics, ppermute halos, psum reductions.
 
-    def __init__(self, cfg: Config, grid: Grid, op, mesh: Mesh):
+    Column-physics packages (KPP, GGL90, PP81/MY82) ride along: their
+    instance objects are cloned per-shard at trace time with the local
+    grid block (and local precomputed 2-D fields like KPP's kmtj)
+    substituted — the schemes themselves are column-local + fixed-width
+    stencils, so no extra exchanges are needed beyond the state halos."""
+
+    def __init__(self, cfg: Config, grid: Grid, op, mesh: Mesh,
+                 kpp=None, ggl90=None, vmix=None):
         self.cfg, self.mesh = cfg, mesh
         npy = mesh.shape["py"]
         npx = mesh.shape["px"]
@@ -90,7 +97,21 @@ class DistModel:
             lambda a: jax.device_put(jnp.asarray(t(a)), sh), grid)
         self.op = jax.tree.map(
             lambda a: jax.device_put(jnp.asarray(t(a)), sh), op)
+        self.kpp, self.ggl90, self.vmix = kpp, ggl90, vmix
+        put = lambda a: jax.device_put(jnp.asarray(t(a)), sh)
+        self._kpp_kmtj = put(kpp.kmtj) if kpp is not None else None
+        self._ggl90_klowC = put(ggl90.klowC) if ggl90 is not None else None
         self._step = None
+
+    @classmethod
+    def from_experiment(cls, exp, mesh: Mesh) -> "DistModel":
+        """Shard a reference-deck Experiment (grid, cg2d operator and any
+        column-physics packages) over the mesh."""
+        if exp.seaice is not None or exp.cs_fill is not None:
+            raise NotImplementedError(
+                "distributed seaice / cubed-sphere not wired yet")
+        return cls(exp.cfg, exp.grid, exp.op, mesh, kpp=exp.kpp,
+                   ggl90=exp.ggl90, vmix=exp.vmix)
 
     def shard(self, pytree):
         t = partial(tile_with_halo, npy=self.npy, npx=self.npx,
@@ -114,27 +135,52 @@ class DistModel:
         def pmax(x):
             return halo.pmax_all(x)
 
-        def local_step(grid_blk, op_blk, state_blk, forcing_blk, myIter):
+        kpp_t, ggl90_t, vmix_t = self.kpp, self.ggl90, self.vmix
+
+        def local_step(grid_blk, op_blk, state_blk, forcing_blk,
+                       aux_blk, myIter):
+            import copy
             sq = lambda a: a.reshape(a.shape[2:])
             grid_l = jax.tree.map(sq, grid_blk)
             op_l = jax.tree.map(sq, op_blk)
             state_l = jax.tree.map(sq, state_blk)
             forcing_l = jax.tree.map(sq, forcing_blk)
+            kpp_l = ggl90_l = vmix_l = None
+            if kpp_t is not None:
+                kpp_l = copy.copy(kpp_t)
+                kpp_l.grid = grid_l
+                kpp_l.kmtj = sq(aux_blk["kpp_kmtj"])
+            if ggl90_t is not None:
+                ggl90_l = copy.copy(ggl90_t)
+                ggl90_l.grid = grid_l
+                ggl90_l.klowC = sq(aux_blk["ggl90_klowC"])
+            if vmix_t is not None:
+                vmix_l = copy.copy(vmix_t)
+                vmix_l.grid = grid_l
             new_state, diag = step_mod.forward_step(
                 cfg, grid_l, op_l, state_l, forcing_l, myIter,
-                fill=fill, psum=psum, pmax=pmax)
+                fill=fill, psum=psum, pmax=pmax,
+                kpp=kpp_l, ggl90=ggl90_l, vmix=vmix_l)
             unsq = lambda a: a.reshape((1, 1) + a.shape)
             return jax.tree.map(unsq, new_state), diag
 
         blk = P("py", "px")
         step = jax.jit(jax.shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(blk, blk, blk, blk, P()),
+            in_specs=(blk, blk, blk, blk, blk, P()),
             out_specs=(blk, P()),
             check_vma=False,
         ))
         self._step = step
         return step
+
+    def _aux(self):
+        aux = {}
+        if self._kpp_kmtj is not None:
+            aux["kpp_kmtj"] = self._kpp_kmtj
+        if self._ggl90_klowC is not None:
+            aux["ggl90_klowC"] = self._ggl90_klowC
+        return aux
 
     def run(self, state_blocks, forcing_blocks, n_steps: int,
             n_iter0: int = 0):
@@ -143,6 +189,6 @@ class DistModel:
         for i in range(n_steps):
             state_blocks, diag = step(
                 self.grid, self.op, state_blocks, forcing_blocks,
-                jnp.asarray(n_iter0 + i))
+                self._aux(), jnp.asarray(n_iter0 + i))
             diags.append(diag)
         return state_blocks, diags

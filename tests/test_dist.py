@@ -57,3 +57,69 @@ def test_single_vs_mesh(setup):
     r1 = float(diag1.cg2d_init_res)
     rn = float(diags[-1].cg2d_init_res)
     assert abs(r1 - rn) <= 1e-9 * max(1.0, abs(r1))
+
+
+def test_kpp_physics_hooks(setup):
+    """KPP rides the sharded step: per-shard clones with local grid/kmtj
+    must reproduce the single-device run."""
+    from mitgcm_tpu.model import kpp as kpp_mod
+
+    cfg = synthetic.gyre_config(nx=16, ny=16, nr=8, n_steps=3)
+    cfg.useKPP = True
+    grid, state, forcing, op = synthetic.gyre_setup(cfg, dtype=jnp.float64)
+    kpp = kpp_mod.KPP(cfg, grid, {}, options={"KPP_GHAT"})
+
+    step1 = jax.jit(lambda s, f, it: step_mod.forward_step(
+        cfg, grid, op, s, f, it, kpp=kpp))
+    s1 = state
+    for i in range(3):
+        s1, _ = step1(s1, forcing, jnp.asarray(i))
+
+    cpus = jax.devices("cpu")
+    mesh = Mesh(np.array(cpus[:8]).reshape(2, 4), ("py", "px"))
+    model = dist.DistModel(cfg, grid, op, mesh, kpp=kpp)
+    sb, _ = model.run(model.shard(state), model.shard(forcing), n_steps=3)
+
+    u_1 = np.asarray(s1.uVel)[:, cfg.oly:-cfg.oly, cfg.olx:-cfg.olx]
+    u_n = dist.untile(np.asarray(jax.device_get(sb.uVel)),
+                      cfg.oly, cfg.olx)
+    t_1 = np.asarray(s1.theta)[:, cfg.oly:-cfg.oly, cfg.olx:-cfg.olx]
+    t_n = dist.untile(np.asarray(jax.device_get(sb.theta)),
+                      cfg.oly, cfg.olx)
+    assert np.allclose(u_1, u_n, rtol=0, atol=1e-10 * max(
+        1.0, float(np.max(np.abs(u_1)))))
+    assert np.allclose(t_1, t_n, rtol=0, atol=1e-10 * max(
+        1.0, float(np.max(np.abs(t_1)))))
+
+
+def test_reference_config_latlon():
+    """Decomposition invariance on a real reference deck
+    (tutorial_global_oce_latlon: GM-Redi + ptracers + periodic x)."""
+    from tests.conftest import reference_exp
+    from mitgcm_tpu.model.experiment import Experiment
+
+    DIR = reference_exp("tutorial_global_oce_latlon")
+    exp = Experiment.from_dir(DIR + "/input", nx=90, ny=40, nr=15)
+    cfg = exp.cfg
+    n_steps = 3
+
+    s1 = exp.state
+    step1 = jax.jit(lambda s, f, it: step_mod.forward_step(
+        cfg, exp.grid, exp.op, s, f, it))
+    for i in range(n_steps):
+        s1, _ = step1(s1, exp.forcing, jnp.asarray(cfg.nIter0 + i))
+
+    cpus = jax.devices("cpu")
+    npy, npx = dist.choose_layout(8, cfg.ny, cfg.nx)
+    mesh = Mesh(np.array(cpus[:8]).reshape(npy, npx), ("py", "px"))
+    model = dist.DistModel.from_experiment(exp, mesh)
+    sb, _ = model.run(model.shard(exp.state), model.shard(exp.forcing),
+                      n_steps=n_steps, n_iter0=cfg.nIter0)
+
+    for fname in ("theta", "uVel", "etaN", "pTr"):
+        a1 = np.asarray(getattr(s1, fname))
+        an = np.asarray(jax.device_get(getattr(sb, fname)))
+        a1i = a1[..., cfg.oly:-cfg.oly, cfg.olx:-cfg.olx]
+        ani = dist.untile(an, cfg.oly, cfg.olx)
+        scale = max(1.0, float(np.max(np.abs(a1i))))
+        assert np.allclose(a1i, ani, rtol=0, atol=1e-9 * scale), fname
