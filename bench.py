@@ -53,14 +53,25 @@ def bench_large(nx=1024, ny=1024, nr=32, n_steps=20):
     dt = _time_scan(exp, n_steps, warmup=2)
     pts = nx * ny * nr
     rate = pts * n_steps / dt
-    # 3-D field traffic estimate per step: the hot loop reads the state
-    # (u,v,w,T + 4 AB slots ~ 8 fields), streams the tendency pipeline
-    # (~24 intermediate field-sized reads+writes XLA cannot all fuse
-    # away: advective fluxes x3, viscous fluxes x3, implicit solve
-    # sweeps x2, cg2d ~15 iterations on 2-D fields ~ 1 3-D equivalent)
-    # and writes ~8 fields back: ~40 field-traversals * 4 B.
-    field_traversals = 40.0
-    model_gbps = rate * field_traversals * 4.0 / 1e9
+    # bytes moved per step from XLA's own cost model of one forward step
+    import jax as _jax
+    from mitgcm_tpu.model import step as step_mod
+
+    def one(state_a, grid_a, op_a, forcing_a):
+        ns, _ = step_mod.forward_step(cfg, grid_a, op_a, state_a,
+                                      forcing_a, 0)
+        return ns
+
+    try:
+        comp = _jax.jit(one).lower(exp.state, exp.grid, exp.op,
+                                   exp.forcing).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        bytes_per_step = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        bytes_per_step = 0.0
+    model_gbps = bytes_per_step * (rate / pts) / 1e9
     return rate, dt, model_gbps
 
 
@@ -94,7 +105,7 @@ def main():
 
     latlon = "/root/reference/verification/tutorial_global_oce_latlon/input"
     try:
-        rate_l, _ = bench_deck(latlon, 60, jnp.float32)
+        rate_l, _ = bench_deck(latlon, 60, jnp.float32, nx=90, ny=40, nr=15)
         results["global_oce_latlon_90x40x15_f32"] = round(rate_l, 1)
     except Exception as e:          # pragma: no cover - report, keep going
         results["global_oce_latlon_90x40x15_f32"] = f"failed: {e}"
