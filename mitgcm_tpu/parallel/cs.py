@@ -340,8 +340,10 @@ class CSExchange:
             # NE: u(sNx+2,sNy+1)=v(sNx,sNy+2); v(sNx+1,sNy+2)=u(sNx+2,sNy)
             uo = uo.at[..., ol + n, ol + n + 1].set(
                 vo[..., ol + n + 1, ol + n - 1])
+            # vPhi(sNx+1,sNy+2) = uPhi(sNx+2,sNy): j=sNy is row ol+n-1,
+            # NOT the u(sNx+2,sNy+1) cell written by the line above
             vo = vo.at[..., ol + n + 1, ol + n].set(
-                uo[..., ol + n, ol + n + 1])
+                uo[..., ol + n - 1, ol + n + 1])
             us.append(uo)
             vs.append(vo)
         return jnp.stack(us, axis=-3), jnp.stack(vs, axis=-3)
@@ -660,8 +662,10 @@ class CSExchange:
                 neg * uo[..., ol, ol + n + 1])
             uo = uo.at[..., ol + n, ol + n + 1].set(
                 vo[..., ol + n + 1, ol + n - 1])
+            # vPhi(sNx+1,sNy+2) = uPhi(sNx+2,sNy): j=sNy is row ol+n-1,
+            # NOT the u(sNx+2,sNy+1) cell written by the line above
             vo = vo.at[..., ol + n + 1, ol + n].set(
-                uo[..., ol + n, ol + n + 1])
+                uo[..., ol + n - 1, ol + n + 1])
             us_.append(uo)
             vs_.append(vo)
         return jnp.stack(us_, axis=-3), jnp.stack(vs_, axis=-3)
