@@ -196,6 +196,8 @@ class Config:
     cg2dPreCondFreq: int = 1
     printResidualFreq: int = 0
     useSRCGSolver: bool = False
+    cg3dMaxIters: int = 150
+    cg3dTargetResidual: float = 1.0e-7
 
     # --- PARM03: time stepping ---
     tauCD: float = 0.0
@@ -244,6 +246,8 @@ class Config:
     delR: Tuple[float, ...] = ()
     delRc: Tuple[float, ...] = ()
     delRFile: str = ""
+    delXfile: str = ""
+    delYfile: str = ""
     xgOrigin: float = 0.0
     ygOrigin: float = 0.0
     rSphereC: float = UNSET
@@ -306,6 +310,8 @@ class Config:
     # package parameter groups (loaded from data.<pkg>)
     gmredi: Any = None
     ptracers: Any = None
+    obcs: Any = None                   # OBCSParams when useOBCS
+    custom_obcs_calc: Any = None       # analytic obcs_calc.F override hook
 
     # run-directory context + overflow storage
     run_dir: str = "."
@@ -629,6 +635,16 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
     if cfg.usePTRACERS and os.path.exists(pt_path):
         ptnl = nml.read_namelist(pt_path)
         cfg.ptracers = ptnl.get("PTRACERS_PARM01", {})
+    # grid-spacing vectors from file (ini_parms.F delXFile/delYFile)
+    prec = ">f8" if cfg.readBinaryPrec == 64 else ">f4"
+    if cfg.delXfile and not cfg.delX:
+        import numpy as _np
+        cfg.delX = tuple(_np.fromfile(
+            cfg.find_file(cfg.delXfile), prec).astype(float))
+    if cfg.delYfile and not cfg.delY:
+        import numpy as _np
+        cfg.delY = tuple(_np.fromfile(
+            cfg.find_file(cfg.delYfile), prec).astype(float))
     cfg.nx = nx or len(cfg.delX)
     cfg.ny = ny or len(cfg.delY)
     if not cfg.delX and cfg.dxSpacing is not UNSET:
@@ -674,6 +690,11 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
         coef = vals[3 * nlev:3 * nlev + 9 * nlev].reshape(nlev, 9)
         cfg.poly3 = (hdr[:, 0].copy(), hdr[:, 1].copy(),
                      hdr[:, 2].copy(), coef.copy())
+
+    obcs_path = os.path.join(input_dir, "data.obcs")
+    if cfg.useOBCS and os.path.exists(obcs_path):
+        from mitgcm_tpu.model import obcs as obcs_mod
+        cfg.obcs = obcs_mod.parse_data_obcs(obcs_path, cfg)
 
     shap_path = os.path.join(input_dir, "data.shap")
     if cfg.useSHAP_FILT and os.path.exists(shap_path):

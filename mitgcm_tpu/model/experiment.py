@@ -192,6 +192,7 @@ class Experiment:
     vmix: object = None      # PP81/MY82 instance
     opps: object = None      # OPPS convection instance
     seaice: object = None    # SeaIce instance when useSEAICE
+    obcs: object = None      # obcs.OBCS hook when useOBCS
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64,
@@ -209,6 +210,19 @@ class Experiment:
             grid, cs_fill = build_cs_grid(cfg, dtype=dtype)
         else:
             grid = build_grid(cfg, dtype=dtype)
+        if cfg.useOBCS and cfg.obcs is not None:
+            # obcs_init_fixed.F: fold the OB interior mask into maskInC/W/S
+            # BEFORE the cg2d operator and any flux masks are built
+            from mitgcm_tpu.model import obcs as obcs_mod
+            import dataclasses as _dc
+            _, mC, mW, mS = obcs_mod.build_masks(
+                cfg, cfg.obcs, np.asarray(grid.kSurfC),
+                np.asarray(grid.maskInC), np.asarray(grid.maskInW),
+                np.asarray(grid.maskInS))
+            grid = _dc.replace(
+                grid, maskInC=jnp.asarray(mC, dtype),
+                maskInW=jnp.asarray(mW, dtype),
+                maskInS=jnp.asarray(mS, dtype))
         state = init_state(cfg, grid, dtype=dtype)
 
         # initial condition files (model/src/ini_fields.F path)
@@ -382,9 +396,15 @@ class Experiment:
                              "siTICES": ice0.TICES,
                              "SItracer": ice0.SItracer})
 
+        obcs_obj = None
+        if cfg.useOBCS and cfg.obcs is not None:
+            from mitgcm_tpu.model import obcs as obcs_mod
+            obcs_obj = obcs_mod.OBCS(cfg, grid, dtype)
+
         exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
-                  vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj)
+                  vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj,
+                  obcs=obcs_obj)
         exp.init_continuity()
         return exp
 
@@ -432,7 +452,8 @@ class Experiment:
                                          myIter, kpp=self.kpp,
                                          ggl90=self.ggl90, vmix=self.vmix,
                                          opps=self.opps,
-                                         seaice=self.seaice, **hooks)
+                                         seaice=self.seaice,
+                                         obcs=self.obcs, **hooks)
 
         self._step_fn = jax.jit(fn)
         return self._step_fn
@@ -591,7 +612,8 @@ class Experiment:
                 new_state, diag = step_mod.forward_step(
                     cfg, grid_a, op_a, state, forcing_a, myIter,
                     kpp=self.kpp, ggl90=self.ggl90, vmix=self.vmix,
-                    opps=self.opps, seaice=self.seaice, **hooks)
+                    opps=self.opps, seaice=self.seaice,
+                    obcs=self.obcs, **hooks)
                 return new_state, diag
             return jax.lax.scan(body, state, iters)
 

@@ -302,10 +302,12 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
     fMer = jnp.zeros_like(tracer)
 
     if calc_advection:
+        # advection-scheme face masks carry the OBCS interior mask
+        # (gad_calc_rhs.F:264,393 maskLocW/S = maskW/S * maskInW/S)
         fZon = fZon + adv_flux_x(cfg, grid, scheme, flow.uTrans, u, tracer,
-                                 deltaT, grid.maskW)
+                                 deltaT, grid.maskW * grid.maskInW)
         fMer = fMer + adv_flux_y(cfg, grid, scheme, flow.vTrans, v, tracer,
-                                 deltaT, grid.maskS)
+                                 deltaT, grid.maskS * grid.maskInS)
 
     if diffKh != 0.0:
         fZon = fZon - (diffKh * flow.xA * grid.recip_dxC
@@ -382,11 +384,13 @@ def multidim_advection(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w,
     uT, vT = flow.uTrans, flow.vTrans
 
     # X pass
-    af = adv_flux_x(cfg, grid, scheme, uT, u, tracer, deltaT, grid.maskW)
+    af = adv_flux_x(cfg, grid, scheme, uT, u, tracer, deltaT,
+                    grid.maskW * grid.maskInW)
     localT = tracer - deltaT * rhc * rdrF * rrA * (
         (sh(af, di=1) - af) - tracer * (sh(uT, di=1) - uT)) * mIn
     # Y pass (on updated field; compensation still uses original tracer)
-    af = adv_flux_y(cfg, grid, scheme, vT, v, localT, deltaT, grid.maskS)
+    af = adv_flux_y(cfg, grid, scheme, vT, v, localT, deltaT,
+                    grid.maskS * grid.maskInS)
     localT = localT - deltaT * rhc * rdrF * rrA * (
         (sh(af, dj=1) - af) - tracer * (sh(vT, dj=1) - vT)) * mIn
     # R pass on the post-horizontal field

@@ -158,7 +158,7 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-             rhoInSitu, myIter, rstar=None, kpp_fields=None,
+             rhoInSitu, myIter, rstar=None, sdr=None, kpp_fields=None,
              ggl90_fields=None, vmix_fields=None):
     """model/src/dynamics.F + timestep.F. Returns
     (uStar, vStar, guNm1', gvNm1', cd_state', totPhiHyd).
@@ -256,6 +256,20 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         gU_ab = gU_ab / rstar["ratioW"]
         gV_ab = gV_ab / rstar["ratioS"]
 
+    # surf-dr thickness rescale at the surface level (timestep.F:303-315,
+    # flux-form + nonlinFreeSurf>1 + select_rStar=0): tendency converted
+    # from the old-thickness view (this grid) to the new surface factors
+    # gU *= hFacW(kSurf)/hFac_surfW
+    if sdr is not None and not cfg.vectorInvariantMomentum \
+            and cfg.nonlinFreeSurf > 1:
+        k3 = jnp.arange(nr)[:, None, None]
+        selW = (k3 == (grid.kSurfW - 1)[None]) & (grid.kSurfW <= nr)[None]
+        selS = (k3 == (grid.kSurfS - 1)[None]) & (grid.kSurfS <= nr)[None]
+        hsW = jnp.where(sdr["hsW"] != 0.0, sdr["hsW"], 1.0)[None]
+        hsS = jnp.where(sdr["hsS"] != 0.0, sdr["hsS"], 1.0)[None]
+        gU_ab = jnp.where(selW, gU_ab * (grid.hFacW / hsW), gU_ab)
+        gV_ab = jnp.where(selS, gV_ab * (grid.hFacS / hsS), gV_ab)
+
     # pressure gradients applied after AB (timestep.F:276-290):
     # staggered stepping keeps dPhiHyd out of the AB extrapolation;
     # explicit surface-pressure part only when implicSurfPress < 1
@@ -296,6 +310,11 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
     drF = grid.drF[:, None, None]
 
     cg2d_x = grid.Bo_surf * state.etaN
+    if cfg.useOBCS:
+        # reset RHS + first guess outside the OB interior region
+        # (solve_for_pressure.F:250-256): keeps the normalisation and the
+        # outside-region trivial solution from polluting the interior
+        cg2d_x = cg2d_x * grid.maskInC
     # real fresh-water source term (solve_for_pressure.F:104-113)
     if cfg.useRealFreshWaterFlux and cfg.fluidIsWater:
         tmpFac = cfg.freeSurfFac * cfg.mass2rUnit * cfg.implicDiv2Dflow
@@ -304,14 +323,22 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
     else:
         cg2d_b0 = jnp.zeros_like(state.etaN)
 
-    # RHS: divergence of predicted transport (calc_div_ghat.F,
-    # implicDiv2Dflow=1 branch). Accumulated level-by-level in the
-    # reference's k = Nr..1 order (solve_for_pressure.F:146-152) so the
-    # roundoff of this cancellation-prone sum matches to the last digits.
+    # RHS: divergence of predicted transport (calc_div_ghat.F).
+    # Accumulated level-by-level in the reference's k = Nr..1 order
+    # (solve_for_pressure.F:146-152) so the roundoff of this
+    # cancellation-prone sum matches to the last digits.
+    # With implicDiv2Dflow<1 + exactConserv (calc_div_ghat.F:85-93,
+    # Crank-Nicolson barotropic divergence) the predicted-transport term
+    # carries the implicit fraction only; the explicit part enters via
+    # the update_etah dEtaHdt correction.
+    if cfg.implicDiv2Dflow != 1.0 and not cfg.exactConserv:
+        raise NotImplementedError(
+            "implicDiv2Dflow<1 without exactConserv (calc_div_ghat.F "
+            "explicit+implicit branch) is not implemented")
     xA = grid.dyG * drF * grid.hFacW
     yA = grid.dxG * drF * grid.hFacS
-    pfx = xA * uStar / cfg.deltaTMom
-    pfy = yA * vStar / cfg.deltaTMom
+    pfx = cfg.implicDiv2Dflow * xA * uStar / cfg.deltaTMom
+    pfy = cfg.implicDiv2Dflow * yA * vStar / cfg.deltaTMom
     dbx = sh(pfx, di=1) - pfx
     dby = sh(pfy, dj=1) - pfy
 
@@ -327,6 +354,8 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
     cg2d_b = cg2d_b - (cfg.freeSurfFac * grid.rA
                        / cfg.deltaTMom / cfg.deltaTFreeSurf) * eta_src
     cg2d_b = cg2d_b * imask
+    if cfg.useOBCS:
+        cg2d_b = cg2d_b * grid.maskInC
 
     res = cg2d_mod.cg2d(cfg, grid, op, cg2d_b, cg2d_x, psum=psum,
                         fill=fill, pmax=pmax)
@@ -345,11 +374,15 @@ def momentum_correction_step(cfg: Config, grid: Grid, etaN, uStar, vStar):
     psFac = cfg.implicSurfPress    # pfFacMom = 1
     u = (uStar - cfg.deltaTMom * psFac * phiSurfX * grid.maskW) * grid.maskW
     v = (vStar - cfg.deltaTMom * psFac * phiSurfY * grid.maskS) * grid.maskS
+    if cfg.useOBCS:
+        # correction_step.F:219,231 maskIn factors (OBCS-only compile path)
+        u = u * grid.maskInW
+        v = v * grid.maskInS
     return u, v
 
 
 def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
-                      EmPmR, myIter, h0FacC=None):
+                      EmPmR, myIter, h0FacC=None, ob=None, obm=None):
     """model/src/integr_continuity.F + integrate_for_w.F + update_etah.F.
 
     Returns (wVel, etaN', etaH', dEtaHdt'). With exactConserv (the
@@ -377,6 +410,10 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
             dEtaHdt_new = jnp.where(
                 is_first, dEtaHdt_new,
                 dEtaHdt_new - cfg.mass2rUnit * EmPmR)
+        if cfg.useOBCS:
+            # integr_continuity.F:199-207: dEtaHdt zeroed outside the OB
+            # interior (the OB-cell eta is set by obcs_apply_eta instead)
+            dEtaHdt_new = dEtaHdt_new * grid.maskInC
         if cfg.implicDiv2Dflow == 1.0:
             etaN_new = jnp.where(is_first, etaN,
                                  etaH + dEtaHdt_new * cfg.deltaTFreeSurf)
@@ -388,6 +425,12 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
                 * cfg.deltaTFreeSurf)
             etaH_new = etaN_new + (1.0 - cfg.implicDiv2Dflow) \
                 * dEtaHdt_new * cfg.deltaTFreeSurf
+        if ob is not None and cfg.nonlinFreeSurf > 0:
+            # update_etah.F:50-52: OBC applied to etaH only (viscous terms
+            # depend on hFacZ which needs consistent boundary hFac);
+            # UPDATE_ETAH runs unconditionally, first step included
+            from mitgcm_tpu.model import obcs as obcs_mod
+            etaH_new = obcs_mod.apply_eta(cfg, obm, ob, etaH_new)
 
     # vertical velocity (integrate_for_w.F, bottom-up)
     if cfg.rigidLid:
@@ -395,6 +438,10 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
             [jnp.zeros_like(grid.maskC[:1]), grid.maskC[:-1]], axis=0)
     else:
         masks = grid.maskC
+    if cfg.useOBCS:
+        # integr_continuity.F:300-306: w reset outside the OB interior at
+        # every level of the upward integration
+        masks = masks * grid.maskInC
 
     if cfg.select_rStar != 0 and cfg.nonlinFreeSurf > 0:
         # r*: remove the uniform column stretching from w
@@ -422,7 +469,7 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
                  fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
-                 opps=None, seaice=None) -> Tuple[State, StepDiag]:
+                 opps=None, seaice=None, obcs=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -439,6 +486,16 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # LOAD_FIELDS_DRIVER: interpolate periodic forcing to myTime
     myTime = cfg.startTime + (myIter - cfg.nIter0) * cfg.deltaTClock
     forc = load_fields(cfg, forcing, myTime)
+
+    # OBCS_CALC: boundary values at the end-of-step time
+    # (do_oceanic_phys.F:317, myTime+deltaTClock / myIter+1)
+    ob = obm = None
+    if obcs is not None:
+        from mitgcm_tpu.model import obcs as obcs_mod
+        obm = obcs.masks
+        ob = obcs_mod.calc_fields(cfg, grid, obcs.pp, state,
+                                  myTime + cfg.deltaTClock, myIter + 1,
+                                  prescribed=obcs.prescribed)
 
     # pkg/exf bulk formulae (exf_getforcing.F): fluxes from the
     # atmospheric state, recomputed every step from the current SST
@@ -483,8 +540,21 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # (forward_step.F:477 UPDATE_R_STAR(F) / :838 UPDATE_R_STAR(T) /
     # :976 CALC_R_STAR)
     use_rstar = cfg.nonlinFreeSurf > 0 and cfg.select_rStar > 0
+    # surface-level thickness update (nonlinFreeSurf=1..3 without r*):
+    # same two-view structure, only the kSurf level of hFac changes
+    use_sdr = cfg.nonlinFreeSurf > 0 and cfg.select_rStar == 0
     rstar = None
     grid_old = grid_new = grid
+    if use_sdr:
+        from mitgcm_tpu.model import nlfs
+        fuv = (lambda a, b: fill_uv(a, b, False)) if cfg.nFaces > 1 \
+            else fill_uv
+        hs_new = nlfs.surf_dr_facs(cfg, grid, state.etaH, obm=obm,
+                                   fill=fill, fill_uv=fuv)
+        hs_old = nlfs.surf_dr_facs(cfg, grid, state.etaHm1, obm=obm,
+                                   fill=fill, fill_uv=fuv)
+        grid_old = nlfs.surf_dr_view(cfg, grid, *hs_old)
+        grid_new = nlfs.surf_dr_view(cfg, grid, *hs_new)
     if use_rstar:
         from mitgcm_tpu.model import rstar as rstar_mod
         facC, facW, facS = rstar_mod.rstar_facs(
@@ -595,19 +665,30 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
+        if ob is not None:
+            # thermodynamics.F:353 OBCS_APPLY_TS
+            from mitgcm_tpu.model import obcs as obcs_mod
+            theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)
 
     if cfg.momStepping:
         (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
          totPhiHyd) = dynamics(
             cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
+            sdr=None if not use_sdr else {"hsW": hs_new[1],
+                                          "hsS": hs_new[2]},
             kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
             vmix_fields=vmix_fields)
+        if ob is not None:
+            # dynamics.F:610 OBCS_APPLY_UV on the predicted velocities
+            from mitgcm_tpu.model import obcs as obcs_mod
+            uStar, vStar = obcs_mod.apply_uv(cfg, obm, obcs.pp, ob,
+                                             uStar, vStar)
         uStar, vStar = fill_uv(uStar, vStar)
 
         # with nonlinFreeSurf > 2 the cg2d matrix is rebuilt from the new
         # geometry every step (forward_step.F:868 UPDATE_CG2D)
         op_step = op
-        if use_rstar and cfg.nonlinFreeSurf > 2:
+        if (use_rstar or use_sdr) and cfg.nonlinFreeSurf > 2:
             op_step = cg2d_mod.update_cg2d(cfg, grid_new, op, fill=fill)
 
         etaN, diag = solve_for_pressure(cfg, grid_new, op_step, state,
@@ -617,6 +698,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         cd_state = cd_state._replace(etaNm1=state.etaN)
 
         u, v = momentum_correction_step(cfg, grid_new, etaN, uStar, vStar)
+        if ob is not None:
+            # momentum_correction_step.F:95 OBCS_APPLY_UV on u^{n+1}
+            from mitgcm_tpu.model import obcs as obcs_mod
+            u, v = obcs_mod.apply_uv(cfg, obm, obcs.pp, ob, u, v)
         if cfg.useSHAP_FILT and not cfg.shap.shap_filt_uvStar:
             # momentum_correction_step.F:69-74: filter the corrected
             # velocities before continuity sees them
@@ -648,7 +733,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     if cfg.momStepping or cfg.exactConserv:
         w, etaN, etaH, dEtaHdt = integr_continuity(
             cfg, grid_new, u, v, etaN, state.etaH, state.dEtaHdt,
-            forc.EmPmR, myIter + 1, h0FacC=grid.hFacC)
+            forc.EmPmR, myIter + 1, h0FacC=grid.hFacC, ob=ob, obm=obm)
     else:
         w, etaH, dEtaHdt = state.wVel, state.etaH, state.dEtaHdt
     # staggered runs exchange the state velocities with EXCH_UV_3D_RL
@@ -674,6 +759,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
+        if ob is not None:
+            from mitgcm_tpu.model import obcs as obcs_mod
+            theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)
         if opps is not None:
             theta, salt, _ = opps.apply(theta, salt, w, totPhiHyd)
 
@@ -697,9 +785,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         somT=fill(somT) if somT.size else somT,
         somS=fill(somS) if somS.size else somS,
         GGL90TKE=fill(tkeNew) if ggl90 is not None else tkeNew,
-        # r* time-level bookkeeping: next step's "old" factors are this
-        # step's entry-time etaH (calc_r_star.F Nm1/Exp rotation)
-        etaHm1=state.etaH if use_rstar else state.etaHm1,
+        # r*/surf-dr time-level bookkeeping: next step's "old" factors are
+        # this step's entry-time etaH (calc_r_star.F / calc_surf_dr.F
+        # Nm1 rotation)
+        etaHm1=state.etaH if (use_rstar or use_sdr) else state.etaHm1,
         totPhiHyd=totPhiHyd,
         # sea ice state was updated in-place on `state` at the top
         uIce=state.uIce, vIce=state.vIce, siAREA=state.siAREA,

@@ -57,6 +57,12 @@ def build_cg2d(cfg: Config, grid: Grid) -> CG2DOperator:
         aW = aW + termW[k]
         aS = aS + termS[k]
 
+    # OBCS: open the matrix only inside the OB interior (ini_cg2d.F:104-109,
+    # applied before the norm); without OBCS maskInC is the wet-column mask
+    # and the product is a no-op on the wet-wet faces where aW/aS live
+    aW = aW * grid.maskInC * sh(grid.maskInC, di=-1)
+    aS = aS * grid.maskInC * sh(grid.maskInC, dj=-1)
+
     myNorm = jnp.maximum(
         jnp.max(jnp.abs(aW) * imask), jnp.max(jnp.abs(aS) * imask))
     myNorm = jnp.where(myNorm != 0.0, 1.0 / myNorm, 1.0)
@@ -250,8 +256,8 @@ def update_cg2d(cfg: Config, grid: Grid, op0: CG2DOperator,
         accW = accW + (grid.dyG * drF[k] * grid.hFacW[k]) * grid.recip_dxC
         accS = accS + (grid.dxG * drF[k] * grid.hFacS[k]) * grid.recip_dyC
     fac = cfg.implicSurfPress * cfg.implicDiv2Dflow
-    aW = accW * op0.cg2dNorm * fac
-    aS = accS * op0.cg2dNorm * fac
+    aW = accW * op0.cg2dNorm * fac * grid.maskInC * sh(grid.maskInC, di=-1)
+    aS = accS * op0.cg2dNorm * fac * grid.maskInC * sh(grid.maskInC, dj=-1)
     aW = fill(aW)
     aS = fill(aS)
     aC = -(
