@@ -122,6 +122,7 @@ class Config:
     cAdjFreq: float = 0.0
     hMixCriteria: float = -0.8
     rSphere: float = 6.37e6
+    cosPower: float = 0.0          # cos(lat)^n anisotropic visc/diff scaling
     tempAdvScheme: int = 2
     saltAdvScheme: int = 2
     tempVertAdvScheme: int = UNSET
@@ -172,6 +173,8 @@ class Config:
                                        # files live when not in run_dir
                                        # (verification prepare_run links)
     selectP_inEOS_Zc: int = UNSET      # set_parms.F:268 (2 for JMD95P etc)
+    integr_GeoPot: int = 2             # set_defaults.F:136 (1=FV, 2=FD)
+    geoPotAnomFile: str = ""           # phi0surf input (ini_linear_phisurf.F)
     surf_pRef: float = 101325.0        # set_defaults.F:103
     eosRefP0: float = 101325.0         # ini_eos.F:82
     celsius2K: float = 273.15
@@ -189,6 +192,10 @@ class Config:
 
     # --- PARM02: elliptic solver ---
     cg2dMaxIters: int = 150
+    # replicate the reference's sequential per-tile dot-product summation
+    # order inside cg2d (bit-exact digit matching on solver-amplified
+    # configs); tree-reduction jnp.sum otherwise (the TPU-fast default)
+    cg2dExactSums: bool = False
     cg2dTargetResidual: float = 1.0e-7
     cg2dTargetResWunit: float = -1.0
     cg2dpcOffDFac: float = 0.51
@@ -323,14 +330,24 @@ class Config:
     freeSurfFac: float = 1.0
     recip_rhoConst: float = 0.0
 
+    @property
+    def ksurf0(self) -> int:
+        """0-based surface-level index (kSurface in
+        external_forcing_surf.F:103-109: Nr under p-coords, 1 else)."""
+        return self.nr - 1 if self.usingPCoords else 0
+
     def find_file(self, fname: str) -> str:
         """Resolve an input file: run_dir first, then grid_dir (the
-        reference's prepare_run symlinks files from a sibling deck)."""
+        reference's prepare_run symlinks files from sibling decks;
+        grid_dir may hold several os.pathsep-separated directories)."""
         p1 = os.path.join(self.run_dir, fname)
         if os.path.exists(p1) or not self.grid_dir:
             return p1
-        p2 = os.path.join(self.grid_dir, fname)
-        return p2 if os.path.exists(p2) else p1
+        for d in self.grid_dir.split(os.pathsep):
+            p2 = os.path.join(d, fname)
+            if os.path.exists(p2):
+                return p2
+        return p1
 
     def finalize(self) -> "Config":
         """Resolve UNSET/derived parameters (ini_parms.F / set_parms.F)."""
@@ -609,7 +626,7 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
         pk = nml.read_namelist(pkg_path)
         for k, v in pk.get("PACKAGES", {}).items():
             _set_attr(cfg, k, v)
-    gm_path = os.path.join(input_dir, "data.gmredi")
+    gm_path = cfg.find_file("data.gmredi")
     if cfg.useGMRedi and os.path.exists(gm_path):
         from mitgcm_tpu.model import gmredi as gmredi_mod
         gmnl = nml.read_namelist(gm_path)

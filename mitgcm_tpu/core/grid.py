@@ -128,6 +128,16 @@ class Grid:
 
     globalArea: jnp.ndarray  # scalar
 
+    # topographic geopotential anomaly phi0surf (ini_linear_phisurf.F:200-213,
+    # geoPotAnomFile); None when the deck supplies none
+    phi0surf: Optional[jnp.ndarray] = None
+
+    # vertical-velocity unit conversion at interfaces [nr+1]
+    # (set_ref_state.F:228-252): wSpeed [m/s] = rVel [r-unit/s] * rVel2wUnit;
+    # identity in z-coords, 1/(g*rhoRef) for the p-coords ocean. None = ones.
+    rVel2wUnit: Optional[jnp.ndarray] = None
+    wUnit2rVel: Optional[jnp.ndarray] = None
+
 
 jax.tree_util.register_dataclass(
     Grid,
@@ -184,6 +194,44 @@ def _hfac_column(rlow, rsurf, rF, drF, recip_drF, hFacMin, hFacMinDr):
     return hFac
 
 
+def _rho_scalar_ref(cfg: Config, t, s, p):
+    """find_rho_scalar.F for the reference profile: full density at
+    pressure p [Pa] (dpRef = surf_pRef - eosRefP0 shift included)."""
+    eosu = cfg.eosType.upper()
+    dp0 = cfg.surf_pRef - cfg.eosRefP0
+    if eosu in ("JMD95Z", "JMD95P", "UNESCO"):
+        from mitgcm_tpu.ops import eos as eos_mod
+        p_bar = (p + dp0) * 1e-5
+        rp0 = float(eos_mod.rho_p0(jnp.asarray(t), jnp.asarray(s)))
+        K = float(eos_mod.bulkmod(jnp.asarray(p_bar), jnp.asarray(t),
+                                  jnp.asarray(s)))
+        return rp0 / (1.0 - p_bar / K)
+    if eosu == "LINEAR":
+        return cfg.rhoNil
+    raise NotImplementedError(f"reference rho profile for {cfg.eosType}")
+
+
+def _pcoord_w_units(cfg: Config, rF, rC):
+    """rVel2wUnit/wUnit2rVel at interfaces for the p-coords ocean
+    (set_ref_state.F:228-252): wUnit2rVel(k) = gravity * rhoLoc(k) with
+    rhoLoc the tRef/sRef reference density at pRefIntF(k) = rF(k)."""
+    nr = len(rC)
+    w2r = np.ones(nr + 1)
+    for k in range(nr + 1):
+        if k == 0:
+            rho = _rho_scalar_ref(cfg, cfg.tRef[0], cfg.sRef[0], rF[0])
+        elif k == nr:
+            rho = _rho_scalar_ref(cfg, cfg.tRef[nr - 1], cfg.sRef[nr - 1],
+                                  rF[nr])
+        else:
+            rhoDw = _rho_scalar_ref(cfg, cfg.tRef[k - 1], cfg.sRef[k - 1],
+                                    rF[k])
+            rhoUp = _rho_scalar_ref(cfg, cfg.tRef[k], cfg.sRef[k], rF[k])
+            rho = 0.5 * (rhoDw + rhoUp)
+        w2r[k] = cfg.gravity * rho
+    return 1.0 / w2r, w2r
+
+
 def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
                dtype=jnp.float64) -> Grid:
     """Construct the full grid for cartesian / spherical-polar geometries.
@@ -203,9 +251,15 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
     if delR.size < nr:
         delR = np.concatenate([delR, np.full(nr - delR.size, delR[-1])])
     rF = np.zeros(nr + 1)
-    rF[0] = cfg.seaLev_Z
-    for k in range(nr):
-        rF[k + 1] = rF[k] - delR[k]          # z-coords: downward negative
+    if cfg.usingPCoords:
+        # p-coords build from top_Pres upward in pressure
+        rF[nr] = cfg.top_Pres
+        for k in range(nr - 1, -1, -1):
+            rF[k] = rF[k + 1] + delR[k]
+    else:
+        rF[0] = cfg.seaLev_Z
+        for k in range(nr):
+            rF[k + 1] = rF[k] - delR[k]      # z-coords: downward negative
     drF = delR.copy()
     rC = 0.5 * (rF[:-1] + rF[1:])
     drC = np.zeros(nr + 1)
@@ -261,11 +315,10 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         latU = 0.5 * (yG2[:-1, :-1] + yG2[1:, :-1])
         tanU = np.tan(latU * DEG2RAD)
         tanV = np.tan(latG * DEG2RAD)
-        cosPower = 0.0
         cosU = ones1d.copy(); cosV = ones1d.copy()
-        if cosPower != 0.0:
-            cosU = np.abs(np.cos(latU * DEG2RAD)) ** cosPower
-            cosV = np.abs(np.cos(latG * DEG2RAD)) ** cosPower
+        if cfg.cosPower != 0.0:
+            cosU = np.abs(np.cos(latU * DEG2RAD)) ** cfg.cosPower
+            cosV = np.abs(np.cos(latG * DEG2RAD)) ** cfg.cosPower
     else:
         raise NotImplementedError(
             "grid type not yet supported (curvilinear comes with exch2 slice)")
@@ -336,12 +389,21 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
             ).astype(np.float64)
         else:
             bathy = np.full((ny, nx), rF[nr])
-    R_low = np.zeros(pshape)
-    R_low[oly:oly + ny, olx:olx + nx] = bathy
-    R_low = _cyc(R_low, oly, olx)
-    # no closed-ocean cells above sea level (ini_depths.F clamps to <= 0)
-    R_low = np.minimum(R_low, rF[0])
-    Ro_surf = np.full(pshape, rF[0])
+    if cfg.usingPCoords and cfg.bathyFile:
+        # ini_depths.F:91-98,150-153: p-coords reads the reference bottom
+        # pressure Po_surf from bathyFile into Ro_surf; R_low is the fixed
+        # domain top rF(Nr+1)
+        R_low = np.full(pshape, rF[nr])
+        Ro_surf = np.zeros(pshape)
+        Ro_surf[oly:oly + ny, olx:olx + nx] = bathy
+        Ro_surf = _cyc(Ro_surf, oly, olx)
+    else:
+        R_low = np.zeros(pshape)
+        R_low[oly:oly + ny, olx:olx + nx] = bathy
+        R_low = _cyc(R_low, oly, olx)
+        # no closed-ocean cells above sea level (ini_depths.F clamps <= 0)
+        R_low = np.minimum(R_low, rF[0])
+        Ro_surf = np.full(pshape, rF[0])
 
     recip_drF = _safe_recip(drF)
     recip_drC = _safe_recip(drC)
@@ -358,9 +420,15 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
     rSurfW = np.maximum(rSurfW, rLowW)   # ini_masks_etc.F:336
     rSurfS = np.maximum(rSurfS, rLowS)
 
-    hFacC = _hfac_column(R_low, Ro_surf, rF, drF, recip_drF,
-                         cfg.hFacMin, cfg.hFacMinDr)
-    # regularize R_low then re-clip vs Ro_surf (ini_masks_etc.F:90-120)
+    # stage 1: clip against the lower-r boundary only (ini_masks_etc.F:104)
+    hFacC = np.zeros((nr,) + pshape)
+    for k in range(nr):
+        hFacMnSz = max(cfg.hFacMin, min(cfg.hFacMinDr * recip_drF[k], 1.0))
+        h1 = np.clip((rF[k] - R_low) * recip_drF[k], 0.0, 1.0)
+        hFacC[k] = np.where((h1 < hFacMnSz * 0.5) | (R_low >= Ro_surf),
+                            0.0, np.maximum(h1, hFacMnSz))
+    # regularize R_low from stage-1 thickness (ini_masks_etc.F:126-143),
+    # then clip against Ro_surf and re-derive Ro_surf (:146-195)
     colsum = np.tensordot(drF, hFacC, axes=(0, 0))
     R_low = rF[0] - colsum
     for k in range(nr):
@@ -396,6 +464,17 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
     hFacC = _cyc(hFacC, oly, olx)
     R_low = _cyc(R_low, oly, olx)
     Ro_surf = _cyc(Ro_surf, oly, olx)
+
+    # ini_masks_etc.F:330-360: update rLowW/rSurfW to reflect the
+    # hFac-adjusted R_low/Ro_surf (matters under p-coords where the
+    # surface clip moves Ro_surf; the raw values above were only inputs
+    # to the hFacW/S computation)
+    rLowW[:, 1:] = np.maximum(R_low[:, 1:], R_low[:, :-1])
+    rSurfW[:, 1:] = np.minimum(Ro_surf[:, 1:], Ro_surf[:, :-1])
+    rLowS[1:, :] = np.maximum(R_low[1:, :], R_low[:-1, :])
+    rSurfS[1:, :] = np.minimum(Ro_surf[1:, :], Ro_surf[:-1, :])
+    rSurfW = np.maximum(rSurfW, rLowW)
+    rSurfS = np.maximum(rSurfS, rLowS)
     kSurfC = _cyc(kSurfC, oly, olx)
     kLowC = _cyc(kLowC, oly, olx)
     maskInC = _cyc(maskInC, oly, olx)
@@ -430,6 +509,10 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
 
     onesC = np.ones(nr)
     onesF = np.ones(nr + 1)
+    if cfg.usingPCoords and cfg.fluidIsWater:
+        r2w, w2r = _pcoord_w_units(cfg, rF, rC)
+    else:
+        r2w, w2r = onesF, onesF
 
     def J(a):
         return jnp.asarray(a, dtype=dtype)
@@ -438,6 +521,7 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         return jnp.asarray(a)
 
     return Grid(
+        rVel2wUnit=J(r2w), wUnit2rVel=J(w2r),
         rF=J(rF), rC=J(rC), drF=J(drF), drC=J(drC),
         recip_drF=J(recip_drF), recip_drC=J(recip_drC),
         xG=J(xG), yG=J(yG), xC=J(xC), yC=J(yC),
@@ -490,13 +574,11 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     assert cfg.oly == ol
     nyp = n + 2 * ol
 
-    gdir = cfg.grid_dir or cfg.run_dir
     if cfg.horizGridFile:
-        paths = [os.path.join(gdir,
-                              f"{cfg.horizGridFile}.face{f + 1:03d}.bin")
+        paths = [cfg.find_file(f"{cfg.horizGridFile}.face{f + 1:03d}.bin")
                  for f in range(6)]
     else:
-        paths = [os.path.join(gdir, f"tile{f + 1:03d}.mitgrid")
+        paths = [cfg.find_file(f"tile{f + 1:03d}.mitgrid")
                  for f in range(6)]
     faces = [cs_mod.read_mitgrid(p, n) for p in paths]
     ex = cs_mod.CSExchange(faces, n, ol)
@@ -585,31 +667,59 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
             bshape = (6 * n, n)
         else:
             bshape = (n, 6 * n)
-        braw = mds.read_raw(os.path.join(cfg.run_dir, cfg.bathyFile),
+        braw = mds.read_raw(cfg.find_file(cfg.bathyFile),
                             bshape, prec).astype(np.float64)
         if cfg.W2_mapIO == 1:
             bfaces = braw.reshape(6, n, n)
         else:
             bfaces = braw.reshape(n, 6, n).swapaxes(0, 1)
-        R_low_in = bfaces
     else:
-        R_low_in = np.full((6, n, n), rF[nr])
-    R_low = np.zeros((6, nyp, nyp))
-    R_low[:, ol:ol + n, ol:ol + n] = np.minimum(R_low_in, rF[0]) \
-        if cfg.usingZCoords else R_low_in
-    R_low = np.asarray(jit_fill_C(jnp.asarray(R_low))).reshape(pshape)
-    Ro_surf = np.full(pshape, rF[0])
+        bfaces = None
+
+    if cfg.usingPCoords and cfg.bathyFile:
+        # ini_depths.F:91-98,150-153: p-coords with a bathyFile reads the
+        # reference bottom pressure Po_surf directly into Ro_surf and sets
+        # R_low to the fixed top of the domain rF(Nr+1)
+        R_low = np.full(pshape, rF[nr])
+        Ro_surf = np.zeros((6, nyp, nyp))
+        Ro_surf[:, ol:ol + n, ol:ol + n] = bfaces
+        Ro_surf = np.asarray(jit_fill_C(jnp.asarray(Ro_surf))
+                             ).reshape(pshape)
+    else:
+        R_low_in = np.full((6, n, n), rF[nr]) if bfaces is None else bfaces
+        R_low = np.zeros((6, nyp, nyp))
+        R_low[:, ol:ol + n, ol:ol + n] = np.minimum(R_low_in, rF[0]) \
+            if cfg.usingZCoords else R_low_in
+        R_low = np.asarray(jit_fill_C(jnp.asarray(R_low))).reshape(pshape)
+        Ro_surf = np.full(pshape, rF[0])
 
     rLowW = np.maximum(R_low, np.roll(R_low, 1, axis=-1))
     rSurfW = np.minimum(Ro_surf, np.roll(Ro_surf, 1, axis=-1))
     rLowS = np.maximum(R_low, np.roll(R_low, 1, axis=-2))
     rSurfS = np.minimum(Ro_surf, np.roll(Ro_surf, 1, axis=-2))
 
+    # two-stage clip exactly as ini_masks_etc.F: (1) clip against R_low,
+    # (2) re-derive R_low from the stage-1 column (ini_masks_etc.F:126-143),
+    # (3) clip against Ro_surf, (4) re-derive Ro_surf from the final
+    # thickness (ini_masks_etc.F:168-195 — matters when the surface clip
+    # engages hFacMin/hFacMinDr, e.g. the p-coords ocean where the
+    # bathymetry IS the reference free-surface position)
     hFacC = _hfac_column(R_low, Ro_surf, rF, drF, recip_drF,
                          cfg.hFacMin, cfg.hFacMinDr)
-    if cfg.usingZCoords:
-        # ini_masks_etc.F:126-143: R_low snapped to the clipped cells
-        R_low = rF[0] - np.tensordot(drF, hFacC, axes=(0, 0))
+    hFac1 = np.zeros_like(hFacC)
+    for k in range(nr):
+        hFacMnSz = max(cfg.hFacMin, min(cfg.hFacMinDr * recip_drF[k], 1.0))
+        h1 = np.clip((rF[k] - R_low) * recip_drF[k], 0.0, 1.0)
+        hFac1[k] = np.where((h1 < hFacMnSz * 0.5) | (R_low >= Ro_surf),
+                            0.0, np.maximum(h1, hFacMnSz))
+    R_low = rF[0] - np.tensordot(drF, hFac1, axes=(0, 0))
+    for k in range(nr):
+        hFacMnSz = max(cfg.hFacMin, min(cfg.hFacMinDr * recip_drF[k], 1.0))
+        h2 = (rF[k] - Ro_surf) * recip_drF[k]
+        h = np.maximum(hFac1[k] - np.maximum(h2, 0.0), 0.0)
+        hFacC[k] = np.where(h < hFacMnSz * 0.5, 0.0,
+                            np.maximum(h, hFacMnSz))
+    Ro_surf = R_low + np.tensordot(drF, hFacC, axes=(0, 0))
     hFacW = _hfac_column(rLowW, rSurfW, rF, drF, recip_drF,
                          cfg.hFacMin, cfg.hFacMinDr)
     hFacS = _hfac_column(rLowS, rSurfS, rF, drF, recip_drF,
@@ -631,6 +741,14 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     # padded range from the exchanged R_low/Ro_surf); hFacW/S are
     # exchanged as a no-sign C-grid pair (ini_masks_etc.F:402)
     hFacW, hFacS = exUV3(hFacW, hFacS)
+
+    # ini_masks_etc.F:330-360: rLowW/rSurfW updated to reflect the
+    # hFac-adjusted R_low/Ro_surf (the raw values above were only inputs
+    # to the hFacW/S clip)
+    rLowW = np.maximum(R_low, np.roll(R_low, 1, axis=-1))
+    rSurfW = np.minimum(Ro_surf, np.roll(Ro_surf, 1, axis=-1))
+    rLowS = np.maximum(R_low, np.roll(R_low, 1, axis=-2))
+    rSurfS = np.minimum(Ro_surf, np.roll(Ro_surf, 1, axis=-2))
 
     kSurfC = np.full(pshape, nr + 1, dtype=np.int32)
     kLowC = np.zeros(pshape, dtype=np.int32)
@@ -671,11 +789,16 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     onesF = np.ones(nr + 1)
     pz = np.zeros(pshape)
     po = np.ones(pshape)
+    if cfg.usingPCoords and cfg.fluidIsWater:
+        r2w, w2r = _pcoord_w_units(cfg, rF, rC)
+    else:
+        r2w, w2r = onesF, onesF
 
     def J(a):
         return jnp.asarray(a, dtype=dtype)
 
     grid = Grid(
+        rVel2wUnit=J(r2w), wUnit2rVel=J(w2r),
         rF=J(rF), rC=J(rC), drF=J(drF), drC=J(drC),
         recip_drF=J(recip_drF), recip_drC=J(recip_drC),
         xG=J(xG), yG=J(yG), xC=J(xC), yC=J(yC),

@@ -117,9 +117,12 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
     out["ke_mean"] = jnp.where(
         volSum > 0, jnp.sum(tmp * drF[:, None, None]) / volSum, 0.0)
     out["ke_vol"] = volSum
-    # surface potential energy (mon_ke.F:105-116, phi0surf = 0)
-    pe = 0.5 * grid.Bo_surf * state.etaN ** 2 * grid.rA * grid.maskInC \
-        * imask
+    # surface potential energy (mon_ke.F:133-142): 0.5*Bo*eta^2
+    # + phi0surf*eta when the geoid is not flat
+    peVal = 0.5 * grid.Bo_surf * state.etaN ** 2
+    if grid.phi0surf is not None:
+        peVal = peVal + grid.phi0surf * state.etaN
+    pe = peVal * grid.rA * grid.maskInC * imask
     out["pe_b_mean"] = jnp.where(volSum > 0, jnp.sum(pe) / volSum, 0.0)
     return out
 

@@ -205,7 +205,7 @@ class EXF:
                  calobj: Cal, n_steps_margin: int = 4):
         self.cfg, self.grid, self.cal = cfg, grid, calobj
         from mitgcm_tpu.core import nml
-        groups = nml.read_namelist(os.path.join(input_dir, "data.exf"))
+        groups = nml.read_namelist(cfg.find_file("data.exf"))
         g1 = groups.get("EXF_NML_01", {})
         g2 = groups.get("EXF_NML_02", {})
         g3 = groups.get("EXF_NML_03", {})

@@ -210,6 +210,16 @@ class Experiment:
             grid, cs_fill = build_cs_grid(cfg, dtype=dtype)
         else:
             grid = build_grid(cfg, dtype=dtype)
+        if cfg.geoPotAnomFile:
+            # topographic geopotential anomaly phi0surf
+            # (ini_linear_phisurf.F:200-213)
+            import dataclasses as _dc
+            prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
+            gy, gx = _global_dims(cfg)
+            p0 = mds.read_raw(cfg.find_file(cfg.geoPotAnomFile),
+                              (gy, gx), prec).astype(np.float64)
+            grid = _dc.replace(
+                grid, phi0surf=_pad_and_fill(cfg, p0, dtype, cs_fill))
         if cfg.useOBCS and cfg.obcs is not None:
             # obcs_init_fixed.F: fold the OB interior mask into maskInC/W/S
             # BEFORE the cg2d operator and any flux masks are built
@@ -266,7 +276,7 @@ class Experiment:
             from mitgcm_tpu.utils.cal import Cal
             from mitgcm_tpu.model import exf as exf_mod
             calnl = {}
-            cpath = os.path.join(input_dir, "data.cal")
+            cpath = cfg.find_file("data.cal")
             if cfg.useCAL and os.path.exists(cpath):
                 calnl = nml.read_namelist(cpath).get("CAL_NML", {})
             calobj = Cal.from_namelist(calnl)
@@ -313,7 +323,7 @@ class Experiment:
             from mitgcm_tpu.core import nml
             from mitgcm_tpu.model import kpp as kpp_mod
             knl = {}
-            kpath = os.path.join(input_dir, "data.kpp")
+            kpath = cfg.find_file("data.kpp")
             if os.path.exists(kpath):
                 knl = nml.read_namelist(kpath).get("KPP_PARM01", {})
             opt_path = os.path.join(
@@ -336,7 +346,7 @@ class Experiment:
             from mitgcm_tpu.core import nml
             from mitgcm_tpu.model import ggl90 as ggl90_mod
             g1, g3 = {}, {}
-            gpath = os.path.join(input_dir, "data.ggl90")
+            gpath = cfg.find_file("data.ggl90")
             if os.path.exists(gpath):
                 gnl = nml.read_namelist(gpath)
                 g1 = gnl.get("GGL90_PARM01", {})
@@ -360,7 +370,7 @@ class Experiment:
             else:
                 grp, fname, gname = {}, "data.my82", "MY_PARM01"
                 klass = vertmix.MY82
-            vpath = os.path.join(input_dir, fname)
+            vpath = cfg.find_file(fname)
             if os.path.exists(vpath):
                 grp = nml.read_namelist(vpath).get(gname, {})
             vmix_obj = klass(cfg, grid, grp)
@@ -370,7 +380,7 @@ class Experiment:
             from mitgcm_tpu.core import nml
             from mitgcm_tpu.model import opps as opps_mod
             grp = {}
-            opath = os.path.join(input_dir, "data.opps")
+            opath = cfg.find_file("data.opps")
             if os.path.exists(opath):
                 grp = nml.read_namelist(opath).get("OPPS_PARM01", {})
             opps_obj = opps_mod.OPPS(cfg, grid, grp)
@@ -380,7 +390,7 @@ class Experiment:
             from mitgcm_tpu.core import nml
             from mitgcm_tpu.model import seaice as seaice_mod
             s1, s3 = {}, {}
-            spath = os.path.join(input_dir, "data.seaice")
+            spath = cfg.find_file("data.seaice")
             if os.path.exists(spath):
                 snl = nml.read_namelist(spath)
                 s1 = snl.get("SEAICE_PARM01", {})
@@ -471,6 +481,19 @@ class Experiment:
                     from mitgcm_tpu.model import rstar as rstar_mod
                     fC, fW, fS = rstar_mod.rstar_facs(cfg, grid, s.etaHm1)
                     g = rstar_mod.rstar_view(cfg, grid, fC, fW, fS)
+                elif cfg.nonlinFreeSurf > 0:
+                    # surf-dr analog: hFac as set by the last
+                    # UPDATE_SURF_DR (calc_surf_dr from entry-time etaH)
+                    from mitgcm_tpu.model import nlfs
+                    fl = (self.cs_fill.fill if self.cs_fill is not None
+                          else None)
+                    fuv = None
+                    if self.cs_fill is not None:
+                        fuv = lambda a, b: self.cs_fill.fill_uv(  # noqa
+                            a, b, False)
+                    hs = nlfs.surf_dr_facs(cfg, grid, s.etaHm1,
+                                           fill=fl, fill_uv=fuv)
+                    g = nlfs.surf_dr_view(cfg, grid, *hs)
                 stats = monitor.dynstat(cfg, g, s)
                 if self.seaice is not None:
                     # pkg/seaice/seaice_monitor.F MON_WRITESTATS_RL calls

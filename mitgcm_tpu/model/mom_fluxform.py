@@ -334,12 +334,20 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
 
     # ---- non-hydrostatic metric terms (mom_u/v_metric_nh.F) ----
     if cfg.useNHMTerms:
-        w_kp1 = jnp.concatenate([w[1:], jnp.zeros_like(w[:1])], axis=0)
-        wsumU = ((sh(w_kp1, di=-1) + w_kp1)
-                 + (sh(w, di=-1) + w))
+        # rVel2wUnit converts wVel (r-unit/s) to m/s at each interface
+        # (identity in z-coords, 1/(g*rhoRef) in the p-coords ocean)
+        r2w = (grid.rVel2wUnit[:, None, None]
+               if grid.rVel2wUnit is not None
+               else jnp.ones((cfg.nr + 1, 1, 1), w.dtype))
+        wr = w * r2w[:cfg.nr]
+        # kp1 term: wFld(kp1)*rVel2wUnit(kp1), zeroed at k=Nr
+        wr_kp1 = jnp.concatenate(
+            [w[1:] * r2w[1:cfg.nr], jnp.zeros_like(w[:1])], axis=0)
+        wsumU = ((sh(wr_kp1, di=-1) + wr_kp1)
+                 + (sh(wr, di=-1) + wr))
         gU = gU + u / cfg.rSphere * 0.25 * wsumU * cfg.gravitySign
-        wsumV = ((sh(w_kp1, dj=-1) + w_kp1)
-                 + (sh(w, dj=-1) + w))
+        wsumV = ((sh(wr_kp1, dj=-1) + wr_kp1)
+                 + (sh(wr, dj=-1) + wr))
         gV = gV + v / cfg.rSphere * 0.25 * wsumV * cfg.gravitySign
 
     # ---------------- Coriolis (mom_u_coriolis.F) ----------------
@@ -394,8 +402,12 @@ def _coriolis_3d_u(cfg: Config, grid: Grid, gU, w):
     if cfg.select3dCoriScheme < 1:
         return gU
     nr = cfg.nr
-    w_kp1 = jnp.concatenate([w[1:], jnp.zeros_like(w[:1])], axis=0)
+    r2w = (grid.rVel2wUnit[:, None, None] if grid.rVel2wUnit is not None
+           else jnp.ones((nr + 1, 1, 1), w.dtype))
+    wr = w * r2w[:nr]
+    wr_kp1 = jnp.concatenate(
+        [w[1:] * r2w[1:nr], jnp.zeros_like(w[:1])], axis=0)
     fcw = grid.fCoriCos * grid.angleCosC
-    wbar = 0.5 * (w + w_kp1)            # wMsk=0 at k=Nr via the zero pad
+    wbar = 0.5 * (wr + wr_kp1)          # wMsk=0 at k=Nr via the zero pad
     uCf = 0.5 * (fcw * wbar + sh(fcw * wbar, di=-1)) * cfg.gravitySign
     return gU + uCf

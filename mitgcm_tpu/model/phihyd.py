@@ -68,6 +68,87 @@ def quasihydrostatic_term(cfg: Config, grid: Grid, u, v):
     return gw
 
 
+def _phi_hyd_oceanicp(cfg: Config, grid: Grid, rhoInSitu, etaH, rStarFacC):
+    """OCEANICP branch of calc_phi_hyd.F:294-414: integrate the specific
+    volume anomaly alpha' = 1/(rho'+rhoConst) - 1/rhoConst over pressure,
+    restarting the k-ascending carry at kSurfC (the sea floor, which in
+    p-coordinates is where the free surface lives).  Gradient per
+    calc_grad_phi_hyd.F with the p* coordinate-slope term (factorP=0.5,
+    alpha'-weighted rStarFacC differences) and phi0surf (topographic
+    geopotential anomaly, geoPotAnomFile)."""
+    nr = cfg.nr
+    if cfg.quasiHydrostatic:
+        raise NotImplementedError("quasiHydrostatic + OCEANICP")
+    locBuoy = rhoInSitu * (1.0 / cfg.rhoConst)
+    alphaP = -grid.maskC * (1.0 / cfg.rhoConst) * locBuoy / (1.0 + locBuoy)
+
+    # calc_phi_hyd.F:96: addSurfPhiAnom only for surf-dr with nlfs>=4
+    # (r* carries the eta effect through rStarFacC instead)
+    surfPhiFac = 1.0 if (cfg.select_rStar == 0
+                         and cfg.nonlinFreeSurf >= 4) else 0.0
+    rF, rC, drF, drC = grid.rF, grid.rC, grid.drF, grid.drC
+    ks0 = grid.kSurfC - 1                     # 0-based free-surface level
+    kk = jnp.arange(nr)
+    ddRloc = grid.Ro_surf[None] - rC[:, None, None]
+    if etaH is not None:
+        ddRloc = ddRloc + surfPhiFac * etaH[None]
+
+    if cfg.integr_GeoPot == 1:
+        # finite volume form
+        surfC = ddRloc * alphaP
+        dM = 0.5 * drF
+        dP = 0.5 * drF
+    else:
+        # finite difference form with part-cell bathy
+        dM = 0.5 * drC[0:nr]
+        dM = dM.at[0].set(rF[0] - rC[0])
+        dP = jnp.where(kk == nr - 1, rC[nr - 1] - rF[nr],
+                       0.5 * drC[1:nr + 1])
+        rec_dRm = 1.0 / (rF[:nr] - rC)
+        rec_dRp = 1.0 / (rC - rF[1:])
+        surfC = (jnp.maximum(ddRloc, 0.0) * (rec_dRm * dM)[:, None, None]
+                 + jnp.minimum(ddRloc, 0.0) * (rec_dRp * dP)[:, None, None]
+                 ) * alphaP
+
+    def body(phiF, inp):
+        k, a, s = inp
+        phiC = jnp.where(k == ks0, s, phiF + dM[k] * a)
+        return phiC + dP[k] * a, phiC
+
+    _, phiC = jax.lax.scan(
+        body, jnp.zeros_like(alphaP[0]), (kk, alphaP, surfC))
+
+    rstar = (cfg.select_rStar >= 2 and cfg.nonlinFreeSurf >= 4
+             and rStarFacC is not None)
+    tot = phiC * rStarFacC if rstar else phiC
+
+    if not cfg.momPressureForcing:
+        z = jnp.zeros_like(phiC)
+        return phiC, z, z, tot
+
+    varLoc = phiC * rStarFacC if rstar else phiC
+    if grid.phi0surf is not None:
+        varLoc = varLoc + grid.phi0surf[None]
+    dX = grid.recip_dxC * (varLoc - sh(varLoc, di=-1))
+    dY = grid.recip_dyC * (varLoc - sh(varLoc, dj=-1))
+    if cfg.select_rStar >= 2 and cfg.nonlinFreeSurf >= 1 \
+            and rStarFacC is not None:
+        # p* slope term (calc_grad_phi_hyd.F:207-229); requires the top
+        # at p=0 (generalForm asserted off: rF(Nr+1) == 0)
+        if float(cfg.top_Pres) != 0.0:
+            raise NotImplementedError(
+                "OCEANICP r* with top_Pres != 0 (generalForm)")
+        factorP = 0.5
+        rck = rC[:, None, None]
+        dX = dX + factorP * (sh(alphaP, di=-1) + alphaP) \
+            * (rStarFacC - sh(rStarFacC, di=-1)) * rck * grid.recip_dxC
+        dY = dY + factorP * (sh(alphaP, dj=-1) + alphaP) \
+            * (rStarFacC - sh(rStarFacC, dj=-1)) * rck * grid.recip_dyC
+    dX = dX * grid.maskW
+    dY = dY * grid.maskS
+    return phiC, dX, dY, tot
+
+
 def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
                  etaH=None, rStarFacC=None):
     """Return (phiHydC, dPhiHydX, dPhiHydY, totPhiHyd), each [nr, ...].
@@ -92,6 +173,9 @@ def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
         dX = grid.recip_dxC * (phiC - sh(phiC, di=-1))
         dY = grid.recip_dyC * (phiC - sh(phiC, dj=-1))
         return phiC, dX, dY, tot
+
+    if cfg.usingPCoords:
+        return _phi_hyd_oceanicp(cfg, grid, rhoInSitu, etaH, rStarFacC)
 
     alphaRho = rhoInSitu
     if cfg.quasiHydrostatic:

@@ -501,7 +501,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # atmospheric state, recomputed every step from the current SST
     if cfg.exf_useBulk:
         from mitgcm_tpu.model import exf as exf_mod
-        bf = exf_mod.bulk_fluxes(cfg, grid, forc, state.theta[0])
+        bf = exf_mod.bulk_fluxes(cfg, grid, forc, state.theta[cfg.ksurf0])
         forc = Forcing(**{**forc.__dict__,
                           "fu": bf["fu"], "fv": bf["fv"],
                           "Qnet": bf["Qnet"], "Qsw": bf["Qsw"],
@@ -533,7 +533,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     theta0 = state.theta
     if cfg.allowFreezing:
         # model/src/freeze_surface.F: clamp surface temperature at -1.9C
-        theta0 = theta0.at[0].set(jnp.maximum(theta0[0], -1.9))
+        ks = cfg.ksurf0
+        theta0 = theta0.at[ks].set(jnp.maximum(theta0[ks], -1.9))
         state = State(**{**state.__dict__, "theta": theta0})
 
     # r* nonlinear free surface: geometry views for the two time levels
@@ -555,6 +556,22 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                                    fill=fill, fill_uv=fuv)
         grid_old = nlfs.surf_dr_view(cfg, grid, *hs_old)
         grid_new = nlfs.surf_dr_view(cfg, grid, *hs_new)
+        # tracer-step rescale (freesurf_rescale_g.F surf-dr branch +
+        # thermodynamics.F:229-233 recip_hFacNew): 3-D ratio active at
+        # the kSurfC level only, = hFac_surf_new/hFac_surf_old
+        k3C = jnp.arange(cfg.nr)[:, None, None]
+        selC3 = (k3C == (grid.kSurfC - 1)[None]) & (grid.kSurfC <= cfg.nr)[None]
+        hsCo = jnp.where(hs_old[0] != 0.0, hs_old[0], 1.0)
+        sdr_thermo = {"ratio3": jnp.where(selC3, hs_new[0] / hsCo, 1.0)}
+        if cfg.staggerTimeStep:
+            # forcing_surf_relax.F:144-155: T,S forcing scaling where the
+            # kSurface level is the actual free-surface level
+            ksrf = cfg.ksurf0
+            sdr_thermo["stagger_fac"] = jnp.where(
+                grid.kSurfC - 1 == ksrf,
+                grid_old.recip_hFacC[ksrf] * hs_new[0], 1.0)
+    else:
+        sdr_thermo = None
     if use_rstar:
         from mitgcm_tpu.model import rstar as rstar_mod
         facC, facW, facS = rstar_mod.rstar_facs(
@@ -602,15 +619,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     gm_tensor = None
     sigmaR = None
     if cfg.useGMRedi or ggl90 is not None:
-        t_km1 = jnp.concatenate([theta0[:1], theta0[:-1]], axis=0)
-        s_km1 = jnp.concatenate([state.salt[:1], state.salt[:-1]], axis=0)
-        rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1,
-                              totPhiHyd=state.totPhiHyd)
-        mC = grid.maskC
-        m_km1 = jnp.concatenate([jnp.zeros_like(mC[:1]), mC[:-1]], axis=0)
-        sigmaR = (mC * m_km1 * grid.recip_drC[:cfg.nr, None, None]
-                  * cfg.rkSign * (rhoInSitu - rhoKm1))
-        sigmaR = sigmaR.at[0].set(0.0)
+        sigmaR = thermo_mod.calc_sigmaR(cfg, grid, rhoInSitu, theta0,
+                                        state.salt,
+                                        totPhiHyd=state.totPhiHyd)
     if cfg.useGMRedi:
         sigmaX = (grid.maskW * grid.recip_dxC
                   * (rhoInSitu - sh(rhoInSitu, di=-1)))
@@ -663,8 +674,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1, somT, somS) = thermo_mod.thermodynamics(
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
-            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
+            gm_tensor=gm_tensor, rstar=rstar, sdr=sdr_thermo,
+            kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
+            vmix_fields=vmix_fields)
         if ob is not None:
             # thermodynamics.F:353 OBCS_APPLY_TS
             from mitgcm_tpu.model import obcs as obcs_mod
@@ -757,8 +769,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1, somT, somS) = thermo_mod.thermodynamics(
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar, kpp_fields=kpp_fields,
-            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
+            gm_tensor=gm_tensor, rstar=rstar, sdr=sdr_thermo,
+            kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
+            vmix_fields=vmix_fields)
         if ob is not None:
             from mitgcm_tpu.model import obcs as obcs_mod
             theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)

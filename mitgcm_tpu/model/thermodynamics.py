@@ -72,7 +72,7 @@ def impldiff(cfg: Config, grid: Grid, field, kappaR, recip_hFac, deltaT):
 
 
 def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
-                       forcing: Forcing, rstar_ratio=None):
+                       forcing: Forcing, rstar_ratio=None, sdr_fac=None):
     """model/src/external_forcing_surf.F + forcing_surf_relax.F:
     surfaceForcingT/S in r-units * tracer-units / s (times drF*hFac)."""
     dtype = state.theta.dtype
@@ -82,6 +82,7 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
     # with seaice and SEAICErestoreUnderIce=F (default), no restoring
     # under ice: scale by the open-water fraction (1-AREA), using the
     # post-seaice-step area (forcing_surf_relax.F:75-90)
+    ks = cfg.ksurf0    # surface level: Nr under p-coords (forcing_surf_relax.F:64)
     openFrac = 1.0
     if cfg.useSEAICE and cfg.seaice is not None \
             and not getattr(cfg.seaice, "restoreUnderIce", False) \
@@ -89,17 +90,22 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
         openFrac = 1.0 - state.siAREA
     if cfg.tauThetaClimRelax > 0.0:
         lam = 1.0 / cfg.tauThetaClimRelax
-        sfT = sfT - lam * openFrac * (state.theta[0] - forcing.SST) \
-            * grid.drF[0] * grid.hFacC[0]
+        sfT = sfT - lam * openFrac * (state.theta[ks] - forcing.SST) \
+            * grid.drF[ks] * grid.hFacC[ks]
     if cfg.tauSaltClimRelax > 0.0:
         lam = 1.0 / cfg.tauSaltClimRelax
-        sfS = sfS - lam * openFrac * (state.salt[0] - forcing.SSS) \
-            * grid.drF[0] * grid.hFacC[0]
+        sfS = sfS - lam * openFrac * (state.salt[ks] - forcing.SSS) \
+            * grid.drF[ks] * grid.hFacC[ks]
     if rstar_ratio is not None:
-        # forcing_surf_relax.F:118-125: climatology relaxation scales
-        # with the surface-layer expansion
+        # forcing_surf_relax.F:115-125: with staggered stepping the T,S
+        # forcing applies after the hFac update — scale by rStarExpC
         sfT = sfT * rstar_ratio
         sfS = sfS * rstar_ratio
+    if sdr_fac is not None:
+        # forcing_surf_relax.F:144-155 surf-dr analog:
+        # recip_hFacC(ks)*hFac_surfC where ks == kSurfC
+        sfT = sfT * sdr_fac
+        sfS = sfS * sdr_fac
     # heat / freshwater / salt fluxes (external_forcing_surf.F:161-180)
     recip_Cp = 1.0 / cfg.HeatCapacity_Cp
     # without SHORTWAVE_HEATING compiled in, the full Qnet (which includes
@@ -115,16 +121,16 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
             and cfg.useRealFreshWaterFlux:
         if cfg.temp_EvPrRn is not None:
             sfT = sfT - forcing.EmPmR * (cfg.temp_EvPrRn
-                                         - state.theta[0]) * cfg.mass2rUnit
+                                         - state.theta[ks]) * cfg.mass2rUnit
         if cfg.salt_EvPrRn is not None:
             sfS = sfS - forcing.EmPmR * (cfg.salt_EvPrRn
-                                         - state.salt[0]) * cfg.mass2rUnit
+                                         - state.salt[ks]) * cfg.mass2rUnit
     elif cfg.convertFW2Salt == -1.0:
         if cfg.temp_EvPrRn is not None:
-            sfT = sfT + forcing.EmPmR * (state.theta[0]
+            sfT = sfT + forcing.EmPmR * (state.theta[ks]
                                          - cfg.temp_EvPrRn) * cfg.mass2rUnit
         if cfg.salt_EvPrRn is not None:
-            sfS = sfS + forcing.EmPmR * (state.salt[0]
+            sfS = sfS + forcing.EmPmR * (state.salt[ks]
                                          - cfg.salt_EvPrRn) * cfg.mass2rUnit
     else:
         if cfg.temp_EvPrRn is not None:
@@ -136,26 +142,47 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
     return sfT, sfS
 
 
+def calc_sigmaR(cfg: Config, grid: Grid, rhoInSitu, theta, salt,
+                totPhiHyd=None):
+    """Vertical potential-density gradient sigmaR at interfaces
+    (model/src/grad_sigma.F:95-107 + do_oceanic_phys.F:807-830).
+
+    z-coords:  sigKp1 = rhoInSitu(k), sigKm1 = rho(T(k-1),S(k-1); kRef=k).
+    p-coords:  sigKp1 = rho(T(k),S(k); kRef=k-1), sigKm1 = rhoInSitu(k-1)
+    — the displaced parcel is always evaluated at the LOWER pressure of
+    the pair.  sigmaR(k) = maskC(k)*maskC(k-1)*recip_drC(k)*rkSign
+    *(sigKp1 - sigKm1); sigmaR(1) = 0."""
+    import dataclasses as _dc
+    from mitgcm_tpu.ops import eos
+    nr = cfg.nr
+    mC = grid.maskC
+    m_km1 = jnp.concatenate([jnp.zeros_like(mC[:1]), mC[:-1]], axis=0)
+    if cfg.usingPCoords:
+        # rho(T(k),S(k); kRef=k-1): same fields, pressure of level k-1
+        rc_km1 = jnp.concatenate([grid.rC[:1], grid.rC[:-1]])
+        gshift = _dc.replace(grid, rC=rc_km1)
+        sigKp1 = eos.find_rho(cfg, gshift, theta, salt,
+                              totPhiHyd=totPhiHyd)
+        sigKm1 = jnp.concatenate([rhoInSitu[:1], rhoInSitu[:-1]], axis=0)
+    else:
+        t_km1 = jnp.concatenate([theta[:1], theta[:-1]], axis=0)
+        s_km1 = jnp.concatenate([salt[:1], salt[:-1]], axis=0)
+        sigKm1 = eos.find_rho(cfg, grid, t_km1, s_km1,
+                              totPhiHyd=totPhiHyd)
+        sigKp1 = rhoInSitu
+    sigmaR = (mC * m_km1 * grid.recip_drC[:nr, None, None] * cfg.rkSign
+              * (sigKp1 - sigKm1))
+    return sigmaR.at[0].set(0.0)
+
+
 def calc_ivdc(cfg: Config, grid: Grid, rhoInSitu, theta, salt,
               totPhiHyd=None):
     """Implicit-vertical-diffusion convection mask (model/src/calc_ivdc.F).
 
     Returns IVDConvCount [nr,...]: 1 where statically unstable (density of
-    the k-1 water displaced to level k exceeds the local density).
-    sigmaR from model/src/grad_sigma.F with rhoKm1 evaluated at level-k
-    reference pressure (do_oceanic_phys.F usingZCoords branch).
-    """
-    from mitgcm_tpu.ops import eos
-    nr = cfg.nr
-    # rho(T(k-1),S(k-1); kRef=k): shift fields down one level
-    t_km1 = jnp.concatenate([theta[:1], theta[:-1]], axis=0)
-    s_km1 = jnp.concatenate([salt[:1], salt[:-1]], axis=0)
-    rhoKm1 = eos.find_rho(cfg, grid, t_km1, s_km1, totPhiHyd=totPhiHyd)
-    mC = grid.maskC
-    m_km1 = jnp.concatenate([jnp.zeros_like(mC[:1]), mC[:-1]], axis=0)
-    sigmaR = (mC * m_km1 * grid.recip_drC[:nr, None, None] * cfg.rkSign
-              * (rhoInSitu - rhoKm1))
-    sigmaR = sigmaR.at[0].set(0.0)
+    the k-1 water displaced to level k exceeds the local density)."""
+    sigmaR = calc_sigmaR(cfg, grid, rhoInSitu, theta, salt,
+                         totPhiHyd=totPhiHyd)
     unstable = (-sigmaR * cfg.gravitySign) > 0.0
     return jnp.where(unstable, 1.0, 0.0)
 
@@ -212,8 +239,9 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
     # surface forcing into surface cell (apply_forcing.F APPLY_FORCING_T);
     # with tracForcingOutAB=1 the forcing joins AFTER the AB extrapolation
     # (temp_integrate.F:'tracForcingOutAB.NE.1' / '.EQ.1' blocks)
-    gForc = jnp.zeros_like(tracer).at[0].add(
-        sfc_forc * grid.recip_drF[0] * grid.recip_hFacC[0])
+    ks = cfg.ksurf0
+    gForc = jnp.zeros_like(tracer).at[ks].add(
+        sfc_forc * grid.recip_drF[ks] * grid.recip_hFacC[ks])
     if interior_forc is not None:
         gForc = gForc + interior_forc
     forc_in_ab = cfg.tracForcingOutAB != 1
@@ -271,7 +299,8 @@ def shortwave_heating(cfg: Config, grid: Grid, forcing: Forcing):
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                    myIter, conv_count=None, gm_tensor=None, rstar=None,
-                   kpp_fields=None, ggl90_fields=None, vmix_fields=None):
+                   sdr=None, kpp_fields=None, ggl90_fields=None,
+                   vmix_fields=None):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
@@ -285,8 +314,14 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     flow = gad.calc_adv_flow(cfg, grid, state.uVel, state.vVel, state.wVel)
     sfT, sfS = surface_forcing_ts(
         cfg, grid, state, forcing,
-        rstar_ratio=None if rstar is None else rstar["ratioC"])
+        rstar_ratio=None if rstar is None else rstar["ratioC"],
+        sdr_fac=None if sdr is None else sdr.get("stagger_fac"))
+    # gTracer/AB rescale + new-thickness implicit solve: rStarExpC for
+    # r*; hFac(kSurf)/hFac_surfC (3-D, kSurf level only) for surf-dr
+    # (freesurf_rescale_g.F + thermodynamics.F:199-238)
     ratioC = None if rstar is None else rstar["ratioC"]
+    if ratioC is None and sdr is not None:
+        ratioC = sdr["ratio3"]
 
     # KPP overrides the vertical diffusivities (kpp_calc_diff_t/s.F) and
     # adds the nonlocal (ghat) flux to the explicit vertical flux

@@ -77,8 +77,9 @@ def _pressure_for_eos(cfg: Config, grid, totPhiHyd):
     rc = grid.rC[:, None, None]
     dp0 = cfg.surf_pRef - cfg.eosRefP0
     if cfg.usingPCoords:
-        # p-coordinates: rC is total pressure already (pressure_for_eos.F)
-        return rc - cfg.eosRefP0
+        # p-coordinates: rC is total pressure already
+        # (pressure_for_eos.F:108-115: locPres = rC(k) + dpRef)
+        return rc + dp0
     if cfg.selectP_inEOS_Zc == 2 and totPhiHyd is not None:
         phiRef2k = (rc - grid.rF[0]) * cfg.gravity * cfg.gravitySign
         return cfg.rhoConst * (totPhiHyd + phiRef2k) + dp0
@@ -231,18 +232,20 @@ def find_rho(cfg: Config, grid, theta, salt, k_pressure_ref=None,
         ) + drho
     if eos in ("JMD95Z", "JMD95P", "UNESCO"):
         rc = grid.rC[:, None, None]
-        if cfg.selectP_inEOS_Zc == 2 and totPhiHyd is not None:
+        if cfg.usingPCoords:
+            # p-coordinates (pressure_for_eos.F:108-115, checked BEFORE
+            # any selectP_inEOS_Zc branch): locPres = rC + dpRef — rC IS
+            # total pressure; the z-coord hydrostatic conversion below
+            # would silently give wrong densities here
+            dp0 = cfg.surf_pRef - cfg.eosRefP0
+            p_bar = (rc + dp0) * _SI2BAR
+        elif cfg.selectP_inEOS_Zc == 2 and totPhiHyd is not None:
             # pressure_for_eos.F selectP_inEOS_Zc=2: p = rhoConst *
             # (totPhiHyd + phiRef(2k)) + (surf_pRef - eosRefP0);
             # phiRef(2k) = (rC - rF(1))*gravity*gravitySign
             phiRef2k = (rc - grid.rF[0]) * cfg.gravity * cfg.gravitySign
             dp0 = cfg.surf_pRef - cfg.eosRefP0
             p_bar = (cfg.rhoConst * (totPhiHyd + phiRef2k) + dp0) * _SI2BAR
-        elif cfg.usingPCoords:
-            # p-coordinates (pressure_for_eos.F): locPres = rC directly —
-            # rC IS total pressure; the z-coord hydrostatic conversion
-            # below would silently give wrong densities here
-            p_bar = rc * _SI2BAR
         else:
             # selectP_inEOS_Zc<=1: p [bar] = -rhoConst*rC*g*SItoBar
             p_bar = -cfg.rhoConst * rc * cfg.gravity * _SI2BAR

@@ -124,6 +124,39 @@ class CG2DResult(NamedTuple):
     n_iters: jnp.ndarray
 
 
+def _dot_seq_fortran(cfg: Config, v):
+    """Bit-exact replica of the reference's CG dot-product summation
+    order: per-tile sequential accumulation with i fastest / j outer
+    (cg2d.F:161-178 errTile loops), then tile partials combined bj-outer
+    / bi-inner (eesupp/src/global_sum_tile.F).
+
+    The CG iteration amplifies last-bit differences in these reductions
+    by ~1e4 per solve on stiff configs (measured: a 1e-15 relative state
+    perturbation moves the converged eta by 1e-11 relative on
+    tutorial_global_oce_in_p), so a tree-reduction jnp.sum caps the
+    achievable digit match; this sequential form restores bit equality.
+    Single-face (Cartesian/spherical) layouts only."""
+    oly, olx = cfg.oly, cfg.olx
+    ny, nx = cfg.ny, cfg.nx
+    inter = v[oly:oly + ny, olx:olx + nx]
+    sNy = cfg.sNy if (cfg.sNy and ny % cfg.sNy == 0) else ny
+    sNx = cfg.sNx if (cfg.sNx and nx % cfg.sNx == 0) else nx
+    nSy, nSx = ny // sNy, nx // sNx
+    tiles = inter.reshape(nSy, sNy, nSx, sNx).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(nSy * nSx, sNy * sNx)
+
+    def add(acc, x):
+        return acc + x, None
+
+    def tile_sum(row):
+        s, _ = jax.lax.scan(add, jnp.zeros((), v.dtype), row)
+        return s
+
+    parts = jax.vmap(tile_sum)(tiles)
+    total, _ = jax.lax.scan(add, jnp.zeros((), v.dtype), parts)
+    return total
+
+
 def cg2d(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
          psum=None, fill=None, pmax=None) -> CG2DResult:
     """Differentiable preconditioned-CG solve.
@@ -175,8 +208,12 @@ def _cg2d_raw(cfg: Config, grid: Grid, op: CG2DOperator, b, x0,
     if fill is None:
         fill = lambda a: cyclic_fill_halo(a, oly, olx)
 
-    def dot(a, c):
-        return psum(jnp.sum(a * c * imask))
+    if cfg.cg2dExactSums and cfg.nFaces == 1:
+        def dot(a, c):
+            return psum(_dot_seq_fortran(cfg, a * c * imask))
+    else:
+        def dot(a, c):
+            return psum(jnp.sum(a * c * imask))
 
     # normalise RHS (cg2d.F:105-135)
     b = b * op.cg2dNorm

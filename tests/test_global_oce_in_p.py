@@ -1,0 +1,90 @@
+"""tutorial_global_oce_in_p: the p-coordinate (OCEANICP) global ocean.
+
+4-degree spherical-polar ocean in PRESSURE coordinates: bottom-pressure
+bathymetry (Ro_surf from bathyFile, ini_depths.F:150-153), JMD95P with
+p = rC (pressure_for_eos.F:108), finite-volume geopotential integration
+(integr_GeoPot=1, calc_phi_hyd.F:350-383), topographic geopotential
+anomaly phi0surf, surf-dr nonlinear free surface at the sea floor
+(nonlinFreeSurf=4, select_rStar=0), NH metric terms with the
+rVel2wUnit = 1/(g*rhoRef) vertical-velocity unit conversion
+(set_ref_state.F:228-252), cosPower=0.5 viscosity scaling, and async
+timesteps (deltaTMom=1200 s vs deltaTtracer=2 days).
+
+Pass criteria: step 0 statistics >= 12 digits; step 1 (all dynamics,
+tracers, forcing) >= 10; step 2 >= 6; tracers hold >= 7 through all 20
+steps.  The momentum-side series floor is 2-3 digits from ~step 4: the
+barotropic solve amplifies last-bit differences by ~1e4 per solve on
+this configuration (measured: a 1e-15 relative initial perturbation
+moves step-1 eta by 1e-11 relative), so the committed reference output
+is only reproducible beyond that by a bit-identical binary.  eta_mean
+is excluded (a ~1e-12 Pa cancellation residual of the ~1e4 Pa field).
+"""
+
+import pytest
+
+from tests.conftest import reference_exp
+from mitgcm_tpu.model.experiment import Experiment
+from mitgcm_tpu.utils import refout
+
+DIR = reference_exp("tutorial_global_oce_in_p")
+
+TRACER_KEYS = ["dynstat_theta_mean", "dynstat_theta_sd", "dynstat_theta_max",
+               "dynstat_salt_mean", "dynstat_salt_sd", "dynstat_salt_max"]
+
+
+@pytest.fixture(scope="module")
+def run_and_ref():
+    exp = Experiment.from_dir(DIR + "/input", nx=90, ny=40, nr=15)
+    cfg = exp.cfg
+    assert cfg.usingPCoords and cfg.fluidIsWater
+    assert cfg.integr_GeoPot == 1 and cfg.eosType == "JMD95P"
+    assert cfg.nonlinFreeSurf == 4 and cfg.select_rStar == 0
+    assert cfg.useNHMTerms and cfg.cosPower == 0.5
+    assert cfg.ksurf0 == cfg.nr - 1
+    ref = refout.parse_monitor_series(DIR + "/results/output.txt")
+    recs = exp.run(20)
+    return ref, recs
+
+
+def _worst(ref_row, mine_row, skip=("dynstat_eta_mean",)):
+    worst, worst_k = 99, ""
+    for k, rv in ref_row.items():
+        if k.startswith("time_") or k in skip or k not in mine_row:
+            continue
+        d = refout.matching_digits(rv, mine_row[k])
+        if d < worst:
+            worst, worst_k = d, k
+    return worst, worst_k
+
+
+def test_step0(run_and_ref):
+    ref, recs = run_and_ref
+    worst, k = _worst(ref[0], recs[0])
+    assert worst >= 12, f"step 0: {k} at {worst} digits"
+
+
+def test_step1(run_and_ref):
+    ref, recs = run_and_ref
+    worst, k = _worst(ref[1], recs[1])
+    assert worst >= 10, f"step 1: {k} at {worst} digits"
+
+
+def test_step2(run_and_ref):
+    ref, recs = run_and_ref
+    worst, k = _worst(ref[2], recs[2])
+    assert worst >= 6, f"step 2: {k} at {worst} digits"
+
+
+def test_tracers_20steps(run_and_ref):
+    ref, recs = run_and_ref
+    for n in range(1, 21):
+        for k in TRACER_KEYS:
+            d = refout.matching_digits(ref[n][k], recs[n][k])
+            assert d >= 7, f"{k} at step {n}: {d} digits"
+
+
+def test_series_floor(run_and_ref):
+    ref, recs = run_and_ref
+    for n in range(1, 21):
+        worst, k = _worst(ref[n], recs[n])
+        assert worst >= 2, f"step {n}: {k} at {worst} digits"
