@@ -294,6 +294,11 @@ class Config:
     useCAL: bool = False
     exf_climtempfreeze: object = None  # set by model/exf.py when useEXF
     exf_useBulk: bool = False          # exf bulk-formulae mode (atemp set)
+    exf_bulk: object = None            # bulk constants dict (EXF_NML_01)
+    exf_useAtmWind: bool = True        # ALLOW_ATM_WIND / useAtmWind
+    exf_ly04: bool = False             # ALLOW_BULK_LARGEYEAGER04
+    exf_stressCgrid: bool = False      # readStressOnCgrid
+    exf_runoftemp: bool = False        # runoftempfile present
     # reference tile decomposition (SIZE.h): the seaice LSR tridiagonal
     # sweeps are per-tile, so digit-matching needs the tile shape
     sNx: int = 0
@@ -335,6 +340,19 @@ class Config:
         """0-based surface-level index (kSurface in
         external_forcing_surf.F:103-109: Nr under p-coords, 1 else)."""
         return self.nr - 1 if self.usingPCoords else 0
+
+    def find_code_file(self, fname: str) -> str:
+        """Resolve a compile-options header: <deck>/../code/<fname> for
+        the run dir and every grid_dir search entry (linked decks share
+        the parent experiment's code/)."""
+        cands = [self.run_dir] + (self.grid_dir.split(os.pathsep)
+                                  if self.grid_dir else [])
+        for d in cands:
+            p = os.path.join(os.path.dirname(os.path.abspath(d)),
+                             "code", fname)
+            if os.path.exists(p):
+                return p
+        return ""
 
     def find_file(self, fname: str) -> str:
         """Resolve an input file: run_dir first, then grid_dir (the

@@ -59,6 +59,7 @@ class State:
     # GGL90 prognostic turbulent kinetic energy (pkg/ggl90/GGL90.h);
     # zeros when useGGL90 is off
     GGL90TKE: jnp.ndarray = None
+    IDEMIX_E: jnp.ndarray = None   # internal-wave energy (ggl90_idemix.F)
     # SOM (Prather) sub-grid moments per tracer, [9, nr, ny, nx]
     # (pkg/generic_advdiff/GAD_SOM_VARS.h som_T/som_S); zero-size unless
     # temp/saltAdvScheme is 80/81
@@ -114,6 +115,7 @@ class Forcing:
     tknots: dict
     wspeed: jnp.ndarray = None   # exf wind speed (bulk formulae input)
     evap: jnp.ndarray = None     # exf evaporation [m/s]
+    runoftemp: jnp.ndarray = None  # runoff temperature [degC] (ALLOW_RUNOFTEMP)
 
 
 jax.tree_util.register_dataclass(
@@ -156,7 +158,8 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
         etaHm1=z2, totPhiHyd=z3,
-        pTr=zp, gPtrNm1=zp, GGL90TKE=z3, somT=somT, somS=somS,
+        pTr=zp, gPtrNm1=zp, GGL90TKE=z3, IDEMIX_E=z3, somT=somT,
+        somS=somS,
     )
 
 
@@ -173,4 +176,5 @@ def zero_forcing(cfg: Config, dtype=jnp.float64) -> Forcing:
     return Forcing(tknots={}, atemp=z2, aqh=z2, uwind=z2, vwind=z2,
                    precip=z2, swdown=z2, lwdown=z2, runoff=z2,
                    fu=z2, fv=z2, Qnet=z2, Qsw=z2, EmPmR=z2,
-                   saltFlux=z2, SST=z2, SSS=z2, wspeed=z2, evap=z2)
+                   saltFlux=z2, SST=z2, SSS=z2, wspeed=z2, evap=z2,
+                   runoftemp=z2)

@@ -42,11 +42,13 @@ _SPD = 86400.0
 # (exf name, NML suffix aliases) -> handled fields and their defaults
 _FIELDS = ["hflux", "sflux", "ustress", "vstress", "swflux", "lwflux",
            "atemp", "aqh", "uwind", "vwind", "precip", "evap",
-           "swdown", "lwdown", "runoff", "climsst", "climsss"]
+           "swdown", "lwdown", "runoff", "runoftemp", "wspeed",
+           "snowprecip", "climsst", "climsss"]
 _INTERP_DEFAULT = {"hflux": 1, "sflux": 1, "swflux": 1, "lwflux": 1,
                    "ustress": 12, "vstress": 22, "uwind": 12,
                    "vwind": 22, "atemp": 1, "aqh": 1, "precip": 1,
                    "evap": 1, "swdown": 1, "lwdown": 1, "runoff": 1,
+                   "runoftemp": 1, "wspeed": 1, "snowprecip": 1,
                    "climsst": 2, "climsss": 2}
 
 # EXF_CONSTANTS.h + exf_readparms.F:318-370 bulk-formulae constants
@@ -215,6 +217,38 @@ class EXF:
         self.windstressmax = float(g1.get("windstressmax", 2.0))
         self.climtempfreeze = float(g1.get("climtempfreeze", -1.9))
         repeatPeriod = float(g1.get("repeatperiod", 0.0))
+        # compile options (code/EXF_OPTIONS.h): ALLOW_ATM_WIND sets the
+        # useAtmWind default (exf_readparms.F); ALLOW_BULK_LARGEYEAGER04
+        # selects the Large&Yeager04 stability-iteration branch
+        from mitgcm_tpu.model.kpp import scan_cpp_options
+        optp = cfg.find_code_file("EXF_OPTIONS.h")
+        opts = scan_cpp_options(optp) if optp else {"ALLOW_ATM_WIND"}
+        useAtmWind_dflt = "ALLOW_ATM_WIND" in opts
+        v = g1.get("useatmwind", None)
+        self.useAtmWind = bool(v) if v is not None else useAtmWind_dflt
+        self.ly04 = "ALLOW_BULK_LARGEYEAGER04" in opts
+        self.stressIsOnCgrid = bool(g1.get("readstressoncgrid", False))
+        if bool(g1.get("readstressonagrid", False)):
+            raise NotImplementedError("readStressOnAgrid")
+        # bulk-formulae constants with EXF_NML_01 overrides
+        # (exf_readparms.F EXF_NML_01 constants block)
+        bulk = dict(BULK)
+        for k in ("atmrho", "atmcp", "flamb", "flami", "humid_fac",
+                  "gamma_blk", "saltsat", "cdrag_1", "cdrag_2", "cdrag_3",
+                  "cstanton_1", "cstanton_2", "cdalton", "zolmin",
+                  "psim_fac", "zref", "hu", "ht", "umin", "exf_albedo",
+                  "ocean_emissivity", "cen2kel", "exf_scal_bulkcdn",
+                  "sstextrapol", "niter_bulk"):
+            if k in {kk.lower() for kk in g1}:
+                val = {kk.lower(): vv for kk, vv in g1.items()}[k]
+                tgt = {"exf_scal_bulkcdn": "exf_scal_BulkCdn",
+                       "sstextrapol": "sstExtrapol"}.get(k, k)
+                bulk[tgt] = type(BULK[tgt])(val)
+        cfg.exf_bulk = bulk
+        cfg.exf_useAtmWind = self.useAtmWind
+        cfg.exf_ly04 = self.ly04
+        cfg.exf_stressCgrid = self.stressIsOnCgrid
+        cfg.exf_runoftemp = bool(str(g2.get("runoftempfile", "")).strip())
         self.fields = {}
         for name in _FIELDS:
             f = dict(
@@ -320,7 +354,9 @@ class EXF:
                     n += 1
                 recs = [min(r, nrec_file - 1) for r in recs]
             else:
-                recs, knots = [0], [cfg.startTime]
+                # constant-in-time field (period=0): single record, no
+                # interpolation knots (load_fields uses record 0 as is)
+                recs, knots = [0], None
             # --- spatial interpolation per needed record ---
             uniq = sorted(set(recs))
             interp_cache = {}
@@ -335,7 +371,8 @@ class EXF:
                     fld = pad_and_fill(rec)
                 interp_cache[r] = fld * f["inscal"]
             stack = np.stack([interp_cache[r] for r in recs])
-            out[name] = (stack, np.asarray(knots, np.float64))
+            out[name] = (stack, None if knots is None
+                         else np.asarray(knots, np.float64))
         return out
 
 
@@ -351,11 +388,16 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
     Returns dict(fu, fv, Qnet, Qsw, EmPmR, hs, hl, evap, wspeed,
     ustress, vstress) on the model convention (exf_mapfields.F).
 
-    Implements the classic (non-LargeYeager) branch: stable/unstable
-    Monin-Obukhov iteration (niter_bulk=2), drag
-    cdrag_1/w + cdrag_2 + cdrag_3*w, Stanton/Dalton numbers, and
-    EXF_LWDOWN_WITH_EMISSIVITY net longwave."""
-    B = BULK
+    Two stability-iteration branches (exf_bulkformulae.F): the classic
+    Large&Pond-style one and, with ALLOW_BULK_LARGEYEAGER04 compiled
+    (cfg.exf_ly04), the Large&Yeager04 form (huol clamped to +-10, xsq
+    without the >=1 floor, wind shifted by 1+rdn*(zwln-psimh)/karman).
+    With useAtmWind=F the wind stress comes from the input files
+    (exf_wind.F:133-160) and only the scalar transfer coefficients are
+    iterated (solve4Stress requires a wspeed file)."""
+    B = cfg.exf_bulk if cfg.exf_bulk is not None else BULK
+    ly04 = cfg.exf_ly04
+    useAtmWind = cfg.exf_useAtmWind
     maskC0 = grid.maskC[0]
     atemp, aqh = forc.atemp, forc.aqh
     uwind, vwind = forc.uwind, forc.vwind
@@ -367,12 +409,22 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
               - forc.lwdown * B["ocean_emissivity"])
     swflux = -forc.swdown * (1.0 - B["exf_albedo"])
 
-    # --- EXF_WIND (useAtmWind) ---
-    wsSq = uwind * uwind + vwind * vwind
-    wspeed = jnp.sqrt(wsSq)
+    # --- EXF_WIND ---
+    if useAtmWind:
+        wsSq = uwind * uwind + vwind * vwind
+        wspeed = jnp.sqrt(wsSq)
+        solve4Stress = True
+    else:
+        # wind stress from files; wspeed must come from its own file for
+        # the LY04 stability iteration (exf_bulkformulae.F:193-199)
+        wspeed = forc.wspeed
+        solve4Stress = ly04 and forc.wspeed is not None
+        if not solve4Stress:
+            raise NotImplementedError(
+                "useAtmWind=F without a wspeed file (wStress-only bulk)")
     sh = jnp.maximum(wspeed, B["umin"])
 
-    # --- EXF_BULKFORMULAE (solve4Stress=useAtmWind=T) ---
+    # --- EXF_BULKFORMULAE ---
     zwln = np.log(B["hu"] / B["zref"])
     ztln = np.log(B["ht"] / B["zref"])
     czol = B["hu"] * B["karman"] * B["gravity_mks"]
@@ -380,6 +432,8 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
     tmpbulk = B["cvapor_fac"] * jnp.exp(-B["cvapor_exp"] / Tsf)
     ssq = B["saltsat"] * tmpbulk / B["atmrho"]
     deltap = atemp + B["gamma_blk"] * B["ht"] - Tsf
+    if B.get("sstExtrapol", 0.0) != 0.0:
+        raise NotImplementedError("sstExtrapol")
     delq = aqh - ssq
     stable0 = 0.5 + jnp.where(deltap >= 0, 0.5, -0.5)
     wsm = sh
@@ -396,24 +450,40 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
         t0 = atemp * (1.0 + B["humid_fac"] * aqh)
         huol = (tstar / t0 + qstar / (1.0 / B["humid_fac"] + aqh)) \
             * czol / jnp.maximum(ustar * ustar, 1e-30)
-        huol = jnp.maximum(huol, B["zolmin"])
+        if ly04:
+            huol = jnp.sign(huol) * jnp.minimum(jnp.abs(huol), 10.0)
+        else:
+            huol = jnp.maximum(huol, B["zolmin"])
         htol = huol * B["ht"] / B["hu"]
         stable = 0.5 + jnp.where(huol >= 0, 0.5, -0.5)
-        xsq = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * huol)), 1.0)
+        if ly04:
+            xsq = jnp.sqrt(jnp.abs(1.0 - 16.0 * huol))
+        else:
+            xsq = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * huol)), 1.0)
         x = jnp.sqrt(xsq)
         psimh = (-B["psim_fac"] * huol * stable
                  + (1.0 - stable)
                  * (jnp.log((1.0 + 2.0 * x + xsq) * (1.0 + xsq) * 0.125)
                     - 2.0 * jnp.arctan(x) + 0.5 * np.pi))
-        xsq = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * htol)), 1.0)
+        if ly04:
+            xsq = jnp.sqrt(jnp.abs(1.0 - 16.0 * htol))
+        else:
+            xsq = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * htol)), 1.0)
         psixh = (-B["psim_fac"] * htol * stable
                  + (1.0 - stable) * (2.0 * jnp.log(0.5 * (1.0 + xsq))))
-        usn = sh / (1.0 - rdn / B["karman"] * psimh)
+        if ly04:
+            dzTmp = (zwln - psimh) / B["karman"]
+            usn = wspeed / (1.0 + rdn * dzTmp)
+        else:
+            usn = sh / (1.0 - rdn / B["karman"] * psimh)
         usm = jnp.maximum(usn, B["umin"])
         cdn = B["exf_scal_BulkCdn"] * (B["cdrag_1"] / usm + B["cdrag_2"]
                                        + B["cdrag_3"] * usm)
         rdn = jnp.sqrt(cdn)
-        rd = rdn / (1.0 - rdn / B["karman"] * psimh)
+        if ly04:
+            rd = rdn / (1.0 + rdn * dzTmp)
+        else:
+            rd = rdn / (1.0 - rdn / B["karman"] * psimh)
         ustar = rd * sh
         tau = B["atmrho"] * rd * wspeed
         rhn = (1.0 - stable) * B["cstanton_1"] + stable * B["cstanton_2"]
@@ -425,14 +495,21 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
     hs = B["atmcp"] * tau * tstar
     hl = B["flamb"] * tau * qstar
     evap = -(1.0 / cfg.rhoConstFresh) * tau * qstar
-    ustress = tau * rd * uwind
-    vstress = tau * rd * vwind
+    if useAtmWind:
+        ustress = tau * rd * uwind
+        vstress = tau * rd * vwind
+    else:
+        # stresses are input fields, passed through (exf_bulkformulae.F
+        # only computes them when useAtmWind)
+        ustress = forc.fu
+        vstress = forc.fv
     # zero where no atmospheric data (exf_bulkformulae.F:268-280)
     hs = jnp.where(active, hs, 0.0)
     hl = jnp.where(active, hl, 0.0)
     evap = jnp.where(active, evap, 0.0)
-    ustress = jnp.where(active, ustress, 0.0)
-    vstress = jnp.where(active, vstress, 0.0)
+    if useAtmWind:
+        ustress = jnp.where(active, ustress, 0.0)
+        vstress = jnp.where(active, vstress, 0.0)
 
     # --- exf_getforcing.F flux assembly ---
     hflux = -hs - hl + lwflux            # SHORTWAVE_HEATING: sw separate
@@ -444,10 +521,19 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
 
     # --- exf_mapfields.F ---
     Qnet = hflux
+    # energy content of runoff (exf_mapfields.F:199-209, runoftempfile)
+    if cfg.exf_runoftemp:
+        Qnet = Qnet + (cfg.HeatCapacity_Cp
+                       * (theta1 - forc.runoftemp)
+                       * forc.runoff * cfg.rhoConstFresh)
     EmPmR = sflux * cfg.rhoConstFresh
     Qsw = swflux
-    fu = 0.5 * (ustress + sh_shift(ustress, di=-1)) * grid.maskW[0]
-    fv = 0.5 * (vstress + sh_shift(vstress, dj=-1)) * grid.maskS[0]
+    if cfg.exf_stressCgrid:
+        # stress already at U/V points (exf_mapfields.F stressIsOnCgrid)
+        fu, fv = ustress, vstress
+    else:
+        fu = 0.5 * (ustress + sh_shift(ustress, di=-1)) * grid.maskW[0]
+        fv = 0.5 * (vstress + sh_shift(vstress, dj=-1)) * grid.maskS[0]
     return dict(fu=fu, fv=fv, Qnet=Qnet, Qsw=Qsw, EmPmR=EmPmR,
                 hs=hs, hl=hl, evap=evap, wspeed=wspeed,
                 ustress=ustress, vstress=vstress, lwflux=lwflux,

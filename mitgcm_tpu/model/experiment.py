@@ -136,20 +136,30 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
         upd["EmPmR"] = jnp.asarray(refill(stack * cfg.rhoConstFresh))
         tknots["EmPmR"] = jnp.asarray(knots)
     if "ustress" in fields:
-        stack, knots = masked_records("ustress", maskC0)
+        # stressIsOnCgrid: the file is already at U points (masked with
+        # maskW at load, exf_init_fixed.F:63-65); else A-grid averaged
+        mU = maskW0 if exfobj.stressIsOnCgrid else maskC0
+        stack, knots = masked_records("ustress", mU)
         assert np.abs(stack).max() < exfobj.windstressmax, \
             "windstressmax clamp would be active (not linear in time)"
-        # C-grid average to W points (exf_mapfields.F:241-248)
-        fu = 0.5 * (stack + np.concatenate(
-            [stack[..., -1:], stack[..., :-1]], axis=-1)) * maskW0[None]
+        if exfobj.stressIsOnCgrid:
+            fu = stack
+        else:
+            # C-grid average to W points (exf_mapfields.F:241-248)
+            fu = 0.5 * (stack + np.concatenate(
+                [stack[..., -1:], stack[..., :-1]], axis=-1)) * maskW0[None]
         upd["fu"] = jnp.asarray(refill(fu))
         tknots["fu"] = jnp.asarray(knots)
     if "vstress" in fields:
-        stack, knots = masked_records("vstress", maskC0)
+        mV = maskS0 if exfobj.stressIsOnCgrid else maskC0
+        stack, knots = masked_records("vstress", mV)
         assert np.abs(stack).max() < exfobj.windstressmax
-        fv = 0.5 * (stack + np.concatenate(
-            [stack[..., -1:, :], stack[..., :-1, :]], axis=-2)) \
-            * maskS0[None]
+        if exfobj.stressIsOnCgrid:
+            fv = stack
+        else:
+            fv = 0.5 * (stack + np.concatenate(
+                [stack[..., -1:, :], stack[..., :-1, :]], axis=-2)) \
+                * maskS0[None]
         upd["fv"] = jnp.asarray(refill(fv))
         tknots["fv"] = jnp.asarray(knots)
     if "climsst" in fields:
@@ -163,15 +173,19 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
         tknots["SSS"] = jnp.asarray(knots)
     # bulk-formulae mode (ALLOW_ATM_TEMP/ALLOW_ATM_WIND): carry the raw
     # atmospheric state; fluxes are computed per step in forward_step
+    if "snowprecip" in fields:
+        raise NotImplementedError("exf snowPrecipFile")
     for name, fkey in (("atemp", "atemp"), ("aqh", "aqh"),
                        ("uwind", "uwind"), ("vwind", "vwind"),
                        ("precip", "precip"), ("swdown", "swdown"),
                        ("lwdown", "lwdown"), ("runoff", "runoff"),
-                       ("evap", "evap"), ("wspeed", "wspeed")):
+                       ("evap", "evap"), ("wspeed", "wspeed"),
+                       ("runoftemp", "runoftemp")):
         if name in fields:
             stack, knots = masked_records(name, maskC0)
             upd[fkey] = jnp.asarray(refill(stack))
-            tknots[fkey] = jnp.asarray(knots)
+            if knots is not None:
+                tknots[fkey] = jnp.asarray(knots)
     if "atemp" in fields:
         cfg.exf_useBulk = True
     return Forcing(**{**forcing.__dict__, **upd, "tknots": tknots})
@@ -347,11 +361,20 @@ class Experiment:
             from mitgcm_tpu.model import ggl90 as ggl90_mod
             g1, g3 = {}, {}
             gpath = cfg.find_file("data.ggl90")
+            g2 = {}
             if os.path.exists(gpath):
                 gnl = nml.read_namelist(gpath)
                 g1 = gnl.get("GGL90_PARM01", {})
+                g2 = gnl.get("GGL90_PARM02", {})
                 g3 = gnl.get("GGL90_PARM03", {})
-            ggl90_obj = ggl90_mod.GGL90(cfg, grid, g1, g3)
+            ggl90_obj = ggl90_mod.GGL90(cfg, grid, g1, g3, group2=g2)
+            if ggl90_obj.p["useIDEMIX"]:
+                def _ld2(fname):
+                    a = _load_2d(cfg, fname, dtype, cs_fill)
+                    if a is None:
+                        raise FileNotFoundError(f"IDEMIX file {fname}")
+                    return a[0]
+                ggl90_obj.init_idemix_forc(_ld2)
             tke0 = _load_3d(cfg, ggl90_obj.p["GGL90TKEFile"], dtype,
                             cs_fill)
             if tke0 is None:

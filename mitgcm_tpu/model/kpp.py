@@ -44,8 +44,11 @@ def scan_cpp_options(path):
             continue
         cmd, arg = m.group(1), m.group(2)
         if cmd == "ifdef":
-            # unknown macros (build flags like ALLOW_KPP): take the branch
-            active.append(active[-1] and known.get(arg, True))
+            # unknown macros (build flags like ALLOW_KPP): take the
+            # branch — except include-guard style names (*_H, e.g.
+            # ECCO_CPPOPTIONS_H) which default to undefined
+            dflt = not (arg or "").endswith("_H")
+            active.append(active[-1] and known.get(arg, dflt))
         elif cmd == "ifndef":
             # unknown macros (include guards): also take the branch
             active.append(active[-1] and not known.get(arg, False))

@@ -119,7 +119,7 @@ def load_fields(cfg: Config, forcing: Forcing, myTime) -> Forcing:
     for name in ("fu", "fv", "Qnet", "Qsw", "EmPmR", "saltFlux",
                  "SST", "SSS", "atemp", "aqh", "uwind", "vwind",
                  "precip", "swdown", "lwdown", "runoff", "wspeed",
-                 "evap"):
+                 "evap", "runoftemp"):
         a = getattr(forcing, name)
         if name in forcing.tknots:
             tk = forcing.tknots[name]
@@ -650,10 +650,12 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # GGL90 TKE scheme (do_oceanic_phys.F:111 GGL90_CALC)
     ggl90_fields = None
     tkeNew = state.GGL90TKE
+    idemixE_new = state.IDEMIX_E
     if ggl90 is not None:
-        tkeNew, g90vU, g90vV, g90dKr = ggl90.calc(
+        tkeNew, g90vU, g90vV, g90dKr, idemixE_new = ggl90.calc(
             state.uVel, state.vVel, state.GGL90TKE, sigmaR,
-            forc.fu * cfg.mass2rUnit, forc.fv * cfg.mass2rUnit)
+            forc.fu * cfg.mass2rUnit, forc.fv * cfg.mass2rUnit,
+            idemix_E=state.IDEMIX_E)
         ggl90_fields = {"viscArU": g90vU, "viscArV": g90vV,
                         "diffKr": g90dKr}
         if ggl90.p["useLANGMUIR"]:
@@ -798,6 +800,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         somT=fill(somT) if somT.size else somT,
         somS=fill(somS) if somS.size else somS,
         GGL90TKE=fill(tkeNew) if ggl90 is not None else tkeNew,
+        IDEMIX_E=(fill(idemixE_new)
+                  if (ggl90 is not None and ggl90.p["useIDEMIX"])
+                  else idemixE_new),
         # r*/surf-dr time-level bookkeeping: next step's "old" factors are
         # this step's entry-time etaH (calc_r_star.F / calc_surf_dr.F
         # Nm1 rotation)

@@ -68,8 +68,16 @@ def build_cg2d(cfg: Config, grid: Grid) -> CG2DOperator:
     myNorm = jnp.where(myNorm != 0.0, 1.0 / myNorm, 1.0)
     aW = aW * myNorm
     aS = aS * myNorm
-    aW = cyclic_fill_halo(aW, cfg.oly, cfg.olx)
-    aS = cyclic_fill_halo(aS, cfg.oly, cfg.olx)
+    # halo values: on the cubed sphere the pointwise products above are
+    # already correct in the halos (every grid factor was CS-exchanged, so
+    # the padded columns hold the neighbor face's local-frame
+    # coefficients — the reference never exchanges aW/aS, it computes
+    # them on the extended range, update_cg2d.F:67-75); a cyclic wrap
+    # would OVERWRITE them with same-face data. Only the single-face
+    # cyclic topology needs the wrap.
+    if cfg.nFaces == 1:
+        aW = cyclic_fill_halo(aW, cfg.oly, cfg.olx)
+        aS = cyclic_fill_halo(aS, cfg.oly, cfg.olx)
 
     # main diagonal (ini_cg2d.F:182-195); deepFac2F(ksurf)=1
     freeSurfFac = cfg.freeSurfFac
@@ -78,7 +86,8 @@ def build_cg2d(cfg: Config, grid: Grid) -> CG2DOperator:
         + freeSurfFac * myNorm * grid.recip_Bo * grid.rA
         / cfg.deltaTMom / cfg.deltaTFreeSurf
     )
-    aC = cyclic_fill_halo(aC, cfg.oly, cfg.olx)
+    if cfg.nFaces == 1:
+        aC = cyclic_fill_halo(aC, cfg.oly, cfg.olx)
 
     aCw = sh(aC, di=-1)
     aCs = sh(aC, dj=-1)
@@ -90,9 +99,10 @@ def build_cg2d(cfg: Config, grid: Grid) -> CG2DOperator:
     pS = jnp.where(
         aC + aCs == 0.0, 0.0,
         -aS / jnp.where(aC + aCs == 0.0, 1.0, (offFac * (aCs + aC)) ** 2))
-    pC = cyclic_fill_halo(pC, cfg.oly, cfg.olx)
-    pW = cyclic_fill_halo(pW, cfg.oly, cfg.olx)
-    pS = cyclic_fill_halo(pS, cfg.oly, cfg.olx)
+    if cfg.nFaces == 1:
+        pC = cyclic_fill_halo(pC, cfg.oly, cfg.olx)
+        pW = cyclic_fill_halo(pW, cfg.oly, cfg.olx)
+        pS = cyclic_fill_halo(pS, cfg.oly, cfg.olx)
 
     # tolerance (ini_cg2d.F:150-162): normalised-RHS mode when
     # cg2dTargetResWunit <= 0 (the default)
@@ -281,7 +291,11 @@ def update_cg2d(cfg: Config, grid: Grid, op0: CG2DOperator,
     the preconditioner is refreshed every cg2dPreCondFreq steps (default
     1, so unconditionally here). Pure jnp: runs inside the jitted step.
     """
-    if fill is None:
+    if cfg.nFaces > 1:
+        # see build_cg2d: pointwise halo values are already the correct
+        # neighbor-face local-frame coefficients
+        fill = lambda a: a                                      # noqa:E731
+    elif fill is None:
         fill = lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)  # noqa:E731
     drF = grid.drF[:, None, None]
     # update_cg2d.F:42-95: accumulate faceArea*recip_dxC per level, then
