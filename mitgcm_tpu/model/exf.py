@@ -398,7 +398,7 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
     B = cfg.exf_bulk if cfg.exf_bulk is not None else BULK
     ly04 = cfg.exf_ly04
     useAtmWind = cfg.exf_useAtmWind
-    maskC0 = grid.maskC[0]
+    maskC0 = grid.maskC[cfg.ksurf0]
     atemp, aqh = forc.atemp, forc.aqh
     uwind, vwind = forc.uwind, forc.vwind
 
@@ -532,8 +532,10 @@ def bulk_fluxes(cfg: Config, grid: Grid, forc, theta1, uVel1=None,
         # stress already at U/V points (exf_mapfields.F stressIsOnCgrid)
         fu, fv = ustress, vstress
     else:
-        fu = 0.5 * (ustress + sh_shift(ustress, di=-1)) * grid.maskW[0]
-        fv = 0.5 * (vstress + sh_shift(vstress, dj=-1)) * grid.maskS[0]
+        fu = 0.5 * (ustress + sh_shift(ustress, di=-1)) \
+            * grid.maskW[cfg.ksurf0]
+        fv = 0.5 * (vstress + sh_shift(vstress, dj=-1)) \
+            * grid.maskS[cfg.ksurf0]
     return dict(fu=fu, fv=fv, Qnet=Qnet, Qsw=Qsw, EmPmR=EmPmR,
                 hs=hs, hl=hl, evap=evap, wspeed=wspeed,
                 ustress=ustress, vstress=vstress, lwflux=lwflux,

@@ -105,11 +105,29 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
     interpolation (the windstressmax clamp is asserted inactive)."""
     oly, olx = cfg.oly, cfg.olx
     ny, nx = cfg.ny * cfg.nFaces, cfg.nx
-    maskC0 = np.asarray(grid.maskC[0])
-    maskW0 = np.asarray(grid.maskW[0])
-    maskS0 = np.asarray(grid.maskS[0])
+    ks = cfg.ksurf0   # surface level (Nr under p-coords)
+    maskC0 = np.asarray(grid.maskC[ks])
+    maskW0 = np.asarray(grid.maskW[ks])
+    maskS0 = np.asarray(grid.maskS[ks])
 
     def refill(padded):
+        if cfg.nFaces > 1:
+            # stacked-face layout: strip each face block's interior and
+            # rebuild the global-map record (inverse of
+            # cs_global_to_faces) before re-padding
+            n = cfg.ny
+            nypf = n + 2 * oly
+            f6 = padded.reshape(padded.shape[:-2]
+                                + (cfg.nFaces, nypf, nx + 2 * olx))
+            inter = f6[..., oly:oly + n, olx:olx + n]
+            if cfg.W2_mapIO == 1:
+                glob = inter.reshape(inter.shape[:-3]
+                                     + (cfg.nFaces * n, n))
+            else:
+                glob = np.swapaxes(inter, -3, -2).reshape(
+                    inter.shape[:-3] + (n, cfg.nFaces * n))
+            return np.stack([np.asarray(
+                _pad_and_fill(cfg, r, dtype, cs_fill)) for r in glob])
         inter = padded[..., oly:oly + ny, olx:olx + nx]
         return np.stack([np.asarray(
             _pad_and_fill(cfg, r, dtype, cs_fill)) for r in inter])
@@ -145,6 +163,8 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
         if exfobj.stressIsOnCgrid:
             fu = stack
         else:
+            if cfg.nFaces > 1:
+                raise NotImplementedError("A-grid exf stress on the cube")
             # C-grid average to W points (exf_mapfields.F:241-248)
             fu = 0.5 * (stack + np.concatenate(
                 [stack[..., -1:], stack[..., :-1]], axis=-1)) * maskW0[None]
@@ -420,7 +440,8 @@ class Experiment:
                 s3 = snl.get("SEAICE_PARM03", {})
             sip = seaice_mod.params_from_namelists(cfg, s1, s3)
             cfg.seaice = sip
-            seaice_obj = seaice_mod.SeaIce(cfg, grid, sip)
+            seaice_obj = seaice_mod.SeaIce(cfg, grid, sip,
+                                           fills=cs_fill)
             ice0 = seaice_obj.init_state(dtype)
             state = State(**{**state.__dict__,
                              "uIce": ice0.uIce, "vIce": ice0.vIce,

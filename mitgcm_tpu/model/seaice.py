@@ -97,6 +97,8 @@ class SeaiceParams:
     growMeltByConv: bool = False
     doOpenWaterGrowth: bool = True
     doOpenWaterMelt: bool = False
+    useStrImpCpl: bool = False     # SEAICEuseStrImpCpl (LSR implicit cpl)
+    clipVelocities: bool = False   # SEAICE_clipVelocities (cap at 0.4m/s)
     areaGainFormula: int = 1
     areaLossFormula: int = 1
     HO: float = 0.5
@@ -173,6 +175,14 @@ _NML_MAP = {
     "seaice_olx": None, "seaice_oly": None,
     "seaice_monfreq": None, "seaice_waterturnangle": "waterTurnAngle",
     "seaice_airturnangle": "airTurnAngle",
+    "seaice_arealossformula": "areaLossFormula",
+    "seaice_areagainformula": "areaGainFormula",
+    "seaiceusestrimpcpl": "useStrImpCpl",
+    "seaice_clipvelocities": "clipVelocities",
+    "seaiceheatconsfix": "heatConsFix",
+    "seaicedoopenwatergrowth": "doOpenWaterGrowth",
+    "seaicedoopenwatermelt": "doOpenWaterMelt",
+    "seaice_tempfrz_ds": "dTempFrz_dS",
 }
 
 
@@ -205,10 +215,15 @@ def params_from_namelists(cfg: Config, nml01: dict, nml03: dict
     if p.drag_south == SeaiceParams.drag_south:
         p.drag_south = p.drag
     if p.mcPheePiston == 0.0:
-        # seaice_init_fixed.F:96-104: MCPHEE_TAPER_FAC*STANTON*USTAR
-        # capped by dzSurf/deltaTtherm
+        # seaice_init_fixed.F:92-104: MCPHEE_TAPER_FAC*STANTON*USTAR
+        # capped by dzSurf/deltaTtherm; dzSurf in meters (p-coords:
+        # drF(kSrf)/(rhoConst*g), seaice_init_fixed.F:93-95)
+        if cfg.usingPCoords:
+            dzSurf = cfg.delR[cfg.nr - 1] / (cfg.rhoConst * cfg.gravity)
+        else:
+            dzSurf = cfg.delR[0]
         p.mcPheePiston = min(12.5 * 0.0056 * 0.0125,
-                             cfg.delR[0] / p.deltaTtherm)
+                             dzSurf / p.deltaTtherm)
     if not p.pdf:
         p.pdf = tuple([1.0 / p.multDim] * p.multDim)
     # SEAICE_PARM03 tracers
@@ -360,16 +375,21 @@ def os7mp_flux_y(vTrans, vFld, maskS, Q, dt, recip_dyC, band):
 # ----------------------------------------------------------------------
 
 class SeaIce:
-    def __init__(self, cfg: Config, grid: Grid, p: SeaiceParams):
+    def __init__(self, cfg: Config, grid: Grid, p: SeaiceParams,
+                 fills=None):
         self.cfg = cfg
         self.grid = grid
         self.p = p
         ol, ny, nx = cfg.olx, cfg.ny, cfg.nx
         self.ol, self.ny, self.nx = ol, ny, nx
-        # masks (seaice_init_fixed.F:266 + init_varia.F:190)
-        self.HEFFM = grid.maskC[0]
-        self.SIMaskU = grid.maskW[0]
-        self.SIMaskV = grid.maskS[0]
+        self.cs = cfg.nFaces > 1
+        self._fills = fills
+        # masks (seaice_init_fixed.F:266 + init_varia.F:190) at the
+        # SURFACE level (kSurface = Nr under p-coords)
+        ks = cfg.ksurf0
+        self.HEFFM = grid.maskC[ks]
+        self.SIMaskU = grid.maskW[ks]
+        self.SIMaskV = grid.maskS[ks]
         hm = self.HEFFM
         self.seaiceMaskU = jnp.where(hm + sh(hm, di=-1) > 1.5, 1.0, 0.0)
         self.seaiceMaskV = jnp.where(hm + sh(hm, dj=-1) > 1.5, 1.0, 0.0)
@@ -391,20 +411,35 @@ class SeaIce:
                           * grid.recip_dyU)
         else:
             self.k1AtC = self.k1AtZ = self.k2AtC = self.k2AtZ = z
-        # OS7MP / gad flux write bands (kernel i/j loop limits)
-        nyp = ny * cfg.nFaces + 2 * ol
+        # OS7MP / gad flux write bands (kernel i/j loop limits);
+        # per face-block on the cubed sphere (stacked-face layout)
         nxp = nx + 2 * ol
+        nypf = ny + 2 * ol
         bx = np.zeros((1, nxp)); bx[0, 4:nxp - 3] = 1.0
-        by = np.zeros((nyp, 1)); by[4:nyp - 3, 0] = 1.0
+        by = np.zeros((cfg.nFaces, nypf, 1))
+        by[:, 4:nypf - 3, :] = 1.0
         self.band7x = jnp.asarray(bx)
-        self.band7y = jnp.asarray(by)
-        self.interior = jnp.asarray(np.pad(
-            np.ones((ny, nx)), ((ol, ol), (ol, ol))))
-        self.fill = lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)
-        # SEAICE_SWFrac (seaice_init_fixed.F:71-84 + model/src/swfrac.F
-        # jwtype=2): shortwave fraction below the surface layer
+        self.band7y = jnp.asarray(by.reshape(cfg.nFaces * nypf, 1))
+        it = np.zeros((cfg.nFaces, nypf, nxp))
+        it[:, ol:ol + ny, ol:ol + nx] = 1.0
+        self.interior = jnp.asarray(it.reshape(cfg.nFaces * nypf, nxp))
+        if fills is not None:
+            # cubed sphere: scalar exchange + C-grid vector pair with
+            # signs (EXCH_UV_XY_RL(.TRUE.), seaice_lsr.F:656)
+            self.fill = fills.fill
+            self.fill_uv = lambda u, v: fills.fill_uv(u, v, True)
+        else:
+            self.fill = lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)
+            self.fill_uv = lambda u, v: (self.fill(u), self.fill(v))
+        # SEAICE_SWFrac (seaice_init_fixed.F:71-87 + model/src/swfrac.F
+        # jwtype=2): shortwave fraction below the surface layer; under
+        # p-coords the layer bottom depth is -rF(Nr)/(rhoConst*g) [m]
         rfac, a1, a2 = 0.62, 0.6, 20.0
-        z2 = float(np.asarray(grid.rF)[1])
+        if cfg.usingZCoords:
+            z2 = float(np.asarray(grid.rF)[1])
+        else:
+            z2 = -float(np.asarray(grid.rF)[cfg.nr - 1]) \
+                / (cfg.rhoConst * cfg.gravity)
         self.SWFrac = (rfac * math.exp(z2 / a1)
                        + (1.0 - rfac) * math.exp(z2 / a2))
         # maskInC with halos filled the way the reference's exchanged
@@ -414,7 +449,7 @@ class SeaIce:
     # ------------------------------------------------------------------
     def init_state(self, dtype=jnp.float64) -> IceState:
         cfg = self.cfg
-        nyp = cfg.ny * cfg.nFaces + 2 * cfg.oly
+        nyp = cfg.nFaces * (cfg.ny + 2 * cfg.oly)
         nxp = cfg.nx + 2 * cfg.olx
         z2 = jnp.zeros((nyp, nxp), dtype)
         tice = jnp.full((self.p.multDim, nyp, nxp), 273.0, dtype)
@@ -543,6 +578,12 @@ class SeaIce:
                          - self.k1AtZ * 0.5 * (vC + sh(vC, di=-1))) * hm4
                  + etaZ * g.recip_dxV * (vC + sh(vC, di=-1))
                  * hFacM * 2.0)
+        if self.p.useStrImpCpl:
+            # explicit -zetaZ*dv/dx counterpart of the implicit coupling
+            # term (seaice_lsr.F:1795-1820; metric terms cancel)
+            sig12 = sig12 - zetaZ * ((vC - sh(vC, di=-1))
+                                     * g.recip_dxV) * hm4 \
+                - zetaZ * g.recip_dxV * (vC + sh(vC, di=-1)) * hFacM * 2.0
         return (g.recip_rAw * self.seaiceMaskU *
                 (g.dyF * sig11 - sh(g.dyF * sig11, di=-1)
                  + sh(g.dxV * sig12, dj=1) - g.dxV * sig12))
@@ -560,6 +601,10 @@ class SeaIce:
                          - self.k2AtZ * 0.5 * (uC + sh(uC, dj=-1))) * hm4
                  + etaZ * g.recip_dyU * (uC + sh(uC, dj=-1))
                  * hFacM * 2.0)
+        if self.p.useStrImpCpl:
+            sig12 = sig12 - zetaZ * ((uC - sh(uC, dj=-1))
+                                     * g.recip_dyU) * hm4 \
+                - zetaZ * g.recip_dyU * (uC + sh(uC, dj=-1)) * hFacM * 2.0
         return (g.recip_rAs * self.seaiceMaskV *
                 (sh(g.dyU * sig12, di=1) - g.dyU * sig12
                  + g.dxF * sig22 - sh(g.dxF * sig22, dj=-1)))
@@ -572,9 +617,10 @@ class SeaIce:
         recip_dt = 1.0 / p.deltaTdyn
         UXX = g.dyF * epz * g.recip_dxF
         UXM = g.dyF * zme * self.k1AtC * 0.5
-        UYY = g.dxV * etaZ * g.recip_dyU
+        sicFac = 1.0 if p.useStrImpCpl else 0.0
+        UYY = g.dxV * (etaZ + sicFac * zetaZ) * g.recip_dyU
         UYM = g.dxV * etaZ * self.k2AtZ * 0.5
-        VXX = g.dyU * etaZ * g.recip_dxV
+        VXX = g.dyU * (etaZ + sicFac * zetaZ) * g.recip_dxV
         VXM = g.dyU * etaZ * self.k1AtZ * 0.5
         VYY = g.dxF * epz * g.recip_dyF
         VYM = g.dxF * zme * self.k2AtC * 0.5
@@ -656,13 +702,29 @@ class SeaIce:
 
     def _tiles(self, a):
         """Split a filled global padded array into per-tile padded views
-        [nSx*nSy, sNy+2ol, sNx+2ol].  Tile (tx,ty) covers padded rows
+        [nTiles, sNy+2ol, sNx+2ol].  On the cubed sphere each face block
+        is tiled independently (cs32x15: 12 tiles of 32x16, SIZE.h).
+        Tile (tx,ty) covers padded rows
         [ty*sNy : ty*sNy+sNy+2ol) — the inter-tile halo equals the
         neighbour interior from the LAST exchange, exactly the
         reference's per-tile overlap state."""
         cfg = self.cfg
         ol = self.ol
         tiles = []
+        if self.cs:
+            nypf = self.ny + 2 * ol
+            ntY = max(1, self.ny // cfg.sNy)
+            ntX = max(1, self.nx // cfg.sNx)
+            for f in range(cfg.nFaces):
+                base = f * nypf
+                for ty in range(ntY):
+                    for tx in range(ntX):
+                        tiles.append(
+                            a[base + ty * cfg.sNy:
+                              base + ty * cfg.sNy + cfg.sNy + 2 * ol,
+                              tx * cfg.sNx:
+                              tx * cfg.sNx + cfg.sNx + 2 * ol])
+            return jnp.stack(tiles)
         for ty in range(cfg.nSy):
             for tx in range(cfg.nSx):
                 tiles.append(a[ty * cfg.sNy:ty * cfg.sNy + cfg.sNy
@@ -676,6 +738,21 @@ class SeaIce:
         cfg = self.cfg
         ol = self.ol
         t = 0
+        if self.cs:
+            nypf = self.ny + 2 * ol
+            ntY = max(1, self.ny // cfg.sNy)
+            ntX = max(1, self.nx // cfg.sNx)
+            for f in range(cfg.nFaces):
+                base = f * nypf
+                for ty in range(ntY):
+                    for tx in range(ntX):
+                        a = a.at[base + ol + ty * cfg.sNy:
+                                 base + ol + (ty + 1) * cfg.sNy,
+                                 ol + tx * cfg.sNx:
+                                 ol + (tx + 1) * cfg.sNx].set(
+                            tiles[t, ol:ol + cfg.sNy, ol:ol + cfg.sNx])
+                        t += 1
+            return a
         for ty in range(cfg.nSy):
             for tx in range(cfg.nSx):
                 a = a.at[ol + ty * cfg.sNy:ol + (ty + 1) * cfg.sNy,
@@ -838,6 +915,11 @@ class SeaIce:
             vRt1 = jnp.where(badV, 0.0, vRt1)
             vRt2 = jnp.where(badV, 0.0, vRt2)
             rhsV = jnp.where(badV, vIce, rhsV)
+            if self.cs:
+                # seaice_lsr.F:1558-1568 zero-diagonal guard (face-edge
+                # halo rows where the coefficients were never assembled)
+                BU = jnp.where(BU == 0.0, 1.0, BU)
+                BV = jnp.where(BV == 0.0, 1.0, BV)
 
             uIce, vIce = self._lsr_iterate(
                 AU, BU, CU, AV, BV, CV, uRt1, uRt2, vRt1, vRt2,
@@ -848,8 +930,12 @@ class SeaIce:
 
         uIce = uIce * self.seaiceMaskU
         vIce = vIce * self.seaiceMaskV
-        uIce = self.fill(uIce)
-        vIce = self.fill(vIce)
+        if p.clipVelocities:
+            # seaice_dynsolver.F:387-405 (SEAICE_ALLOW_CLIPVELS): cap at
+            # 0.40 m/s against CFL violations of thin drifting ice
+            uIce = jnp.clip(uIce, -0.40, 0.40)
+            vIce = jnp.clip(vIce, -0.40, 0.40)
+        uIce, vIce = self.fill_uv(uIce, vIce)
         return uIce, vIce, dwatn
 
     def _lsr_iterate(self, AU, BU, CU, AV, BV, CV, uRt1, uRt2, vRt1,
@@ -865,15 +951,22 @@ class SeaIce:
             return jnp.logical_and(m < p.linearIterMax,
                                    jnp.logical_or(it4u, it4v))
 
+        cs = self.cs
+
         def body(st):
             (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m, ic1, ic2) = st
             uTmp, vTmp = u, v
+            # on the cubed sphere both components keep iterating until
+            # BOTH converge (the vector exchange couples them across
+            # rotated face edges, seaice_lsr.F:769-772)
+            upd_u = jnp.logical_or(it4u, cs)
+            upd_v = jnp.logical_or(it4v, cs)
             u_new = self._tridiagU(AU, BU, CU, uRt1, uRt2, rhsU, uTmp,
                                    wfau, u)
-            u = jnp.where(it4u, u_new, u)
+            u = jnp.where(upd_u, u_new, u)
             v_new = self._tridiagV(AV, BV, CV, vRt1, vRt2, rhsV, vTmp,
                                    wfav, v)
-            v = jnp.where(it4v, v_new, v)
+            v = jnp.where(upd_v, v_new, v)
             m = m + 1
             do_chk = (m % p.SOLV_NCHECK) == 0
             s1 = jnp.max(jnp.abs((u - uTmp) * mU)[jj, ii])
@@ -893,8 +986,7 @@ class SeaIce:
             ic2 = jnp.where(stopv, m, ic2)
             it4u = jnp.where(stopu, False, it4u)
             it4v = jnp.where(stopv, False, it4v)
-            u = self.fill(u)
-            v = self.fill(v)
+            u, v = self.fill_uv(u, v)
             return (u, v, wfau, wfav, s1a, s2a, it4u, it4v, m, ic1, ic2)
 
         st0 = (uIce, vIce,
@@ -934,31 +1026,103 @@ class SeaIce:
         areaS = 0.5 * (ice.AREA + sh(ice.AREA, dj=-1)) * p.stressFactor
         fu_new = (1.0 - areaW) * fu + areaW * fuIce
         fv_new = (1.0 - areaS) * fv + areaS * fvIce
-        return self.fill(fu_new), self.fill(fv_new)
+        return self.fill_uv(fu_new, fv_new)
 
     # ------------------------------------------------------------------
     # advection (seaice_advdiff.F + seaice_advection.F, Cartesian npass=2)
     # ------------------------------------------------------------------
     def _advect_field(self, uc, vc, uTrans, vTrans, fld, dt):
         """SEAICE_ADVECTION for one extensive 2-D field: returns gFld."""
+        if self.cs:
+            return self._advect_field_cs(uc, vc, uTrans, vTrans, fld, dt)
         g = self.grid
         p = self.p
         localT = fld
         mW, mS = self.SIMaskU, self.SIMaskV
         # X pass
-        if p.advScheme == 7:
-            af = os7mp_flux_x(uTrans, uc, mW, localT, dt, g.recip_dxC,
-                              self.band7x)
-        else:
-            raise NotImplementedError(f"SEAICEadvScheme {p.advScheme}")
+        af = self._flux_x(uTrans, uc, mW, localT, dt)
         localT = localT - dt * self.maskInCx * g.recip_rA * (
             sh(af, di=1) - af)
         # Y pass
-        if p.advScheme == 7:
-            af = os7mp_flux_y(vTrans, vc, mS, localT, dt, g.recip_dyC,
-                              self.band7y)
+        af = self._flux_y(vTrans, vc, mS, localT, dt)
         localT = localT - dt * self.maskInCx * g.recip_rA * (
             sh(af, dj=1) - af)
+        return (localT - fld) / dt
+
+    def _flux_x(self, uTrans, uc, mW, localT, dt):
+        """X advective flux of one 2-D extensive field: OS7MP (scheme 7,
+        seaice kernel write band) or the generic_advdiff kernels
+        (SEAICEadvScheme 77 etc. route through the same gad_*_adv_x
+        code in the reference, seaice_advection.F:360-420)."""
+        if self.p.advScheme == 7:
+            return os7mp_flux_x(uTrans, uc, mW, localT, dt,
+                                self.grid.recip_dxC, self.band7x)
+        from mitgcm_tpu.model import gad
+        return gad.adv_flux_x(self.cfg, self.grid, self.p.advScheme,
+                              uTrans, uc, localT, dt, mW)
+
+    def _flux_y(self, vTrans, vc, mS, localT, dt):
+        if self.p.advScheme == 7:
+            return os7mp_flux_y(vTrans, vc, mS, localT, dt,
+                                self.grid.recip_dyC, self.band7y)
+        from mitgcm_tpu.model import gad
+        return gad.adv_flux_y(self.cfg, self.grid, self.p.advScheme,
+                              vTrans, vc, localT, dt, mS)
+
+    def _advect_field_cs(self, uc, vc, uTrans, vTrans, fld, dt):
+        """SEAICE_ADVECTION on the cubed sphere: the same 3-pass
+        direction-split schedule with per-tile corner fills as
+        gad_advection (seaice_advection.F:215-330 mirrors
+        gad_advection.F); 2-D extensive update (no thickness factors,
+        no compressibility compensation)."""
+        from mitgcm_tpu.model.gad import _cs_pass_plan
+        from mitgcm_tpu.parallel.cs import fill_cs_corner, fill_cs_corner_uv
+        g = self.grid
+        p = self.p
+        cfg = self.cfg
+        n, ol = cfg.ny, self.ol
+        nyp = n + 2 * ol
+        dtype = fld.dtype
+        plans, kx, ky = _cs_pass_plan(n, ol)
+        kx = jnp.asarray(kx, dtype)
+        ky = jnp.asarray(ky, dtype)
+        if self.p.advScheme == 7:
+            kx, ky = self.band7x, self.band7y
+        # masks corner-filled once (FILL_CS_CORNER_UV_RS, withSigns=F,
+        # seaice_advection.F:288-292)
+        mW, mS = fill_cs_corner_uv(self.SIMaskU[None], self.SIMaskV[None],
+                                   n, ol, with_sign=False)
+        mW, mS = mW[0], mS[0]
+
+        def sel_fill(a, d, faces):
+            if not faces:
+                return a
+            filled = fill_cs_corner(a, d, n, ol)
+            if len(faces) == 6:
+                return filled
+            m = np.zeros((6, 1, 1))
+            for f in faces:
+                m[f] = 1.0
+            m = jnp.asarray(np.broadcast_to(
+                m, (6, nyp, 1)).reshape(6 * nyp, 1), dtype)
+            return m * filled + (1.0 - m) * a
+
+        localT = fld
+        mIn = self.maskInCx
+        for pn, (xm, ym, x_over, y_over) in enumerate(plans):
+            xm = jnp.asarray(xm, dtype)
+            ym = jnp.asarray(ym, dtype)
+            localT = sel_fill(localT, 1, x_over)
+            afx = self._flux_x(uTrans, uc, mW, localT, dt) * kx
+            if pn == 0:
+                localT = sel_fill(localT, 2, x_over)
+            localT = sel_fill(localT, 2, y_over)
+            afy = self._flux_y(vTrans, vc, mS, localT, dt) * ky
+            if pn == 0:
+                localT = sel_fill(localT, 1, y_over)
+            updX = localT - dt * mIn * g.recip_rA * (sh(afx, di=1) - afx)
+            updY = localT - dt * mIn * g.recip_rA * (sh(afy, dj=1) - afy)
+            localT = xm * updX + ym * updY + (1.0 - xm - ym) * localT
         return (localT - fld) / dt
 
     def advdiff(self, ice: IceState):
@@ -1152,7 +1316,11 @@ class SeaIce:
         g = self.grid
         c2k = cfg.celsius2K
         interior = self.interior
-        dzSurf = float(cfg.delR[0])
+        if cfg.usingPCoords:
+            dzSurf = float(cfg.delR[cfg.nr - 1]) / (cfg.rhoConst
+                                                    * cfg.gravity)
+        else:
+            dzSurf = float(cfg.delR[0])
         recip_dtT = 1.0 / p.deltaTtherm
         ICE2SNOW = p.rhoIce / p.rhoSnow
         SNOW2ICE = 1.0 / ICE2SNOW
@@ -1356,6 +1524,21 @@ class SeaIce:
                + r_FWbySublim) * convertHI2PRECIP
         ) * cfg.rhoConstFresh
 
+        # SEAICEheatConsFix (seaice_growth.F:2230-2280): put the heat
+        # content of the melt/freeze water exchange back into Qnet so the
+        # ocean+ice system conserves heat under realFW + nonlin-FS
+        if (p.heatConsFix and cfg.useRealFreshWaterFlux
+                and cfg.nonlinFreeSurf > 0):
+            tmpscal3 = cfg.rhoConstFresh * self.HEFFM * (
+                (d_HSNWbyATMonSNW * SNOW2ICE + d_HSNWbyOCNonSNW * SNOW2ICE
+                 + d_HEFFbyOCNonICE + d_HEFFbyATMonOCN
+                 + dHn + dSn * SNOW2ICE) * convertHI2PRECIP)
+            if cfg.temp_EvPrRn is not None:
+                fixQ = -tmpscal3 * cfg.HeatCapacity_Cp * cfg.temp_EvPrRn
+            else:
+                fixQ = -tmpscal3 * cfg.HeatCapacity_Cp * theta0
+            qnet = qnet + fixQ
+
         stageH5 = heff
         if getattr(self, "debug", False):
             # eager-mode introspection for digit-matching work
@@ -1370,6 +1553,8 @@ class SeaIce:
                 "dHn": dHn, "dSn": dSn,
                 "d_HEFFbyATMonOCN": d_HEFFbyATMonOCN,
                 "d_HEFFbyATMonOCN_open": d_HEFFbyATMonOCN_open,
+                "open_t1": t1_, "open_t2": t2_,
+                "facOpenGrow": facOpenGrow,
                 "qnet": qnet, "qsw": qsw, "empmr": empmr,
                 "saltFlux": saltFlux, "convertHI2Q": convertHI2Q,
             }
