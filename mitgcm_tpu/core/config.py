@@ -457,7 +457,8 @@ class Config:
         if c.monitorFreq is UNSET:
             c.monitorFreq = c.deltaTClock
         if c.monitorSelect is UNSET:
-            c.monitorSelect = 2
+            # ini_parms.F:1170: default 2, but 3 for water
+            c.monitorSelect = 3 if not c.fluidIsAir else 2
         # reference profiles
         if not c.tRef:
             c.tRef = tuple([20.0] * c.nr)

@@ -137,6 +137,10 @@ class Grid:
     # identity in z-coords, 1/(g*rhoRef) for the p-coords ocean. None = ones.
     rVel2wUnit: Optional[jnp.ndarray] = None
     wUnit2rVel: Optional[jnp.ndarray] = None
+    # length-unit conversion at cell centers [nr] (set_ref_state.F:220-225):
+    # dr [r-unit] = dz [m] * z2rUnit; g*rhoRef(tRef,sRef,rC) for the
+    # p-coords ocean, identity (None) in z-coords
+    z2rUnit: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_dataclass(
@@ -232,6 +236,17 @@ def _pcoord_w_units(cfg: Config, rF, rC):
     return 1.0 / w2r, w2r
 
 
+def _pcoord_z_units(cfg: Config, rC):
+    """z2rUnit at cell centers for the p-coords ocean
+    (set_ref_state.F:220-225): g*rhoRef(k), pRef4EOS(k)=rC(k)."""
+    nr = len(rC)
+    z2r = np.ones(nr)
+    for k in range(nr):
+        z2r[k] = cfg.gravity * _rho_scalar_ref(
+            cfg, cfg.tRef[k], cfg.sRef[k], rC[k])
+    return z2r
+
+
 def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
                dtype=jnp.float64) -> Grid:
     """Construct the full grid for cartesian / spherical-polar geometries.
@@ -246,26 +261,48 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
 
     # ---- vertical grid (ini_vertical_grid.F) ----
     delR = np.asarray(cfg.delR, dtype=np.float64)
-    if delR.size == 0:
+    delRc = np.asarray(cfg.delRc, dtype=np.float64)   # [nr+1] C-distances
+    if delR.size == 0 and delRc.size == 0:
         delR = np.full(nr, 1.0)
-    if delR.size < nr:
-        delR = np.concatenate([delR, np.full(nr - delR.size, delR[-1])])
+    if delR.size:
+        # interface distances defined: drF = delR
+        if delR.size < nr:
+            delR = np.concatenate([delR, np.full(nr - delR.size, delR[-1])])
+        drF = delR.copy()
+    else:
+        # only center distances: interface at middle between 2 centers
+        # (ini_vertical_grid.F:90-101)
+        drF = np.zeros(nr)
+        drF[0] = delRc[0]
+        for k in range(1, nr):
+            drF[k] = 0.5 * delRc[k]
+            drF[k - 1] += 0.5 * delRc[k]
+        drF[nr - 1] += delRc[nr]
+    if delRc.size:
+        drC = delRc.copy()[:nr + 1]
+    else:
+        drC = np.zeros(nr + 1)
+        drC[0] = 0.5 * drF[0]
+        drC[1:nr] = 0.5 * (drF[:-1] + drF[1:])
+        drC[nr] = 0.5 * drF[nr - 1]
     rF = np.zeros(nr + 1)
+    rC = np.zeros(nr)
     if cfg.usingPCoords:
         # p-coords build from top_Pres upward in pressure
+        # (ini_vertical_grid.F:159-169 rF(1)=UNSET branch, rkSign=-1)
         rF[nr] = cfg.top_Pres
         for k in range(nr - 1, -1, -1):
-            rF[k] = rF[k + 1] + delR[k]
+            rF[k] = rF[k + 1] + drF[k]
+        rC[nr - 1] = rF[nr] + drC[nr]
+        for k in range(nr - 1, 0, -1):
+            rC[k - 1] = rC[k] + drC[k]
     else:
         rF[0] = cfg.seaLev_Z
         for k in range(nr):
-            rF[k + 1] = rF[k] - delR[k]      # z-coords: downward negative
-    drF = delR.copy()
-    rC = 0.5 * (rF[:-1] + rF[1:])
-    drC = np.zeros(nr + 1)
-    drC[0] = 0.5 * drF[0]
-    drC[1:nr] = rC[:-1] - rC[1:]
-    drC[nr] = 0.5 * drF[nr - 1]
+            rF[k + 1] = rF[k] - drF[k]       # z-coords: downward negative
+        rC[0] = rF[0] - drC[0]
+        for k in range(1, nr):
+            rC[k] = rC[k - 1] - drC[k]
 
     # ---- horizontal coordinates ----
     delX = _extend_spacing(np.asarray(cfg.delX, dtype=np.float64), olx)
@@ -511,8 +548,10 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
     onesF = np.ones(nr + 1)
     if cfg.usingPCoords and cfg.fluidIsWater:
         r2w, w2r = _pcoord_w_units(cfg, rF, rC)
+        z2r = _pcoord_z_units(cfg, rC)
     else:
         r2w, w2r = onesF, onesF
+        z2r = onesC
 
     def J(a):
         return jnp.asarray(a, dtype=dtype)
@@ -521,7 +560,7 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         return jnp.asarray(a)
 
     return Grid(
-        rVel2wUnit=J(r2w), wUnit2rVel=J(w2r),
+        rVel2wUnit=J(r2w), wUnit2rVel=J(w2r), z2rUnit=J(z2r),
         rF=J(rF), rC=J(rC), drF=J(drF), drC=J(drC),
         recip_drF=J(recip_drF), recip_drC=J(recip_drC),
         xG=J(xG), yG=J(yG), xC=J(xC), yC=J(yC),
@@ -791,14 +830,16 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     po = np.ones(pshape)
     if cfg.usingPCoords and cfg.fluidIsWater:
         r2w, w2r = _pcoord_w_units(cfg, rF, rC)
+        z2r = _pcoord_z_units(cfg, rC)
     else:
         r2w, w2r = onesF, onesF
+        z2r = onesC
 
     def J(a):
         return jnp.asarray(a, dtype=dtype)
 
     grid = Grid(
-        rVel2wUnit=J(r2w), wUnit2rVel=J(w2r),
+        rVel2wUnit=J(r2w), wUnit2rVel=J(w2r), z2rUnit=J(z2r),
         rF=J(rF), rC=J(rC), drF=J(drF), drC=J(drC),
         recip_drF=J(recip_drF), recip_drC=J(recip_drC),
         xG=J(xG), yG=J(yG), xC=J(xC), yC=J(yC),

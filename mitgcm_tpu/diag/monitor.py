@@ -124,6 +124,37 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
         peVal = peVal + grid.phi0surf * state.etaN
     pe = peVal * grid.rA * grid.maskInC * imask
     out["pe_b_mean"] = jnp.where(volSum > 0, jnp.sum(pe) / volSum, 0.0)
+
+    # SST/SSS single-level stats (monitor.F:123-131, monitorSelect>=3)
+    if cfg.monitorSelect >= 3:
+        ks = cfg.ksurf0
+        for nm, fld in (("sst", state.theta), ("sss", state.salt)):
+            st = calc_stats(cfg, fld[ks][None], grid.maskInC[None],
+                            grid.maskInC, grid.rA, drF[:1])
+            for k, v in st.items():
+                out[f"dynstat_{nm}_{k}"] = v
+    return out
+
+
+def forcing_stats(cfg: Config, grid: Grid, forc: Dict) -> Dict:
+    """monitor.F:133-146 external-forcing statistics (monitorSelect>=3).
+
+    forc: dict with the step's effective 2-D surface forcing (post
+    exf-bulk / seaice overwrite): Qnet, Qsw, EmPmR at C, fu at W, fv
+    at S points."""
+    drn = grid.drF[:1]
+    rows = [("qnet", forc["Qnet"], grid.maskInC, grid.rA),
+            ("qsw", forc["Qsw"], grid.maskInC, grid.rA),
+            ("empmr", forc["EmPmR"], grid.maskInC, grid.rA),
+            ("fu", forc["fu"], grid.maskInW, grid.rAw),
+            ("fv", forc["fv"], grid.maskInS, grid.rAs)]
+    out = {}
+    for nm, fld, mk, ar in rows:
+        if fld.ndim == 3:
+            fld = fld[0]
+        st = calc_stats(cfg, fld[None], mk[None], mk, ar, drn)
+        for k, v in st.items():
+            out[f"forcing_{nm}_{k}"] = v
     return out
 
 

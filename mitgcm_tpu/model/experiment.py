@@ -512,6 +512,43 @@ class Experiment:
         self._step_fn = jax.jit(fn)
         return self._step_fn
 
+    def forcing_monitor(self, forc) -> Dict[str, float]:
+        """monitor.F:133-146 forcing_* stats (monitorSelect>=3) from the
+        step's effective forcing dict (StepDiag.forc)."""
+        if self.cfg.monitorSelect < 3 or forc is None:
+            return {}
+        if not hasattr(self, "_forc_mon_fn"):
+            cfg, grid = self.cfg, self.grid
+            self._forc_mon_fn = jax.jit(
+                lambda f: monitor.forcing_stats(cfg, grid, f))
+        return {k: float(v) for k, v in self._forc_mon_fn(forc).items()}
+
+    def initial_forcing(self) -> Dict[str, float]:
+        """The init-time effective forcing for the iter-0 monitor record.
+
+        For the simple periodic path, INI_FORCING (ini_forcing.F:67-80)
+        reads the raw FIRST record of each file with no time
+        interpolation, so the tsnumber-0 %MON forcing_* lines show
+        record 1 verbatim.  For exf, EXF_GETFORCING runs during
+        initialise_varia so the bulk fluxes at startTime appear."""
+        cfg = self.cfg
+        forc = step_mod.load_fields(cfg, self.forcing, cfg.startTime)
+        out = {"Qnet": forc.Qnet, "Qsw": forc.Qsw, "EmPmR": forc.EmPmR,
+               "fu": forc.fu, "fv": forc.fv}
+        if not cfg.exf_useBulk:
+            for k, nm in (("Qnet", "Qnet"), ("Qsw", "Qsw"),
+                          ("EmPmR", "EmPmR"), ("fu", "fu"), ("fv", "fv")):
+                a = getattr(self.forcing, nm)
+                if a.ndim == 3:
+                    out[k] = a[0]
+        if cfg.exf_useBulk:
+            from mitgcm_tpu.model import exf as exf_mod
+            bf = exf_mod.bulk_fluxes(cfg, self.grid, forc,
+                                     self.state.theta[cfg.ksurf0])
+            for k in out:
+                out[k] = bf.get(k, out[k])
+        return out
+
     def monitor_stats(self, state: Optional[State] = None) -> Dict[str, float]:
         st = state if state is not None else self.state
         if not hasattr(self, "_monitor_fn"):
@@ -587,6 +624,8 @@ class Experiment:
         if collect_monitor:
             rec = {"iter": self._cur_iter}
             rec.update(self.monitor_stats())
+            if self._cur_iter == cfg.nIter0 and cfg.monitorSelect >= 3:
+                rec.update(self.forcing_monitor(self.initial_forcing()))
             records.append(rec)
         state = self.state
         for _ in range(n):
@@ -615,6 +654,7 @@ class Experiment:
             if collect_monitor:
                 t0 = _time.perf_counter()
                 rec.update(self.monitor_stats(state))
+                rec.update(self.forcing_monitor(diag.forc))
                 timers["monitor"] = timers.get("monitor", 0.0) \
                     + _time.perf_counter() - t0
             records.append(rec)
@@ -681,7 +721,8 @@ class Experiment:
                     kpp=self.kpp, ggl90=self.ggl90, vmix=self.vmix,
                     opps=self.opps, seaice=self.seaice,
                     obcs=self.obcs, **hooks)
-                return new_state, diag
+                # don't stack the per-step 2-D forcing snapshots
+                return new_state, diag._replace(forc=None)
             return jax.lax.scan(body, state, iters)
 
         final_state, diags = runner(self.state, grid, op, forcing)

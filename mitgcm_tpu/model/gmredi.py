@@ -6,7 +6,10 @@ points), gmredi_slope_limit.F (slope limiting & tapering; 'gkw91'/'linear'/
 _rtransport.F (tracer flux contributions), gmredi_calc_diff.F (Kwz into
 the implicit vertical diffusivity).
 
-Scope: skew-flux form (GM_AdvForm=F, GM_skewflx=1), no Visbeck/Bates/GEOM
+Scope: skew-flux form (GM_AdvForm=F, GM_skewflx=1) and the advective
+(bolus) form GM_AdvForm=T (gmredi_calc_psi_b.F streamfunction +
+gmredi_slope_psi.F U/V-point tapering + gmredi_residual_flow.F bolus
+velocity added to the tracer-advecting flow); no Visbeck/Bates/GEOM
 variable-K (their hooks raise until implemented). All tensor components
 are computed vectorized over k as fused elementwise passes — the reference
 k-loop with per-level slope limiting maps onto a [nr,...] batch.
@@ -56,6 +59,8 @@ class GMParams:
 
 def from_namelist(nml_group: dict) -> GMParams:
     g = {k.lower(): v for k, v in nml_group.items()}
+    if float(g.get("gm_visbeck_alpha", 0.0)) != 0.0:
+        raise NotImplementedError("GM_Visbeck_alpha != 0 (variable K)")
     return GMParams(
         background_K=float(g.get("gm_background_k", 0.0)),
         isopycK=float(g.get("gm_isopyck", -999.0)),
@@ -77,15 +82,34 @@ class GMTensor(NamedTuple):
 
 
 def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
-                 Lrho=None, rDepth=None):
-    """gmredi_slope_limit.F tapering branch (z-coords, convSlopeUnit=1).
+                 Lrho=None, rDepth=None, unit=1.0):
+    """gmredi_slope_limit.F tapering branch.
 
+    unit: z-slope -> r-slope conversion at this grid location
+    (gmredi_slope_limit.F:128-139: wUnit2rVel(k) for W points [kPos=3],
+    z2rUnit(k) for U/V points; 1 in z-coords). Scalar or [nr,1,1].
     Returns (SlopeX, SlopeY, SlopeSqr, taperFct)."""
     small = gm.small_number
+    runit = 1.0 / unit          # convSlopeUnit (r-slope -> z-slope)
+    if gm.taper_scheme == "ac02":
+        # Andrews & Cartwright 2002 (gmredi_slope_limit.F:393-440): true
+        # slope, no small-slope approximation
+        d2 = ((dSigmaDx * dSigmaDx + dSigmaDy * dSigmaDy) * runit * runit
+              + dSigmaDr * dSigmaDr)
+        rD = jnp.where(d2 != 0.0, 1.0 / jnp.where(d2 == 0.0, 1.0, d2), 0.0)
+        ssq = (dSigmaDx * dSigmaDx + dSigmaDy * dSigmaDy) * rD
+        sx = dSigmaDx * rD * dSigmaDr
+        sy = dSigmaDy * rD * dSigmaDr
+        mss = gm.maxSlope * gm.maxSlope * unit * unit
+        taper = jnp.where(
+            (ssq > mss) & (ssq < gm.slopeSqCutoff),
+            mss / jnp.where(ssq == 0.0, 1.0, ssq),
+            jnp.where(ssq >= gm.slopeSqCutoff, 0.0, 1.0))
+        return sx, sy, ssq, taper
     dsr = jnp.where(
         jnp.logical_and(dSigmaDr != 0.0, dSigmaDr <= small),
         small, dSigmaDr)
-    big = gm.bigSlope
+    big = gm.bigSlope * unit
     sx = jnp.where(
         dsr == 0.0,
         jnp.where(dSigmaDx != 0.0,
@@ -102,7 +126,7 @@ def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
     ssq = jnp.where(cutoff, gm.slopeSqCutoff, ssq)
     taper = jnp.where(cutoff, 0.0, taper)
 
-    maxSlopeSqr = gm.maxSlope * gm.maxSlope
+    maxSlopeSqr = gm.maxSlope * gm.maxSlope * unit * unit
     scheme = gm.taper_scheme
     if scheme == "gkw91":
         taper = jnp.where(
@@ -113,26 +137,26 @@ def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
             (ssq != 0.0) & (ssq > maxSlopeSqr) & (ssq < gm.slopeSqCutoff),
             jnp.sqrt(maxSlopeSqr / jnp.where(ssq == 0.0, 1.0, ssq)), taper)
     elif scheme == "dm95":
-        smod = jnp.sqrt(ssq)
+        smod = jnp.sqrt(ssq) * runit       # Smod in z-slope units
         taper = jnp.where(
             (ssq != 0.0) & (ssq < gm.slopeSqCutoff),
             0.5 * (1.0 + jnp.tanh((gm.Scrit - smod) / gm.Sd)), taper)
     elif scheme == "ldd97":
         # Large et al. 97: dm95's f1 times the near-boundary sine ramp
         # f2(Rnondim = rDepth / (Lrho * |S|))
-        smod = jnp.sqrt(ssq)
-        f1 = 0.5 * (1.0 + jnp.tanh((gm.Scrit - smod) / gm.Sd))
-        denom = Lrho * jnp.where(smod == 0.0, 1.0, smod)
-        rnon = rDepth / denom
+        smod_r = jnp.sqrt(ssq)                 # r-slope units
+        f1 = 0.5 * (1.0 + jnp.tanh((gm.Scrit - smod_r * runit) / gm.Sd))
+        denom = Lrho * jnp.where(smod_r == 0.0, 1.0, smod_r)
+        rnon = rDepth / denom                  # Pa/(m * Pa/m): unitless
         f2 = jnp.where(rnon >= 1.0, 1.0,
                        0.5 * (1.0 + jnp.sin(jnp.pi * (rnon - 0.5))))
         taper = jnp.where(
             (ssq != 0.0) & (ssq < gm.slopeSqCutoff), f1 * f2, taper)
     elif scheme in ("", "clipping", "orig"):
         # slope clipping (gmredi_slope_limit.F clipping branch): limit
-        # dSigmaDr so |S| <= maxSlope, no taper
+        # dSigmaDr so |S| <= maxSlope (in r-units: rMaxSlope*convSlopeUnit)
         mod = jnp.sqrt(dSigmaDx ** 2 + dSigmaDy ** 2)
-        rmax = 1.0 / gm.maxSlope if gm.maxSlope != 0.0 else 0.0
+        rmax = (1.0 / gm.maxSlope if gm.maxSlope != 0.0 else 0.0) * runit
         dsr_c = jnp.where(
             (mod != 0.0) & (dSigmaDr <= mod * rmax), mod * rmax, dSigmaDr)
         sx = jnp.where(mod == 0.0, 0.0,
@@ -180,8 +204,16 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
         LrhoS = _lrho(0.5 * (grid.fCori + sh(grid.fCori, dj=-1)))
         rDepF = (grid.rF[0] - grid.rF[:cfg.nr])[:, None, None]
         rDepC = (grid.rF[0] - grid.rC)[:, None, None]
+    unitW = 1.0
+    unitC = 1.0
+    if cfg.usingPCoords:
+        # p-coords slope-unit factors (gmredi_slope_limit.F:128-139):
+        # wUnit2rVel at W interfaces (kPos=3), z2rUnit at U/V (kPos=1,2)
+        unitW = grid.wUnit2rVel[:cfg.nr][:, None, None]
+        unitC = grid.z2rUnit[:, None, None]
     sx, sy, ssq, taper = _slope_limit(gm, dSxW, dSyW, dSrW,
-                                      Lrho=LrhoC, rDepth=rDepF)
+                                      Lrho=LrhoC, rDepth=rDepF,
+                                      unit=unitW)
     sx = sx * maskFk
     sy = sy * maskFk
     ssq = ssq * maskFk
@@ -211,7 +243,7 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
                    + (sh(sigR_kp1, di=-1) + sigR_kp1) * maskp1
                    ) * grid.maskW * gsign
     _, _, _, taperU = _slope_limit(gm, dSxU, dSyU, dSrU,
-                                   Lrho=LrhoW, rDepth=rDepC)
+                                   Lrho=LrhoW, rDepth=rDepC, unit=unitC)
     Kux = jnp.maximum(isoK * taperU, gm.Kmin_horiz)
 
     dSxV = 0.25 * (sh(sigmaX, dj=-1, di=1) + sh(sigmaX, di=1)
@@ -221,7 +253,7 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
                    + (sh(sigR_kp1, dj=-1) + sigR_kp1) * maskp1
                    ) * grid.maskS * gsign
     _, _, _, taperV = _slope_limit(gm, dSxV, dSyV, dSrV,
-                                   Lrho=LrhoS, rDepth=rDepC)
+                                   Lrho=LrhoS, rDepth=rDepC, unit=unitC)
     Kvy = jnp.maximum(isoK * taperV, gm.Kmin_horiz)
 
     return GMTensor(Kux=Kux, Kvy=Kvy, Kwx=Kwx, Kwy=Kwy, Kwz=Kwz)
@@ -263,3 +295,92 @@ def r_flux(cfg: Config, grid: Grid, tensor: GMTensor, maskUp, tracer):
     df = -(grid.rA * grid.maskInC
            * (tensor.Kwx * dTdx + tensor.Kwy * dTdy) * maskUp)
     return df.at[0].set(0.0)
+
+
+def _slope_psi(gm: GMParams, slope, dSigmaDr, unit=1.0):
+    """gmredi_slope_psi.F for one component (X at U points or Y at V
+    points): slope = gradient ratio at the k-interface, returns
+    (Slope, taper).  unit = wUnit2rVel(k) (1 in z-coords):
+    loc_maxSlope = GM_maxSlope*wUnit2rVel(k),
+    loc_rMaxSlope = GM_rMaxSlope*rVel2wUnit(k)."""
+    small = gm.small_number
+    runit = 1.0 / unit
+    scheme = gm.taper_scheme
+    maxS = gm.maxSlope * unit
+    if scheme in ("", "clipping", "orig"):
+        # Cox slope clipping (gmredi_slope_psi.F:117-141)
+        rMaxSlope = (1.0 / gm.maxSlope if gm.maxSlope != 0.0 else 0.0) \
+            * runit
+        ltd = small + jnp.abs(slope) * rMaxSlope
+        dsr = jnp.maximum(dSigmaDr, ltd)
+        return slope / dsr, jnp.ones_like(slope)
+    # non-clipping: avoid reverse slope in unstable stratification
+    dsr = jnp.maximum(dSigmaDr, small)
+    s = slope / dsr
+    taper = jnp.ones_like(s)
+    cutoff = jnp.sqrt(gm.slopeSqCutoff)
+    hit = jnp.abs(s) >= cutoff
+    s = jnp.where(hit, jnp.sign(s) * cutoff, s)
+    taper = jnp.where(hit, 0.0, taper)
+    smod = jnp.abs(s)
+    if scheme in ("gkw91", "ac02"):
+        mss = maxS * maxS
+        taper = jnp.where((smod > maxS) & (smod < cutoff),
+                          mss / (s * s + small), taper)
+    elif scheme == "linear":
+        taper = jnp.where((smod > maxS) & (smod < cutoff),
+                          maxS / (smod + small), taper)
+    elif scheme == "dm95":
+        # NB: the reference dm95 psi branch overwrites taper with no
+        # slopeCutoff guard (gmredi_slope_psi.F:314-327); Smod converted
+        # to z-slope units (*rVel2wUnit(k)) for the Scrit comparison
+        taper = 0.5 * (1.0 + jnp.tanh((gm.Scrit - smod * runit) / gm.Sd))
+    else:
+        raise NotImplementedError(
+            f"GM_taper_scheme={scheme} for GM_AdvForm (slope_psi)")
+    return s, taper
+
+
+def calc_psi_b(cfg: Config, grid: Grid, gm: GMParams,
+               sigmaX, sigmaY, sigmaR):
+    """gmredi_calc_psi_b.F: GM bolus streamfunction (PsiX at U points,
+    PsiY at V points, both at k-interfaces; row 0 = surface = 0).
+
+    PsiX(k) = K * taper * [0.5*(sigmaX(k-1)+sigmaX(k))] /
+              [0.5*gravitySign*(sigmaR(i-1,k)+sigmaR(i,k))]
+    with GM_bolFac1d/2d = 1 and constant K = GM_background_K
+    (Visbeck/GEOM/LeithQG hooks unimplemented)."""
+    halfSign = 0.5 * cfg.gravitySign
+    mW, mS = grid.maskW, grid.maskS
+    mWf = mW * shift_k(mW, -1)              # maskW(k-1)*maskW(k)
+    mSf = mS * shift_k(mS, -1)
+    slopeX = 0.5 * (shift_k(sigmaX, -1) + sigmaX) * mWf
+    dSrW = (sh(sigmaR, di=-1) + sigmaR) * halfSign * mWf
+    slopeY = 0.5 * (shift_k(sigmaY, -1) + sigmaY) * mSf
+    dSrS = (sh(sigmaR, dj=-1) + sigmaR) * halfSign * mSf
+    unitF = 1.0
+    if cfg.usingPCoords:
+        unitF = grid.wUnit2rVel[:cfg.nr][:, None, None]
+    sX, tX = _slope_psi(gm, slopeX, dSrW, unit=unitF)
+    sY, tY = _slope_psi(gm, slopeY, dSrS, unit=unitF)
+    K = gm.background_K
+    psiX = (sX * tX * K).at[0].set(0.0)
+    psiY = (sY * tY * K).at[0].set(0.0)
+    return psiX, psiY
+
+
+def residual_flow(cfg: Config, grid: Grid, psiX, psiY, u, v, w):
+    """gmredi_residual_flow.F: add the bolus velocity (curl of Psi) to
+    the Eulerian-mean velocities used to advect tracers.  deepFac = 1."""
+    flip = -cfg.gravitySign
+    zX = jnp.zeros_like(psiX[:1])
+    dPsiX = jnp.concatenate([psiX[1:], zX], axis=0) - psiX
+    uF = u + dPsiX * grid.recip_drF[:, None, None] * grid.recip_hFacW * flip
+    zY = jnp.zeros_like(psiY[:1])
+    dPsiY = jnp.concatenate([psiY[1:], zY], axis=0) - psiY
+    vF = v + dPsiY * grid.recip_drF[:, None, None] * grid.recip_hFacS * flip
+    dyPsiX = grid.dyG * psiX
+    dxPsiY = grid.dxG * psiY
+    curl = (sh(dyPsiX, di=1) - dyPsiX + sh(dxPsiY, dj=1) - dxPsiY)
+    wF = w + curl * grid.recip_rA * flip
+    return uF, vF, wF

@@ -38,6 +38,9 @@ class StepDiag(NamedTuple):
     cg2d_init_res: jnp.ndarray
     cg2d_last_res: jnp.ndarray
     cg2d_iters: jnp.ndarray
+    # the step's effective surface forcing (post exf-bulk / seaice
+    # overwrite) for the monitor's forcing_* stats (monitor.F:133-146)
+    forc: dict = None
 
 
 def _default_fill(cfg: Config):
@@ -617,6 +620,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # the column-physics schemes (GGL90 etc.) share the same sigmaR
     # (do_oceanic_phys.F:803-830)
     gm_tensor = None
+    gm_psi = None
     sigmaR = None
     if cfg.useGMRedi or ggl90 is not None:
         sigmaR = thermo_mod.calc_sigmaR(cfg, grid, rhoInSitu, theta0,
@@ -629,6 +633,12 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                   * (rhoInSitu - sh(rhoInSitu, dj=-1)))
         gm_tensor = gmredi.calc_tensor(cfg, grid, cfg.gmredi,
                                        sigmaX, sigmaY, sigmaR)
+        if cfg.gmredi.advForm:
+            # bolus streamfunction + EXCH_UV_XYZ_RL with signs
+            # (gmredi_do_exch.F:54)
+            psiX, psiY = gmredi.calc_psi_b(cfg, grid, cfg.gmredi,
+                                           sigmaX, sigmaY, sigmaR)
+            gm_psi = fill_uv(psiX, psiY)
 
     # KPP boundary-layer mixing (do_oceanic_phys.F:102 KPP_CALC): runs on
     # the start-of-step state with this step's surface forcing; outputs
@@ -676,9 +686,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1, somT, somS) = thermo_mod.thermodynamics(
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar, sdr=sdr_thermo,
-            kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
-            vmix_fields=vmix_fields)
+            gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=rstar,
+            sdr=sdr_thermo, kpp_fields=kpp_fields,
+            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
         if ob is not None:
             # thermodynamics.F:353 OBCS_APPLY_TS
             from mitgcm_tpu.model import obcs as obcs_mod
@@ -771,9 +781,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1, somT, somS) = thermo_mod.thermodynamics(
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, rstar=rstar, sdr=sdr_thermo,
-            kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
-            vmix_fields=vmix_fields)
+            gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=rstar,
+            sdr=sdr_thermo, kpp_fields=kpp_fields,
+            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
         if ob is not None:
             from mitgcm_tpu.model import obcs as obcs_mod
             theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)
@@ -814,4 +824,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         siHSALT=state.siHSALT, siTICES=state.siTICES,
         SItracer=state.SItracer,
     )
+    diag = diag._replace(forc={"Qnet": forc.Qnet, "Qsw": forc.Qsw,
+                               "EmPmR": forc.EmPmR, "fu": forc.fu,
+                               "fv": forc.fv})
     return new_state, diag

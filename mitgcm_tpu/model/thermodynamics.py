@@ -284,22 +284,34 @@ def shortwave_heating(cfg: Config, grid: Grid, forcing: Forcing):
     is forced to zero."""
     from mitgcm_tpu.model.kpp import swfrac
     nr = cfg.nr
-    fb = swfrac(-jnp.abs(grid.rF))                  # [nr+1] interfaces
-    fb1 = fb[:nr][:, None, None]
-    fb2 = fb[1:nr + 1].at[nr - 1].set(0.0)[:, None, None]
     mC = grid.maskC
-    mKp1 = jnp.concatenate([mC[1:], mC[-1:]], axis=0)
     q = forcing.Qsw
     if q.ndim == 3:
         q = q[0]
     recip_Cp = 1.0 / cfg.HeatCapacity_Cp
+    if cfg.usingPCoords:
+        # apply_forcing.F:693-703 p-coords: interface depths in meters
+        # are -rF/(rhoConst*g); the upper (shallower) interface of cell
+        # k is the k+1 side, the cell below is k-1, and the deepest wet
+        # cell (k=1) absorbs the remainder
+        fb = swfrac(-grid.rF * (1.0 / (cfg.rhoConst * cfg.gravity)))
+        fb1 = fb[1:nr + 1][:, None, None]            # swfracb(1)
+        fb2 = fb[:nr].at[0].set(0.0)[:, None, None]  # swfracb(2)
+        mKm = jnp.concatenate([mC[:1], mC[:-1]], axis=0)
+        return (-q[None] * (fb1 * mC - fb2 * mKm) * recip_Cp
+                * cfg.mass2rUnit
+                * grid.recip_drF[:, None, None] * grid.recip_hFacC)
+    fb = swfrac(-jnp.abs(grid.rF))                  # [nr+1] interfaces
+    fb1 = fb[:nr][:, None, None]
+    fb2 = fb[1:nr + 1].at[nr - 1].set(0.0)[:, None, None]
+    mKp1 = jnp.concatenate([mC[1:], mC[-1:]], axis=0)
     return (-q[None] * (fb1 * mC - fb2 * mKp1) * recip_Cp * cfg.mass2rUnit
             * grid.recip_drF[:, None, None] * grid.recip_hFacC)
 
 
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
-                   myIter, conv_count=None, gm_tensor=None, rstar=None,
-                   sdr=None, kpp_fields=None, ggl90_fields=None,
+                   myIter, conv_count=None, gm_tensor=None, gm_psi=None,
+                   rstar=None, sdr=None, kpp_fields=None, ggl90_fields=None,
                    vmix_fields=None):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
@@ -311,7 +323,18 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         return (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr, gPtrNm1,
                 somT, somS)
 
-    flow = gad.calc_adv_flow(cfg, grid, state.uVel, state.vVel, state.wVel)
+    # GM advective form: tracers are advected by the residual flow
+    # uVel+u_bolus (thermodynamics.F:265 GMREDI_RESIDUAL_FLOW)
+    state_adv = state
+    if gm_psi is not None:
+        from mitgcm_tpu.model import gmredi as gm_mod
+        uF, vF, wF = gm_mod.residual_flow(
+            cfg, grid, gm_psi[0], gm_psi[1],
+            state.uVel, state.vVel, state.wVel)
+        state_adv = State(**{**state.__dict__,
+                             "uVel": uF, "vVel": vF, "wVel": wF})
+    flow = gad.calc_adv_flow(cfg, grid, state_adv.uVel, state_adv.vVel,
+                             state_adv.wVel)
     sfT, sfS = surface_forcing_ts(
         cfg, grid, state, forcing,
         rstar_ratio=None if rstar is None else rstar["ratioC"],
@@ -365,7 +388,7 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             sw = shortwave_heating(cfg, grid, forcing)
             intFT = sw if intFT is None else intFT + sw
         theta, gtNm1, gtNm2, somT = tracer_integrate(
-            cfg, grid, flow, state, theta, state.gtNm1, kapT, sfT,
+            cfg, grid, flow, state_adv, theta, state.gtNm1, kapT, sfT,
             cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,
             gm_tensor=gm_tensor, interior_forc=intFT, gNm2=state.gtNm2,
             rstar_ratio=ratioC, kpp_df=dfT, som_state=state.somT)
@@ -383,7 +406,7 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                 kapS = kapS + (vmix_fields["diffKr"] - cfg.diffKrS)
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
         salt, gsNm1, gsNm2, somS = tracer_integrate(
-            cfg, grid, flow, state, salt, state.gsNm1, kapS, sfS,
+            cfg, grid, flow, state_adv, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
             gm_tensor=gm_tensor, gNm2=state.gsNm2, rstar_ratio=ratioC,
             kpp_df=dfS, som_state=state.somS)
@@ -411,7 +434,7 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                 sfP = jnp.zeros_like(sfT)
                 intF = None
             trn, gn, _, _som = tracer_integrate(
-                cfg, grid, flow, state, pTr[itr], gPtrNm1[itr], kapP, sfP,
+                cfg, grid, flow, state_adv, pTr[itr], gPtrNm1[itr], kapP, sfP,
                 scheme, scheme, diffKh, 0.0, myIter,
                 gm_tensor=gm_tensor, interior_forc=intF)
             new_p.append(trn)

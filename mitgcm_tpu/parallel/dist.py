@@ -162,7 +162,8 @@ class DistModel:
                 fill=fill, psum=psum, pmax=pmax,
                 kpp=kpp_l, ggl90=ggl90_l, vmix=vmix_l)
             unsq = lambda a: a.reshape((1, 1) + a.shape)
-            return jax.tree.map(unsq, new_state), diag
+            # forc snapshots are per-shard; drop them (out_spec P())
+            return jax.tree.map(unsq, new_state), diag._replace(forc=None)
 
         blk = P("py", "px")
         step = jax.jit(jax.shard_map(
