@@ -91,12 +91,13 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
         jnp.abs(state.uVel) * grid.recip_dxC * dT * imask)
     out["advcfl_vvel_max"] = jnp.max(
         jnp.abs(state.vVel) * grid.recip_dyC * dT * imask)
-    # w CFLs run k=2..Nr only (mon_advcflw.F / mon_advcflw2.F)
+    # wvel CFL runs k=1..Nr (mon_advcflw.F:37 — k=1 is nonzero under
+    # exactConserv); W_hf runs k=2..Nr only (mon_advcflw2.F:38)
+    out["advcfl_wvel_max"] = jnp.max(
+        jnp.abs(state.wVel) * grid.recip_drC[:cfg.nr, None, None]
+        * dT * imask)
     wk = jnp.abs(state.wVel[1:]) if cfg.nr > 1 else jnp.zeros_like(
         state.wVel[:0])
-    out["advcfl_wvel_max"] = (jnp.max(
-        wk * grid.recip_drC[1:cfg.nr, None, None] * dT * imask)
-        if cfg.nr > 1 else jnp.asarray(0.0, state.wVel.dtype))
     rhf = grid.recip_hFacC * grid.recip_drF[:, None, None]
     out["advcfl_W_hf_max"] = (jnp.max(
         wk * jnp.maximum(rhf[1:], rhf[:-1]) * dT * imask)

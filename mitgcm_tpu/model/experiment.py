@@ -529,24 +529,17 @@ class Experiment:
         For the simple periodic path, INI_FORCING (ini_forcing.F:67-80)
         reads the raw FIRST record of each file with no time
         interpolation, so the tsnumber-0 %MON forcing_* lines show
-        record 1 verbatim.  For exf, EXF_GETFORCING runs during
-        initialise_varia so the bulk fluxes at startTime appear."""
+        record 1 verbatim.  With exf active, the core fu/fv/Qnet/...
+        arrays are still zero at the iter-0 monitor (EXF_GETFORCING
+        fills them inside forward_step only), so all stats print 0."""
         cfg = self.cfg
-        forc = step_mod.load_fields(cfg, self.forcing, cfg.startTime)
-        out = {"Qnet": forc.Qnet, "Qsw": forc.Qsw, "EmPmR": forc.EmPmR,
-               "fu": forc.fu, "fv": forc.fv}
-        if not cfg.exf_useBulk:
-            for k, nm in (("Qnet", "Qnet"), ("Qsw", "Qsw"),
-                          ("EmPmR", "EmPmR"), ("fu", "fu"), ("fv", "fv")):
-                a = getattr(self.forcing, nm)
-                if a.ndim == 3:
-                    out[k] = a[0]
-        if cfg.exf_useBulk:
-            from mitgcm_tpu.model import exf as exf_mod
-            bf = exf_mod.bulk_fluxes(cfg, self.grid, forc,
-                                     self.state.theta[cfg.ksurf0])
-            for k in out:
-                out[k] = bf.get(k, out[k])
+        z = jnp.zeros_like(self.grid.rA)
+        if cfg.useEXF:
+            return {k: z for k in ("Qnet", "Qsw", "EmPmR", "fu", "fv")}
+        out = {}
+        for k in ("Qnet", "Qsw", "EmPmR", "fu", "fv"):
+            a = getattr(self.forcing, k)
+            out[k] = a[0] if a.ndim == 3 else a
         return out
 
     def monitor_stats(self, state: Optional[State] = None) -> Dict[str, float]:

@@ -465,10 +465,19 @@ class SeaIce:
     # dynamics
     # ------------------------------------------------------------------
     def get_dynforcing(self, ice: IceState, forc):
-        """seaice_get_dynforcing.F (EXTERNAL_FLUXES + useAtmWind):
-        surface wind stress over ice (C-grid)."""
+        """seaice_get_dynforcing.F (EXTERNAL_FLUXES): surface wind
+        stress over ice (C-grid).  With useEXF+useAtmWind the quadratic
+        ice-drag law applies to the wind; otherwise (stress read
+        directly, seaice_get_dynforcing.F:223-237) the ocean stress is
+        rescaled by SEAICE_drag/OCEAN_drag."""
         p = self.p
         g = self.grid
+        if not (self.cfg.useEXF and self.cfg.exf_useAtmWind):
+            cdair = jnp.where(g.yC < 0.0, p.drag_south / p.OCEAN_drag,
+                              p.drag / p.OCEAN_drag)
+            taux = cdair * forc.fu * self.SIMaskU
+            tauy = cdair * forc.fv * self.SIMaskV
+            return taux, tauy
         sinw = math.sin(math.radians(p.airTurnAngle))
         cosw = math.cos(math.radians(p.airTurnAngle))
         u, v = forc.uwind, forc.vwind
