@@ -75,6 +75,11 @@ class State:
     siHSALT: jnp.ndarray = None
     siTICES: jnp.ndarray = None      # [multDim, ny, nx]
     SItracer: jnp.ndarray = None     # [nTr, ny, nx]
+    # P-E+R seen by the tracer surface forcing (SURFACE.h PmEpR): set by
+    # the PREVIOUS step's integr_continuity — lags EmPmR by one step on
+    # synchronous realFreshWaterFlux runs (external_forcing_surf.F:129);
+    # staggered runs reset it to -EmPmR each step instead
+    PmEpR: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(
@@ -153,7 +158,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         siHSALT=z2 if cfg.useSEAICE else z0,
         siTICES=z0, SItracer=z0,
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
-        etaN=z2, etaH=z2, dEtaHdt=z2,
+        etaN=z2, etaH=z2, dEtaHdt=z2, PmEpR=z2,
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,
         guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,

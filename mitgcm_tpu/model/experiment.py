@@ -475,19 +475,24 @@ class Experiment:
                 from mitgcm_tpu.model import rstar as rstar_mod
                 fC, fW, fS = rstar_mod.rstar_facs(cfg, grid, st.etaH)
                 g = rstar_mod.rstar_view(cfg, grid, fC, fW, fS)
-            w, _etaN, _etaH, dEtaHdt = step_mod.integr_continuity(
+            w, _etaN, etaH, dEtaHdt, PmEpR = step_mod.integr_continuity(
                 cfg, g, st.uVel, st.vVel, st.etaN, st.etaH,
                 st.dEtaHdt, jnp.zeros_like(st.etaN),
                 jnp.asarray(cfg.nIter0), h0FacC=grid.hFacC)
             fill = ((lambda a: self.cs_fill.fill(a))
                     if self.cs_fill is not None
                     else (lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)))
-            return fill(w), fill(dEtaHdt)
+            return fill(w), fill(etaH), fill(dEtaHdt), fill(PmEpR)
 
-        w, dEtaHdt = _cont(self.state)
+        w, etaH, dEtaHdt, PmEpR = _cont(self.state)
         upd = {"wVel": w}
         if cfg.exactConserv:
+            # the init call also runs UPDATE_ETAH (integr_continuity.F:343):
+            # etaHnm1 := etaH, etaH := etaN
             upd["dEtaHdt"] = dEtaHdt
+            upd["PmEpR"] = PmEpR
+            upd["etaHm1"] = self.state.etaH
+            upd["etaH"] = etaH
         self.state = State(**{**self.state.__dict__, **upd})
 
     # ------------------------------------------------------------------
@@ -760,9 +765,13 @@ def write_pickup(exp: "Experiment", out_dir: str, myIter: int) -> str:
                "Wvel": st.wVel}[name]
         recs.append(_interior(cfg, fld))
     recs3d = np.concatenate(recs, axis=0)
+    # 'EtaH' is etaHnm1, the pre-update_etah value (write_pickup.F:360);
+    # PmEpR is an extra record (ignored by reference tooling) so our own
+    # synchronous realFW restarts skip the lag-reconstruction
     recs2d = np.stack([_interior(cfg, st.etaN),
                        _interior(cfg, st.dEtaHdt),
-                       _interior(cfg, st.etaH)], axis=0)
+                       _interior(cfg, st.etaHm1),
+                       _interior(cfg, st.PmEpR)], axis=0)
     stack = np.concatenate([recs3d, recs2d], axis=0)
     # companion pickups (packages_write_pickup.F): ptracers + ggl90
     if cfg.usePTRACERS and st.pTr is not None and st.pTr.shape[0] > 0:
@@ -785,7 +794,7 @@ def write_pickup(exp: "Experiment", out_dir: str, myIter: int) -> str:
     froot = os.path.join(out_dir, "pickup")
     mds.wrmds(froot, stack, itr=myIter, dataprec="float64",
               nrecords=stack.shape[0],
-              fldlist=flds3d + _PICKUP_2D,
+              fldlist=flds3d + _PICKUP_2D + ["PmEpR"],
               timestep_number=myIter)
     return froot
 
@@ -812,7 +821,7 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     # walk the fldList: 3-D fields take nr records, 2-D one
     fld_names = [n for n in meta.get("fldList", _PICKUP_3D + _PICKUP_2D)
                  if n and n.strip()]
-    two_d = {"EtaN", "dEtaHdt", "EtaH", "EtaHnm1"}
+    two_d = {"EtaN", "dEtaHdt", "EtaH", "EtaHnm1", "PmEpR"}
     vals = {}
     off = 0
     for name in fld_names:
@@ -928,8 +937,17 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     exp.cfg.nIter0 = myIter
     exp._cur_iter = None   # restart run() iteration tracking
     if "Wvel" in vals:
-        # our own pickups carry wVel — bit-identical restart, no recompute
-        exp.state = State(**{**exp.state.__dict__, "wVel": vals["Wvel"]})
+        # our own pickups carry wVel (and PmEpR) — bit-identical restart,
+        # no recompute; still apply UPDATE_ETAH (update_etah.F:58-73):
+        # the stored 'EtaH' (= etaHnm1) stays in etaHm1, etaH := etaN
+        su2 = {"wVel": vals["Wvel"]}
+        if "PmEpR" in vals:
+            su2["PmEpR"] = vals["PmEpR"]
+        if cfg.exactConserv:
+            su2["etaH"] = (vals["EtaN"]
+                           + (1.0 - cfg.implicDiv2Dflow) * vals["dEtaHdt"]
+                           * cfg.deltaTFreeSurf)
+        exp.state = State(**{**exp.state.__dict__, **su2})
         return
     # initialise_varia.F:336: recompute wVel (and, with exactConserv,
     # dEtaHdt) from the restored velocities — wVel is not in the pickup
@@ -938,14 +956,22 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
         from mitgcm_tpu.model import rstar as rstar_mod
         fC, fW, fS = rstar_mod.rstar_facs(cfg, exp.grid, exp.state.etaH)
         g = rstar_mod.rstar_view(cfg, exp.grid, fC, fW, fS)
-    w, etaN, etaH, dEtaHdt = step_mod.integr_continuity(
+    w, etaN, etaH, dEtaHdt, PmEpR = step_mod.integr_continuity(
         exp.cfg, g, exp.state.uVel, exp.state.vVel,
         exp.state.etaN, exp.state.etaH, exp.state.dEtaHdt,
         jnp.zeros_like(exp.state.etaN), jnp.asarray(myIter),
         h0FacC=exp.grid.hFacC)
     fill = lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)
-    exp.state = State(**{**exp.state.__dict__,
-                         "wVel": fill(w), "dEtaHdt": fill(dEtaHdt)})
+    upd = {"wVel": fill(w), "dEtaHdt": fill(dEtaHdt)}
+    if cfg.exactConserv:
+        # UPDATE_ETAH runs on the init call too (integr_continuity.F:343):
+        # the pickup etaH (which lags etaN by one step) moves to etaHm1
+        # and etaH := etaN; with realFreshWaterFlux the returned dEtaHdt
+        # is the pickup value and PmEpR the flux reconstructed from it
+        upd["PmEpR"] = fill(PmEpR)
+        upd["etaHm1"] = exp.state.etaH
+        upd["etaH"] = fill(etaH)
+    exp.state = State(**{**exp.state.__dict__, **upd})
 
 
 def write_state(exp: "Experiment", out_dir: str, myIter: int) -> None:

@@ -70,7 +70,7 @@ class SeaiceParams:
     waterTurnAngle: float = 0.0
     useMetricTerms: bool = True
     no_slip: bool = False
-    scaleSurfStress: bool = False
+    scaleSurfStress: bool = True   # seaice_readparms.F:262 default
     maskRHS: bool = False
     addSnowMass: bool = True
     LSRrelaxU: float = 0.95
@@ -853,8 +853,14 @@ class SeaIce:
         uNm1, vNm1 = uIce, vIce
         fxTmp = forcex0 + massU * recip_dt * uNm1
         fyTmp = forcey0 + massV * recip_dt * vNm1
-        areaW = jnp.ones_like(uIce)
-        areaS = jnp.ones_like(uIce)
+        if p.scaleSurfStress:
+            # seaice_lsr.F:232-242: ice-ocean stress also scaled by the
+            # concentration fraction
+            areaW = 0.5 * (ice.AREA + sh(ice.AREA, di=-1))
+            areaS = 0.5 * (ice.AREA + sh(ice.AREA, dj=-1))
+        else:
+            areaW = jnp.ones_like(uIce)
+            areaS = jnp.ones_like(uIce)
         mIn = g.maskInC
         sgn = jnp.sign(g.fCori)
         sgn = jnp.where(sgn == 0.0, 1.0, sgn)
@@ -924,9 +930,11 @@ class SeaIce:
             vRt1 = jnp.where(badV, 0.0, vRt1)
             vRt2 = jnp.where(badV, 0.0, vRt2)
             rhsV = jnp.where(badV, vIce, rhsV)
-            if self.cs:
-                # seaice_lsr.F:1558-1568 zero-diagonal guard (face-edge
-                # halo rows where the coefficients were never assembled)
+            if self.cs or p.scaleSurfStress:
+                # seaice_lsr.F:1558-1572 zero-diagonal guard (face-edge
+                # halo rows where the coefficients were never assembled;
+                # with scaleSurfStress, open-water cells with no ice
+                # mass have an all-zero momentum row)
                 BU = jnp.where(BU == 0.0, 1.0, BU)
                 BV = jnp.where(BV == 0.0, 1.0, BV)
 
@@ -1641,8 +1649,14 @@ class SeaIce:
             massV = massV + p.rhoSnow * 0.5 * (ice.HSNOW
                                                + sh(ice.HSNOW, dj=-1))
         phiSurf = g.Bo_surf * etaN
-        forcex0 = taux
-        forcey0 = tauy
+        if p.scaleSurfStress:
+            # seaice_dynsolver.F:266-273: wind stress scaled by the
+            # ice-concentration fraction at the velocity point
+            forcex0 = taux * 0.5 * (ice.AREA + sh(ice.AREA, di=-1))
+            forcey0 = tauy * 0.5 * (ice.AREA + sh(ice.AREA, dj=-1))
+        else:
+            forcex0 = taux
+            forcey0 = tauy
         if p.useTilt:
             forcex0 = forcex0 - massU * g.recip_dxC * (
                 phiSurf - sh(phiSurf, di=-1))

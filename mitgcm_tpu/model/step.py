@@ -388,10 +388,17 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
                       EmPmR, myIter, h0FacC=None, ob=None, obm=None):
     """model/src/integr_continuity.F + integrate_for_w.F + update_etah.F.
 
-    Returns (wVel, etaN', etaH', dEtaHdt'). With exactConserv (the
-    reference EXACT_CONSERV path) the free surface is re-integrated from
-    the exact volume divergence: etaN := etaH + dEtaHdt*deltaTFreeSurf and
-    etaH := etaN (implicDiv2Dflow = 1), overriding the cg2d etaN."""
+    Returns (wVel, etaN', etaH', dEtaHdt', PmEpR'). With exactConserv
+    (the reference EXACT_CONSERV path) the free surface is re-integrated
+    from the exact volume divergence: etaN := etaH + dEtaHdt*deltaTFreeSurf
+    and etaH := etaN (implicDiv2Dflow = 1), overriding the cg2d etaN.
+
+    PmEpR' is the freshwater flux the NEXT tracer forcing sees: -EmPmR on
+    running steps (one-step lag for synchronous runs,
+    external_forcing_surf.F:129), and on the first call of a restart
+    (myIter==nIter0!=0, realFreshWaterFlux) the value reconstructed from
+    the pickup's dEtaHdt (integr_continuity.F:148-168) — in that case
+    dEtaHdt also KEEPS its pickup value instead of being recomputed."""
     drF = grid.drF[:, None, None]
     uTrans = u * grid.dyG * drF * grid.hFacW
     vTrans = v * grid.dxG * drF * grid.hFacS
@@ -399,20 +406,32 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
     cr = -div2d * grid.recip_rA
 
     etaN_new, etaH_new, dEtaHdt_new = etaN, etaH, dEtaHdt
+    PmEpR_new = -EmPmR
     if cfg.exactConserv:
         # sequential k-ascending accumulation (integr_continuity.F:93-101)
         def acc_level(acc, t):
             return acc + t, None
         hDivFlow, _ = jax.lax.scan(
             acc_level, jnp.zeros_like(etaN), grid.maskC * div2d)
-        dEtaHdt_new = -hDivFlow * grid.recip_rA
+        dEtaHdt_div = -hDivFlow * grid.recip_rA
         is_first = myIter == cfg.nIter0
         if cfg.useRealFreshWaterFlux and cfg.fluidIsWater:
             # facEmP term applies on all but the very first call
             # (integr_continuity.F:124-146)
-            dEtaHdt_new = jnp.where(
-                is_first, dEtaHdt_new,
-                dEtaHdt_new - cfg.mass2rUnit * EmPmR)
+            dEtaHdt_run = dEtaHdt_div - cfg.mass2rUnit * EmPmR
+            if cfg.nIter0 != 0:
+                # restart first call (integr_continuity.F:148-168): keep
+                # the pickup dEtaHdt (it carries the pre-restart EmPmR
+                # term) and reconstruct PmEpR from it
+                dEtaHdt_new = jnp.where(is_first, dEtaHdt, dEtaHdt_run)
+                PmEpR_new = jnp.where(
+                    is_first, (dEtaHdt - dEtaHdt_div) * cfg.rUnit2mass,
+                    -EmPmR)
+            else:
+                dEtaHdt_new = jnp.where(is_first, dEtaHdt_div, dEtaHdt_run)
+                PmEpR_new = jnp.where(is_first, 0.0, -EmPmR)
+        else:
+            dEtaHdt_new = dEtaHdt_div
         if cfg.useOBCS:
             # integr_continuity.F:199-207: dEtaHdt zeroed outside the OB
             # interior (the OB-cell eta is set by obcs_apply_eta instead)
@@ -466,7 +485,7 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
     w = w_rev[::-1]
     if cfg.rigidLid:
         w = w.at[0].set(0.0)
-    return w, etaN_new, etaH_new, dEtaHdt_new
+    return w, etaN_new, etaH_new, dEtaHdt_new, PmEpR_new
 
 
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
@@ -755,11 +774,12 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # refreshes halos for the next step's stencils.
     # calc_wVelocity = momStepping .OR. exactConserv (set_parms.F:98)
     if cfg.momStepping or cfg.exactConserv:
-        w, etaN, etaH, dEtaHdt = integr_continuity(
+        w, etaN, etaH, dEtaHdt, PmEpR = integr_continuity(
             cfg, grid_new, u, v, etaN, state.etaH, state.dEtaHdt,
             forc.EmPmR, myIter + 1, h0FacC=grid.hFacC, ob=ob, obm=obm)
     else:
         w, etaH, dEtaHdt = state.wVel, state.etaH, state.dEtaHdt
+        PmEpR = state.PmEpR
     # staggered runs exchange the state velocities with EXCH_UV_3D_RL
     # (do_stagger_fields_exchanges.F); non-staggered with EXCH_UV_XYZ_RL
     # (do_fields_blocking_exchanges.F) — different corner conventions
@@ -794,7 +814,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         uVel=u, vVel=v, wVel=w,
         theta=fill(theta), salt=fill(salt),
         etaN=fill(etaN), etaH=fill(etaH),
-        dEtaHdt=fill(dEtaHdt),
+        dEtaHdt=fill(dEtaHdt), PmEpR=fill(PmEpR),
         guNm1=guNm1, gvNm1=gvNm1, guNm2=guNm2, gvNm2=gvNm2,
         gtNm1=gtNm1, gsNm1=gsNm1, gtNm2=gtNm2, gsNm2=gsNm2,
         # D-grid pair: vVelD lives at U points, uVelD at V points

@@ -119,12 +119,19 @@ def surface_forcing_ts(cfg: Config, grid: Grid, state: State,
     # the linear-FS branch applies in all other cases (incl. realFW)
     if (cfg.nonlinFreeSurf > 0 or cfg.usingPCoords) \
             and cfg.useRealFreshWaterFlux:
+        # external_forcing_surf.F:257-281 uses PmEpR, which on synchronous
+        # (non-staggered) runs lags EmPmR by one time step (set by the
+        # previous step's integr_continuity, see SURFACE.h comment);
+        # staggered runs reset PmEpR = -EmPmR first
+        # (external_forcing_surf.F:134-143)
+        PmEpR = (-forcing.EmPmR if cfg.staggerTimeStep
+                 else state.PmEpR)
         if cfg.temp_EvPrRn is not None:
-            sfT = sfT - forcing.EmPmR * (cfg.temp_EvPrRn
-                                         - state.theta[ks]) * cfg.mass2rUnit
+            sfT = sfT + PmEpR * (cfg.temp_EvPrRn
+                                 - state.theta[ks]) * cfg.mass2rUnit
         if cfg.salt_EvPrRn is not None:
-            sfS = sfS - forcing.EmPmR * (cfg.salt_EvPrRn
-                                         - state.salt[ks]) * cfg.mass2rUnit
+            sfS = sfS + PmEpR * (cfg.salt_EvPrRn
+                                 - state.salt[ks]) * cfg.mass2rUnit
     elif cfg.convertFW2Salt == -1.0:
         if cfg.temp_EvPrRn is not None:
             sfT = sfT + forcing.EmPmR * (state.theta[ks]

@@ -9,12 +9,15 @@ pressure (selectP_inEOS_Zc=2, totPhiHyd carried in the state), CD scheme
 momentum/tracer time steps (1800 s / 86400 s), periodic monthly forcing.
 
 Status: restart statistics match the reference to >= 13 significant
-digits (dEtaHdt recomputed from the restored velocities reproduces the
-pickup's own dEtaHdt bit-for-bit, validating the r*-scaled transports);
-the 10-step series tracks at >= 3 significant digits on all compared
-statistics (most 4-7). The residual is dominated by an EmPmR-sized term
-in the barotropic solver RHS whose vintage convention in the committed
-output has not been pinned down yet.
+digits; the 10-step series tracks at >= 4 significant digits on all
+compared statistics. Key restart semantics (integr_continuity.F:148-168
++ update_etah.F): the pickup's 'EtaH' record is etaHnm1 (pre-update
+value, written by write_pickup.F:360), the pickup dEtaHdt must be KEPT
+(it carries the pre-restart EmPmR term), PmEpR is reconstructed from it
+for the first step's tracer forcing and thereafter lags EmPmR by one
+step on synchronous runs, and the init-call UPDATE_ETAH sets
+etaH := etaN. The remaining ~1e-5 relative enters step-1 momentum
+dynamics before the barotropic solve (not yet pinned down).
 """
 
 import numpy as np
@@ -91,8 +94,9 @@ def test_10step_series(exp, ref_series):
                             abs(rr[k]))
                 if abs(rr[k]) < 1e-6 * scale:
                     continue
-                # eta tracks at ~1e-3 absolute (the EmPmR-term vintage
-                # delta accumulates directly in the free surface)
-                want = 2 if k.startswith("dynstat_eta") else 3
-                assert refout.matching_digits(rr[k], mr[k]) >= want, (
+                # the series holds >= 4 digits over 10 steps since the
+                # restart fixes (pickup dEtaHdt kept + PmEpR lag +
+                # etaH := etaN at init); the residual ~1e-5 relative
+                # enters step-1 dynamics pre-solve (under investigation)
+                assert refout.matching_digits(rr[k], mr[k]) >= 4, (
                     i, k, rr[k], mr[k])
