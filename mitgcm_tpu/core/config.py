@@ -54,6 +54,7 @@ class Config:
     rhoConst: float = 999.8
     rhoNil: float = 999.8
     gravity: float = 9.81
+    sIceLoadFac: float = 1.0       # scale of sea-ice mass loading (PARM01)
     gBaro: float = UNSET           # defaults to gravity
     rigidLid: bool = False
     implicitFreeSurface: bool = True

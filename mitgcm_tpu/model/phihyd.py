@@ -150,7 +150,7 @@ def _phi_hyd_oceanicp(cfg: Config, grid: Grid, rhoInSitu, etaH, rStarFacC):
 
 
 def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
-                 etaH=None, rStarFacC=None):
+                 etaH=None, rStarFacC=None, phi0surf=None):
     """Return (phiHydC, dPhiHydX, dPhiHydY, totPhiHyd), each [nr, ...].
 
     rhoInSitu: density anomaly rho' (find_rho) at cell centers.
@@ -216,9 +216,14 @@ def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
         z = jnp.zeros_like(phiC)
         return phiC, z, z, tot
 
-    # calc_grad_phi_hyd.F (phi0surf = 0 without atmospheric loading)
+    # calc_grad_phi_hyd.F: varLoc = phiHyd(+ *rStarFac) + phi0surf;
+    # phi0surf is zero without atmospheric/sea-ice loading (it carries
+    # sIceLoad*g/rhoConst for z-coord realFreshWaterFlux sea-ice runs,
+    # external_forcing_surf.F:361-369)
     if rstar:
         varLoc = phiC * rStarFacC
+        if phi0surf is not None:
+            varLoc = varLoc + phi0surf[None]
         dX = grid.recip_dxC * (varLoc - sh(varLoc, di=-1))
         dY = grid.recip_dyC * (varLoc - sh(varLoc, dj=-1))
         # r* coordinate-slope term (calc_grad_phi_hyd.F:155-205);
@@ -234,6 +239,7 @@ def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
         dY = dY + factorP * (sh(alphaRho, dj=-1) + alphaRho) \
             * (var2 - sh(var2, dj=-1)) * grid.recip_dyC
     else:
-        dX = grid.recip_dxC * (phiC - sh(phiC, di=-1))
-        dY = grid.recip_dyC * (phiC - sh(phiC, dj=-1))
+        varLoc = phiC if phi0surf is None else phiC + phi0surf[None]
+        dX = grid.recip_dxC * (varLoc - sh(varLoc, di=-1))
+        dY = grid.recip_dyC * (varLoc - sh(varLoc, dj=-1))
     return phiC, dX, dY, tot

@@ -162,7 +162,7 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
              rhoInSitu, myIter, rstar=None, sdr=None, kpp_fields=None,
-             ggl90_fields=None, vmix_fields=None):
+             ggl90_fields=None, vmix_fields=None, phi0surf=None):
     """model/src/dynamics.F + timestep.F. Returns
     (uStar, vStar, guNm1', gvNm1', cd_state', totPhiHyd).
 
@@ -198,7 +198,8 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
 
     _, dPhiHydX, dPhiHydY, totPhiHyd = calc_phi_hyd(
         cfg, grid, rhoInSitu, uVel=u, vVel=v, etaH=state.etaH,
-        rStarFacC=None if rstar is None else rstar["facC"])
+        rStarFacC=None if rstar is None else rstar["facC"],
+        phi0surf=phi0surf)
 
     if cfg.vectorInvariantMomentum:
         tend = mom_vecinv(cfg, grid, u, v, w, kappaRU, kappaRV)
@@ -532,8 +533,20 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
 
     # pkg/seaice (do_oceanic_phys.F:448 SEAICE_MODEL): updates the ice
     # state and overwrites fu/fv/Qnet/Qsw/EmPmR/saltFlux seen by the ocean
+    phi0surf_dyn = None
     if seaice is not None:
         from mitgcm_tpu.model import seaice as seaice_mod
+        if cfg.usingZCoords and cfg.useRealFreshWaterFlux:
+            # ice+snow mass loading of the sea surface: sIceLoad set at
+            # the END of seaice_model (seaice_model.F:278) is consumed by
+            # the NEXT step's external_forcing_surf (phi0surf =
+            # (pLoad + sIceLoad*gravity*sIceLoadFac)/rhoConst,
+            # external_forcing_surf.F:361-369) — so the entry-time ice
+            # state is the right vintage here
+            sIceLoad = (seaice.p.rhoIce * state.siHEFF
+                        + seaice.p.rhoSnow * state.siHSNOW)
+            phi0surf_dyn = (sIceLoad * cfg.gravity * cfg.sIceLoadFac
+                            * cfg.recip_rhoConst)
         ice_in = seaice_mod.IceState(
             uIce=state.uIce, vIce=state.vIce, AREA=state.siAREA,
             HEFF=state.siHEFF, HSNOW=state.siHSNOW, HSALT=state.siHSALT,
@@ -720,7 +733,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             sdr=None if not use_sdr else {"hsW": hs_new[1],
                                           "hsS": hs_new[2]},
             kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
-            vmix_fields=vmix_fields)
+            vmix_fields=vmix_fields, phi0surf=phi0surf_dyn)
         if ob is not None:
             # dynamics.F:610 OBCS_APPLY_UV on the predicted velocities
             from mitgcm_tpu.model import obcs as obcs_mod
