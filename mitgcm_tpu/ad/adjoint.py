@@ -28,18 +28,26 @@ from mitgcm_tpu.model import step as step_mod
 
 
 def run_steps(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
-              n_steps: int, checkpoint_chunks: Optional[int] = None):
+              n_steps: int, checkpoint_chunks: Optional[int] = None,
+              hooks: Optional[dict] = None, cs_fill=None):
     """Run n_steps with adjoint-friendly checkpointing.
 
     checkpoint_chunks: number of outer checkpoint segments (the analog of
     the reference's nchklev_2 outer loop; tamc.h). None -> sqrt(n) chunking
     when n_steps > 8; each inner step is additionally rematerialized, so
     peak memory is O(chunk + n/chunk) states.
+
+    hooks: package objects forwarded to forward_step (kpp/ggl90/vmix/
+    opps/seaice/obcs); cs_fill: cubed-sphere exchange object.
     """
+    kw = {k: v for k, v in (hooks or {}).items() if v is not None}
+    if cs_fill is not None:
+        kw.update(fill=cs_fill.fill, fill_uv=cs_fill.fill_uv,
+                  fill_uv_cg=cs_fill.fill_uv_cg)
 
     def body(carry, myIter):
         new_state, _ = step_mod.forward_step(
-            cfg, grid, op, carry, forcing, myIter)
+            cfg, grid, op, carry, forcing, myIter, **kw)
         return new_state, None
 
     if n_steps <= 4:
@@ -58,7 +66,7 @@ def run_steps(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     def body_masked(carry, inp):
         myIter, ok = inp
         new_state, _ = step_mod.forward_step(
-            cfg, grid, op, carry, forcing, myIter)
+            cfg, grid, op, carry, forcing, myIter, **kw)
         out = jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), new_state, carry)
         return out, None

@@ -121,6 +121,10 @@ class Forcing:
     wspeed: jnp.ndarray = None   # exf wind speed (bulk formulae input)
     evap: jnp.ndarray = None     # exf evaporation [m/s]
     runoftemp: jnp.ndarray = None  # runoff temperature [degC] (ALLOW_RUNOFTEMP)
+    # ALLOW_3D_DIFFKR: additive 3-D vertical-diffusivity anomaly
+    # [nr, ny, nx] on top of the diffKrNr profile — the xx_diffkr control
+    # target (ctrl_map_ini_genarr.F:399-402)
+    diffKr3d: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(

@@ -387,6 +387,9 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                 kapT = kapT + (ggl90_fields["diffKr"] - cfg.diffKrS)
             if vmix_fields is not None:
                 kapT = kapT + (vmix_fields["diffKr"] - cfg.diffKrS)
+            if forcing.diffKr3d is not None:
+                # ALLOW_3D_DIFFKR anomaly (xx_diffkr control)
+                kapT = kapT + forcing.diffKr3d
         vscheme = cfg.tempVertAdvScheme or cfg.tempAdvScheme
         intFT = None
         if cfg.custom_forcing_t is not None:
@@ -411,6 +414,8 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                 kapS = kapS + (ggl90_fields["diffKr"] - cfg.diffKrS)
             if vmix_fields is not None:
                 kapS = kapS + (vmix_fields["diffKr"] - cfg.diffKrS)
+            if forcing.diffKr3d is not None:
+                kapS = kapS + forcing.diffKr3d
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
         salt, gsNm1, gsNm2, somS = tracer_integrate(
             cfg, grid, flow, state_adv, salt, state.gsNm1, kapS, sfS,
