@@ -36,6 +36,10 @@ class Config:
     # --- PARM01: continuous equation ---
     viscAh: float = 0.0
     viscA4: float = 0.0
+    # horizontal viscosity for wVel (ini_parms.F:510-511: default viscAhD
+    # which itself defaults to viscAh)
+    viscAhW: float = UNSET
+    viscA4W: float = UNSET
     viscAz: float = UNSET          # vertical viscosity (m2/s), z-coords
     viscAr: float = 0.0
     diffKhT: float = 0.0
@@ -206,6 +210,12 @@ class Config:
     useSRCGSolver: bool = False
     cg3dMaxIters: int = 150
     cg3dTargetResidual: float = 1.0e-7
+    cg3dTargetResWunit: float = -1.0
+    # non-hydrostatic parameters (PARM01; set_defaults.F:214-220)
+    nh_Am2: float = 1.0
+    implicitNHPress: float = UNSET   # defaults to implicSurfPress
+    selectNHfreeSurf: int = 0
+    implicitIntGravWave: bool = False
 
     # --- PARM03: time stepping ---
     tauCD: float = 0.0
@@ -416,6 +426,13 @@ class Config:
             c.diffKrT = c.diffKzT
         if c.diffKzS is not UNSET:
             c.diffKrS = c.diffKzS
+        # wVel viscosities (ini_parms.F:510-511, viscAhD/viscA4D chain)
+        if c.viscAhW is UNSET:
+            c.viscAhW = c.viscAh
+        if c.viscA4W is UNSET:
+            c.viscA4W = c.viscA4
+        if c.implicitNHPress is UNSET:
+            c.implicitNHPress = c.implicSurfPress
         # freeSurfFac (ini_parms.F:473)
         c.freeSurfFac = 0.0 if c.rigidLid else 1.0
         # mass <-> r-unit conversion (ini_parms.F:1542-1545)
@@ -684,6 +701,16 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
             cfg.find_file(cfg.delYfile), prec).astype(float))
     cfg.nx = nx or len(cfg.delX)
     cfg.ny = ny or len(cfg.delY)
+    if not (cfg.nx and cfg.ny):
+        # uniform-spacing decks (dXspacing + no delX vector) bake the
+        # domain size into code/SIZE.h only: nx = sNx*nSx*nPx
+        _sz = read_size_h(os.path.join(
+            os.path.dirname(os.path.abspath(input_dir)), "code"))
+        if "sNx" in _sz:
+            cfg.nx = cfg.nx or (_sz["sNx"] * _sz.get("nSx", 1)
+                                * _sz.get("nPx", 1))
+            cfg.ny = cfg.ny or (_sz["sNy"] * _sz.get("nSy", 1)
+                                * _sz.get("nPy", 1))
     if not cfg.delX and cfg.dxSpacing is not UNSET:
         if not cfg.nx:
             raise ValueError("dxSpacing given without delX: pass nx=")

@@ -75,6 +75,11 @@ class State:
     siHSALT: jnp.ndarray = None
     siTICES: jnp.ndarray = None      # [multDim, ny, nx]
     SItracer: jnp.ndarray = None     # [nTr, ny, nx]
+    # non-hydrostatic pressure + wVel AB tendency history
+    # (model/inc/NH_VARS.h phi_nh/gwNm1/gwNm2); zero-size when hydrostatic
+    phi_nh: jnp.ndarray = None
+    gwNm1: jnp.ndarray = None
+    gwNm2: jnp.ndarray = None
     # P-E+R seen by the tracer surface forcing (SURFACE.h PmEpR): set by
     # the PREVIOUS step's integr_continuity — lags EmPmR by one step on
     # synchronous realFreshWaterFlux runs (external_forcing_surf.F:129);
@@ -169,6 +174,9 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         etaHm1=z2, totPhiHyd=z3,
         pTr=zp, gPtrNm1=zp, GGL90TKE=z3, IDEMIX_E=z3, somT=somT,
         somS=somS,
+        phi_nh=z3 if cfg.nonHydrostatic else z0,
+        gwNm1=z3 if cfg.nonHydrostatic else z0,
+        gwNm2=z3 if (cfg.nonHydrostatic and cfg.useAB3) else z0,
     )
 
 

@@ -112,11 +112,23 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
     tmp = 0.25 * ((u2w + sh(u2w, di=1)) + (v2w + sh(v2w, dj=1))
                   ) * grid.maskInC * imask
     ke_pt = tmp * grid.recip_hFacC * grid.recip_rA
+    tmpA = tmp
+    if cfg.nonHydrostatic:
+        # NH w^2 contribution (mon_ke.F:106-119); wVel(k=1) excluded
+        # when selectNHfreeSurf<=0 (msk_1=0)
+        w = state.wVel
+        k3 = jnp.arange(cfg.nr)[:, None, None]
+        msk1 = jnp.where((k3 == 0) & (cfg.selectNHfreeSurf <= 0), 0.0, 1.0)
+        wkp1 = jnp.concatenate([w[1:] ** 2, jnp.zeros_like(w[:1])], axis=0)
+        wke = (0.25 * (w ** 2 * msk1 + wkp1) * grid.maskC
+               * grid.maskInC * imask)
+        tmpA = tmp + wke * grid.rA * grid.hFacC
+        ke_pt = ke_pt + wke
     keVol = grid.rA * grid.hFacC * drF[:, None, None] * grid.maskInC * imask
     volSum = jnp.sum(keVol)
     out["ke_max"] = jnp.max(ke_pt)
     out["ke_mean"] = jnp.where(
-        volSum > 0, jnp.sum(tmp * drF[:, None, None]) / volSum, 0.0)
+        volSum > 0, jnp.sum(tmpA * drF[:, None, None]) / volSum, 0.0)
     out["ke_vol"] = volSum
     # surface potential energy (mon_ke.F:133-142): 0.5*Bo*eta^2
     # + phi0surf*eta when the geoid is not flat

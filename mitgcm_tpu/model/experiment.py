@@ -227,6 +227,7 @@ class Experiment:
     opps: object = None      # OPPS convection instance
     seaice: object = None    # SeaIce instance when useSEAICE
     obcs: object = None      # obcs.OBCS hook when useOBCS
+    op3: object = None       # cg3d.CG3DOperator when nonHydrostatic
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64,
@@ -279,6 +280,17 @@ class Experiment:
         s0 = _load_3d(cfg, cfg.hydrogSaltFile, dtype, cs_fill)
         if s0 is not None:
             state = State(**{**state.__dict__, "salt": s0 * grid.maskC})
+        # initial velocities + free surface (ini_vel.F / ini_psurf.F)
+        u0 = _load_3d(cfg, cfg.uVelInitFile, dtype, cs_fill)
+        if u0 is not None:
+            state = State(**{**state.__dict__, "uVel": u0 * grid.maskW})
+        v0 = _load_3d(cfg, cfg.vVelInitFile, dtype, cs_fill)
+        if v0 is not None:
+            state = State(**{**state.__dict__, "vVel": v0 * grid.maskS})
+        eta0 = _load_2d(cfg, cfg.pSurfInitFile, dtype, cs_fill)
+        if eta0 is not None:
+            eta0 = (eta0[0] if eta0.ndim == 3 else eta0) * grid.maskInC
+            state = State(**{**state.__dict__, "etaN": eta0, "etaH": eta0})
 
         forcing = zero_forcing(cfg, dtype)
         # simple-path forcing files (model/src/external_fields_load.F with
@@ -343,6 +355,10 @@ class Experiment:
                 state.theta, state.salt)})
 
         op = cg2d_mod.build_cg2d(cfg, grid)
+        op3 = None
+        if cfg.nonHydrostatic:
+            from mitgcm_tpu.solver import cg3d as cg3d_mod
+            op3 = cg3d_mod.build_cg3d(cfg, grid)
 
         # experiment code/ overrides of GAD compile options
         from mitgcm_tpu.model.kpp import scan_cpp_options as _scan_opts
@@ -458,7 +474,7 @@ class Experiment:
         exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
                   vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj,
-                  obcs=obcs_obj)
+                  obcs=obcs_obj, op3=op3)
         exp.init_continuity()
         return exp
 
@@ -512,7 +528,8 @@ class Experiment:
                                          ggl90=self.ggl90, vmix=self.vmix,
                                          opps=self.opps,
                                          seaice=self.seaice,
-                                         obcs=self.obcs, **hooks)
+                                         obcs=self.obcs, op3=self.op3,
+                                         **hooks)
 
         self._step_fn = jax.jit(fn)
         return self._step_fn
@@ -718,7 +735,7 @@ class Experiment:
                     cfg, grid_a, op_a, state, forcing_a, myIter,
                     kpp=self.kpp, ggl90=self.ggl90, vmix=self.vmix,
                     opps=self.opps, seaice=self.seaice,
-                    obcs=self.obcs, **hooks)
+                    obcs=self.obcs, op3=self.op3, **hooks)
                 # don't stack the per-step 2-D forcing snapshots
                 return new_state, diag._replace(forc=None)
             return jax.lax.scan(body, state, iters)

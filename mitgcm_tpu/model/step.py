@@ -41,6 +41,10 @@ class StepDiag(NamedTuple):
     # the step's effective surface forcing (post exf-bulk / seaice
     # overwrite) for the monitor's forcing_* stats (monitor.F:133-146)
     forc: dict = None
+    # non-hydrostatic 3-D solve diagnostics (solve_for_pressure.F:340-355)
+    cg3d_init_res: jnp.ndarray = None
+    cg3d_last_res: jnp.ndarray = None
+    cg3d_iters: jnp.ndarray = None
 
 
 def _default_fill(cfg: Config):
@@ -300,18 +304,39 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                                     grid.recip_hFacW, cfg.deltaTMom)
         vStar = thermo_mod.impldiff(cfg, grid, vStar, kappaRV,
                                     grid.recip_hFacS, cfg.deltaTMom)
+
+    # non-hydrostatic vertical momentum (dynamics.F:642-652:
+    # CALC_GW + TIMESTEP_WVEL): w* feeds the cg3d RHS
+    nh = None
+    if cfg.nonHydrostatic:
+        from mitgcm_tpu.model import calc_gw as calc_gw_mod
+        gw, gwDiss = calc_gw_mod.calc_gw(cfg, grid, u, v, w,
+                                         kappaRU, kappaRV)
+        if cfg.momViscosity and cfg.momDissip_In_AB:
+            gw = gw + gwDiss
+        gw_ab, gwNm1, gwNm2 = adams_bashforth(
+            cfg, gw, state.gwNm1, state.gwNm2, myIter)
+        if cfg.momViscosity and not cfg.momDissip_In_AB:
+            gw_ab = gw_ab + gwDiss
+        wStar = calc_gw_mod.timestep_wvel(cfg, grid, w, gw_ab)
+        nh = {"wStar": wStar, "gwNm1": gwNm1, "gwNm2": gwNm2}
     return uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state, \
-        totPhiHyd
+        totPhiHyd, nh
 
 
 def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
                        uStar, vStar, forcing: Forcing,
-                       psum=None, fill=None, pmax=None):
-    """model/src/solve_for_pressure.F: cg2d for the new free surface."""
+                       psum=None, fill=None, pmax=None,
+                       nh=None, op3=None):
+    """model/src/solve_for_pressure.F: cg2d for the new free surface;
+    with nonHydrostatic also the cg3d solve for phi_nh (the NH pressure):
+    RHS = 3-D divergence of (u*,v*,w*) plus the surface-pressure
+    correction flow (pre_cg3d.F)."""
     dt = uStar.dtype
     imask = interior_mask(state.etaN.shape, cfg.oly, cfg.olx, dt,
                           n_faces=cfg.nFaces)
     drF = grid.drF[:, None, None]
+    use3d = nh is not None
 
     cg2d_x = grid.Bo_surf * state.etaN
     if cfg.useOBCS:
@@ -354,9 +379,29 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
 
     cg2d_b, _ = jax.lax.scan(add_level, cg2d_b0, (dbx[::-1], dby[::-1]))
 
-    eta_src = state.etaH if cfg.exactConserv else state.etaN
-    cg2d_b = cg2d_b - (cfg.freeSurfFac * grid.rA
-                       / cfg.deltaTMom / cfg.deltaTFreeSurf) * eta_src
+    nr = cfg.nr
+    k3 = jnp.arange(nr)[:, None, None]
+    selS = (k3 == (grid.kSurfC - 1)[None]) & (grid.kSurfC <= nr)[None]
+    if use3d:
+        # per-level divergence of the predicted transport
+        # (calc_div_ghat.F:104-147 use3Dsolver branch)
+        cg3d_b = dbx + dby
+    if use3d and not cfg.exactConserv:
+        # oldFreeSurfTerm (solve_for_pressure.F:195-210): the surface
+        # term carries etaN + phi_nh(ks)/Bo, added to BOTH right sides
+        surfT = -(cfg.freeSurfFac * grid.rA
+                  / cfg.deltaTMom / cfg.deltaTFreeSurf) \
+            * (state.etaN + jnp.sum(jnp.where(selS, state.phi_nh, 0.0),
+                                    axis=0) * grid.recip_Bo)
+        cg2d_b = cg2d_b + surfT
+        cg3d_b = cg3d_b + jnp.where(selS, surfT[None], 0.0)
+    else:
+        eta_src = state.etaH if cfg.exactConserv else state.etaN
+        cg2d_b = cg2d_b - (cfg.freeSurfFac * grid.rA
+                           / cfg.deltaTMom / cfg.deltaTFreeSurf) * eta_src
+        if use3d:
+            raise NotImplementedError(
+                "nonHydrostatic with exactConserv (post_cg3d.F)")
     cg2d_b = cg2d_b * imask
     if cfg.useOBCS:
         cg2d_b = cg2d_b * grid.maskInC
@@ -367,17 +412,78 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
     diag = StepDiag(cg2d_init_res=res.first_residual,
                     cg2d_last_res=res.last_residual,
                     cg2d_iters=res.n_iters)
-    return etaN, diag
+    if not use3d:
+        return etaN, None, diag
+
+    # ----- pre_cg3d.F (oldFreeSurfTerm + uniformFreeSurfLev path) -----
+    from mitgcm_tpu.solver import cg3d as cg3d_mod
+    if cfg.useRealFreshWaterFlux and cfg.fluidIsWater:
+        tmpFac = (cfg.freeSurfFac * cfg.mass2rUnit * cfg.implicDiv2Dflow
+                  / cfg.deltaTMom)
+        ksrf = cfg.nr - 1 if cfg.usingPCoords else 0
+        cg3d_b = cg3d_b.at[ksrf].add(
+            tmpFac * grid.rA * forcing.EmPmR * grid.maskInC)
+    surfFac = cfg.freeSurfFac  # deepFac2F(1) = 1
+    cg2dx = res.x
+    psFac = cfg.implicSurfPress * cfg.implicDiv2Dflow
+    uf = -grid.recip_dxC * psFac * (cg2dx - sh(cg2dx, di=-1))
+    vf = -grid.recip_dyC * psFac * (cg2dx - sh(cg2dx, dj=-1))
+    if cfg.useOBCS:
+        uf = uf * grid.maskInC * sh(grid.maskInC, di=-1)
+        vf = vf * grid.maskInC * sh(grid.maskInC, dj=-1)
+    fx = drF * grid.dyG[None] * grid.hFacW * uf[None]
+    fy = drF * grid.dxG[None] * grid.hFacS * vf[None]
+    wStar = nh["wStar"]
+    wfac = (cfg.implicDiv2Dflow * grid.deepFac2F[:nr]
+            * grid.rhoFacF[:nr])[:, None, None]
+    wk = wStar * wfac
+    wkp1 = jnp.concatenate([wk[1:], jnp.zeros_like(wk[:1])], axis=0)
+    maskC_km1 = jnp.concatenate([jnp.ones_like(grid.maskC[:1]),
+                                 grid.maskC[:-1]], axis=0)
+    wterm = jnp.where(
+        k3 == 0,
+        (surfFac * etaN[None] / cfg.deltaTFreeSurf - wkp1),
+        (wk * maskC_km1 - wkp1)) * grid.rA[None] / cfg.deltaTMom
+    cg3d_b = cg3d_b + (sh(fx, di=1) - fx)
+    cg3d_b = cg3d_b + (sh(fy, dj=1) - fy)
+    cg3d_b = cg3d_b + wterm
+    if cfg.useOBCS:
+        cg3d_b = cg3d_b * grid.maskInC[None]
+
+    res3 = cg3d_mod.cg3d(cfg, grid, op3, cg3d_b, state.phi_nh,
+                         psum=psum, fill=fill, pmax=pmax)
+    diag = diag._replace(cg3d_init_res=res3.first_residual,
+                         cg3d_last_res=res3.last_residual,
+                         cg3d_iters=res3.n_iters)
+    return etaN, res3.x, diag
 
 
-def momentum_correction_step(cfg: Config, grid: Grid, etaN, uStar, vStar):
-    """model/src/momentum_correction_step.F + correction_step.F."""
+def momentum_correction_step(cfg: Config, grid: Grid, etaN, uStar, vStar,
+                             phi_nh=None):
+    """model/src/momentum_correction_step.F + correction_step.F; with a
+    non-hydrostatic phi_nh the 3-D pressure gradient is applied too
+    (correction_step.F:137-160 use3Dsolver branch)."""
     BoEta = grid.Bo_surf * etaN
     phiSurfX = grid.recip_dxC * (BoEta - sh(BoEta, di=-1))
     phiSurfY = grid.recip_dyC * (BoEta - sh(BoEta, dj=-1))
     psFac = cfg.implicSurfPress    # pfFacMom = 1
-    u = (uStar - cfg.deltaTMom * psFac * phiSurfX * grid.maskW) * grid.maskW
-    v = (vStar - cfg.deltaTMom * psFac * phiSurfY * grid.maskS) * grid.maskS
+    if phi_nh is not None:
+        nhFac = (cfg.implicitNHPress
+                 * grid.recip_deepFacC[:, None, None]
+                 * grid.recip_rhoFacC[:, None, None])
+        dpx = (psFac * phiSurfX[None]
+               + nhFac * grid.recip_dxC[None]
+               * (phi_nh - sh(phi_nh, di=-1)))
+        dpy = (psFac * phiSurfY[None]
+               + nhFac * grid.recip_dyC[None]
+               * (phi_nh - sh(phi_nh, dj=-1)))
+        u = (uStar - cfg.deltaTMom * dpx * grid.maskW) * grid.maskW
+        v = (vStar - cfg.deltaTMom * dpy * grid.maskS) * grid.maskS
+    else:
+        u = (uStar - cfg.deltaTMom * psFac * phiSurfX * grid.maskW) \
+            * grid.maskW
+        v = (vStar - cfg.deltaTMom * psFac * phiSurfY * grid.maskS) \
+            * grid.maskS
     if cfg.useOBCS:
         # correction_step.F:219,231 maskIn factors (OBCS-only compile path)
         u = u * grid.maskInW
@@ -492,7 +598,8 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
 def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
                  fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
-                 opps=None, seaice=None, obcs=None) -> Tuple[State, StepDiag]:
+                 opps=None, seaice=None, obcs=None,
+                 op3=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -728,7 +835,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
 
     if cfg.momStepping:
         (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
-         totPhiHyd) = dynamics(
+         totPhiHyd, nh) = dynamics(
             cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
             sdr=None if not use_sdr else {"hsW": hs_new[1],
                                           "hsS": hs_new[2]},
@@ -747,13 +854,14 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         if (use_rstar or use_sdr) and cfg.nonlinFreeSurf > 2:
             op_step = cg2d_mod.update_cg2d(cfg, grid_new, op, fill=fill)
 
-        etaN, diag = solve_for_pressure(cfg, grid_new, op_step, state,
-                                        uStar, vStar, forc, psum=psum,
-                                        fill=fill, pmax=pmax)
+        etaN, phi_nh, diag = solve_for_pressure(
+            cfg, grid_new, op_step, state, uStar, vStar, forc, psum=psum,
+            fill=fill, pmax=pmax, nh=nh, op3=op3)
         # solve_for_pressure.F:88 (ALLOW_CD_CODE): etaNm1 := pre-solve etaN
         cd_state = cd_state._replace(etaNm1=state.etaN)
 
-        u, v = momentum_correction_step(cfg, grid_new, etaN, uStar, vStar)
+        u, v = momentum_correction_step(cfg, grid_new, etaN, uStar, vStar,
+                                        phi_nh=phi_nh)
         if ob is not None:
             # momentum_correction_step.F:95 OBCS_APPLY_UV on u^{n+1}
             from mitgcm_tpu.model import obcs as obcs_mod
@@ -776,6 +884,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                                    etaNm1=state.etaNm1)
         totPhiHyd = state.totPhiHyd
         etaN = state.etaN
+        phi_nh, nh = state.phi_nh, None
         z = jnp.zeros((), u.dtype)
         diag = StepDiag(cg2d_init_res=z, cg2d_last_res=z,
                         cg2d_iters=jnp.zeros((), jnp.int32))
@@ -851,6 +960,11 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         # Nm1 rotation)
         etaHm1=state.etaH if (use_rstar or use_sdr) else state.etaHm1,
         totPhiHyd=totPhiHyd,
+        # non-hydrostatic pressure + w-tendency history (NH_VARS.h)
+        phi_nh=(fill(phi_nh) if phi_nh is not None and phi_nh.size
+                else state.phi_nh),
+        gwNm1=nh["gwNm1"] if nh is not None else state.gwNm1,
+        gwNm2=nh["gwNm2"] if nh is not None else state.gwNm2,
         # sea ice state was updated in-place on `state` at the top
         uIce=state.uIce, vIce=state.vIce, siAREA=state.siAREA,
         siHEFF=state.siHEFF, siHSNOW=state.siHSNOW,
