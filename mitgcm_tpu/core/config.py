@@ -328,6 +328,7 @@ class Config:
     useCAL: bool = False
     useOBCS: bool = False
     usePTRACERS: bool = False
+    useRBCS: bool = False
     useDiagnostics: bool = False
 
     # package parameter groups (loaded from data.<pkg>)

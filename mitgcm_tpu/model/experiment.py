@@ -228,6 +228,7 @@ class Experiment:
     seaice: object = None    # SeaIce instance when useSEAICE
     obcs: object = None      # obcs.OBCS hook when useOBCS
     op3: object = None       # cg3d.CG3DOperator when nonHydrostatic
+    rbcs: object = None      # rbcs.RBCS hook when useRBCS
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64,
@@ -471,10 +472,42 @@ class Experiment:
             from mitgcm_tpu.model import obcs as obcs_mod
             obcs_obj = obcs_mod.OBCS(cfg, grid, dtype)
 
+        rbcs_obj = None
+        if cfg.useRBCS:
+            from mitgcm_tpu.model import rbcs as rbcs_mod
+            rbcs_obj = rbcs_mod.RBCS(
+                cfg, grid, dtype,
+                lambda f: _load_3d(cfg, f, dtype, cs_fill))
+
+        # passive-tracer initial conditions (ptracers_init_varia.F:
+        # ref profile, overridden by PTRACERS_initialFile)
+        if cfg.usePTRACERS and state.pTr.shape[0]:
+            from mitgcm_tpu.model.thermodynamics import ptracer_params
+            ptr0 = list(state.pTr)
+            changed = False
+            for itr in range(state.pTr.shape[0]):
+                ppt = ptracer_params(cfg, itr)
+                if ppt["ref"]:
+                    prof = jnp.asarray(ppt["ref"], dtype)
+                    prof = jnp.concatenate(
+                        [prof, jnp.zeros(cfg.nr - prof.shape[0], dtype)]) \
+                        if prof.shape[0] < cfg.nr else prof[:cfg.nr]
+                    ptr0[itr] = (prof[:, None, None]
+                                 * jnp.ones_like(state.theta) * grid.maskC)
+                    changed = True
+                if ppt["initialFile"]:
+                    f0 = _load_3d(cfg, ppt["initialFile"], dtype, cs_fill)
+                    if f0 is not None:
+                        ptr0[itr] = f0 * grid.maskC
+                        changed = True
+            if changed:
+                state = State(**{**state.__dict__,
+                                 "pTr": jnp.stack(ptr0)})
+
         exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
                   vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj,
-                  obcs=obcs_obj, op3=op3)
+                  obcs=obcs_obj, op3=op3, rbcs=rbcs_obj)
         exp.init_continuity()
         return exp
 
@@ -529,7 +562,7 @@ class Experiment:
                                          opps=self.opps,
                                          seaice=self.seaice,
                                          obcs=self.obcs, op3=self.op3,
-                                         **hooks)
+                                         rbcs=self.rbcs, **hooks)
 
         self._step_fn = jax.jit(fn)
         return self._step_fn
@@ -735,7 +768,7 @@ class Experiment:
                     cfg, grid_a, op_a, state, forcing_a, myIter,
                     kpp=self.kpp, ggl90=self.ggl90, vmix=self.vmix,
                     opps=self.opps, seaice=self.seaice,
-                    obcs=self.obcs, op3=self.op3, **hooks)
+                    obcs=self.obcs, op3=self.op3, rbcs=self.rbcs, **hooks)
                 # don't stack the per-step 2-D forcing snapshots
                 return new_state, diag._replace(forc=None)
             return jax.lax.scan(body, state, iters)

@@ -74,6 +74,10 @@ class OBFields(NamedTuple):
     OBEs: jnp.ndarray; OBEw: jnp.ndarray; OBEeta: jnp.ndarray
     OBWu: jnp.ndarray; OBWv: jnp.ndarray; OBWt: jnp.ndarray
     OBWs: jnp.ndarray; OBWw: jnp.ndarray; OBWeta: jnp.ndarray
+    # passive-tracer boundary values (OBCS_PTRACERS.h OB[NSEW]ptr):
+    # [nptr, nr, n_along]; zero-size when no ptracers
+    OBNptr: jnp.ndarray = None; OBSptr: jnp.ndarray = None
+    OBEptr: jnp.ndarray = None; OBWptr: jnp.ndarray = None
 
 
 def parse_data_obcs(path: str, cfg) -> OBCSParams:
@@ -147,6 +151,9 @@ def parse_data_obcs(path: str, cfg) -> OBCSParams:
         if k.startswith("ob") and k.endswith("file"):
             name = k[:-4]            # e.g. "obwu"
             pp.files[name] = str(p1.pop(k))
+        elif k.startswith("ob") and "ptrfile(" in k:
+            itr = int(k.split("(")[1].rstrip(")"))
+            pp.files[k.split("file")[0] + str(itr)] = str(p1.pop(k))
     # ignorable run-time chatter
     for k in ("obcs_monitorfreq", "obcs_monselect", "obcsprintdiags"):
         p1.pop(k, None)
@@ -271,6 +278,8 @@ class OBCSMasks(NamedTuple):
     mS: jnp.ndarray; mSp1: jnp.ndarray
     mE: jnp.ndarray; mEp1: jnp.ndarray
     mW: jnp.ndarray; mWp1: jnp.ndarray
+    mNm1: jnp.ndarray          # one-hot at jn-1 (ptracer zero-gradient)
+    mEm1: jnp.ndarray          # one-hot at ie-1
     maskW_N: jnp.ndarray   # maskW at (jn, i)       [nr, nxp]
     maskS_N: jnp.ndarray   # maskS at (jn, i)
     maskW_S: jnp.ndarray   # maskW at (js, i)
@@ -322,6 +331,8 @@ def build_apply_masks(cfg, pp: OBCSParams, grid) -> OBCSMasks:
         mS=J(onehot_row(js), dtype=dt), mSp1=J(onehot_row(js, 1), dtype=dt),
         mE=J(onehot_col(ie), dtype=dt), mEp1=J(onehot_col(ie, 1), dtype=dt),
         mW=J(onehot_col(iw), dtype=dt), mWp1=J(onehot_col(iw, 1), dtype=dt),
+        mNm1=J(onehot_row(jn, -1), dtype=dt),
+        mEm1=J(onehot_col(ie, -1), dtype=dt),
         maskW_N=J(gather_row(maskW, jn), dtype=dt),
         maskS_N=J(gather_row(maskS, jn), dtype=dt),
         maskW_S=J(gather_row(maskW, js), dtype=dt),
@@ -347,8 +358,11 @@ def build_apply_masks(cfg, pp: OBCSParams, grid) -> OBCSMasks:
 # obcs_calc.F
 # ---------------------------------------------------------------------------
 
-def default_fields(cfg, pp: OBCSParams, dtype) -> OBFields:
-    """obcs_calc.F default: u=v=w=0, t=tRef(k), s=sRef(k), eta=0."""
+def default_fields(cfg, pp: OBCSParams, dtype, m=None,
+                   pTr=None) -> OBFields:
+    """obcs_calc.F default: u=v=w=0, t=tRef(k), s=sRef(k), eta=0;
+    passive tracers default to the zero-gradient interior-adjacent value
+    (obcs_calc.F OB?ptr blocks) which needs the masks m and pTr."""
     nxp = pp.ob_jn.shape[0]
     nyp = pp.ob_ie.shape[0]
     nr = cfg.nr
@@ -356,6 +370,18 @@ def default_fields(cfg, pp: OBCSParams, dtype) -> OBFields:
     sRef = jnp.asarray(cfg.sRef, dtype)[:, None]
     zx = jnp.zeros((nr, nxp), dtype)
     zy = jnp.zeros((nr, nyp), dtype)
+    nptr = 0 if pTr is None else pTr.shape[0]
+    if nptr and m is not None:
+        # OBNptr = pTr(i, jn-1)*maskS(i, jn); OBSptr = pTr(i, js+1)
+        # *maskS(i, js+1); OBEptr = pTr(ie-1, j)*maskW(ie, j);
+        # OBWptr = pTr(iw+1, j)*maskW(iw+1, j)
+        pN = jnp.einsum("tkji,ji->tki", pTr, m.mNm1) * m.maskS_N[None]
+        pS = jnp.einsum("tkji,ji->tki", pTr, m.mSp1) * m.maskS_Sp1[None]
+        pE = jnp.einsum("tkji,ji->tkj", pTr, m.mEm1) * m.maskW_E[None]
+        pW = jnp.einsum("tkji,ji->tkj", pTr, m.mWp1) * m.maskW_Wp1[None]
+    else:
+        pN = pS = jnp.zeros((nptr, nr, nxp), dtype)
+        pE = pW = jnp.zeros((nptr, nr, nyp), dtype)
     return OBFields(
         OBNu=zx, OBNv=zx, OBNt=zx + tRef, OBNs=zx + sRef, OBNw=zx,
         OBNeta=jnp.zeros(nxp, dtype),
@@ -365,16 +391,17 @@ def default_fields(cfg, pp: OBCSParams, dtype) -> OBFields:
         OBEeta=jnp.zeros(nyp, dtype),
         OBWu=zy, OBWv=zy, OBWt=zy + tRef, OBWs=zy + sRef, OBWw=zy,
         OBWeta=jnp.zeros(nyp, dtype),
+        OBNptr=pN, OBSptr=pS, OBEptr=pE, OBWptr=pW,
     )
 
 
 def calc_fields(cfg, grid, pp: OBCSParams, state, future_time, future_iter,
-                prescribed=None) -> OBFields:
+                prescribed=None, m=None) -> OBFields:
     """OBCS_CALC at t=futureTime (do_oceanic_phys.F:317 passes
     myTime+deltaTClock, myIter+1).  Resolution order: defaults ->
     custom analytic hook (experiment code/obcs_calc.F override) ->
     prescribed file records (useOBCSprescribe)."""
-    ob = default_fields(cfg, pp, grid.rA.dtype)
+    ob = default_fields(cfg, pp, grid.rA.dtype, m=m, pTr=state.pTr)
     custom = getattr(cfg, "custom_obcs_calc", None)
     if custom is not None:
         ob = custom(cfg, grid, pp, ob, state, future_time, future_iter)
@@ -462,6 +489,15 @@ def apply_ptracer(cfg, m: OBCSMasks, obptr_n, obptr_s, obptr_e, obptr_w,
     ptr = ptr * (1 - m.mE) + m.mE * _bcol(obptr_e)
     ptr = ptr * (1 - m.mW) + m.mW * _bcol(obptr_w)
     return ptr
+
+
+def apply_all_ptracers(cfg, m: OBCSMasks, ob: OBFields, pTr):
+    """obcs_apply_ptracer.F over the full [nptr,...] stack."""
+    out = []
+    for itr in range(pTr.shape[0]):
+        out.append(apply_ptracer(cfg, m, ob.OBNptr[itr], ob.OBSptr[itr],
+                                 ob.OBEptr[itr], ob.OBWptr[itr], pTr[itr]))
+    return jnp.stack(out) if out else pTr
 
 
 def ptracer_neumann(cfg, m: OBCSMasks, pp: OBCSParams, grid, ptr):
@@ -558,10 +594,16 @@ class PrescribedOB:
     def interp(self, ob: OBFields, future_time, future_iter) -> OBFields:
         cfg = self.cfg
         upd = {}
+        ptr_upd = {}
         for name, arr in self.recs.items():
             side = name[2].upper()
             fld = name[3:]
-            key = f"OB{side}{fld}"
+            itr = None
+            if fld.startswith("ptr"):
+                itr = int(fld[3:]) - 1
+                key = f"OB{side}ptr"
+            else:
+                key = f"OB{side}{fld}"
             if not hasattr(ob, key):
                 continue   # ice fields etc. handled by their package
             nrec = arr.shape[0]
@@ -578,7 +620,15 @@ class PrescribedOB:
                 w2 = (tmpTime - per * rec1) / per
                 val = ((1.0 - w2) * jnp.take(arr, rec1, axis=0)
                        + w2 * jnp.take(arr, rec2, axis=0))
-            upd[key] = val
+            if itr is None:
+                upd[key] = val
+            else:
+                ptr_upd.setdefault(key, {})[itr] = val
+        for key, d in ptr_upd.items():
+            stack = getattr(ob, key)
+            for itr, val in d.items():
+                stack = stack.at[itr].set(val)
+            upd[key] = stack
         return ob._replace(**upd)
 
 

@@ -399,9 +399,6 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
         eta_src = state.etaH if cfg.exactConserv else state.etaN
         cg2d_b = cg2d_b - (cfg.freeSurfFac * grid.rA
                            / cfg.deltaTMom / cfg.deltaTFreeSurf) * eta_src
-        if use3d:
-            raise NotImplementedError(
-                "nonHydrostatic with exactConserv (post_cg3d.F)")
     cg2d_b = cg2d_b * imask
     if cfg.useOBCS:
         cg2d_b = cg2d_b * grid.maskInC
@@ -415,15 +412,33 @@ def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
     if not use3d:
         return etaN, None, diag
 
-    # ----- pre_cg3d.F (oldFreeSurfTerm + uniformFreeSurfLev path) -----
+    # ----- pre_cg3d.F -----
     from mitgcm_tpu.solver import cg3d as cg3d_mod
+    oldFreeSurfTerm = not cfg.exactConserv
+    wSurfP2d = jnp.zeros_like(etaN)
+    if not oldFreeSurfTerm and cfg.implicDiv2Dflow != 0.0:
+        # pre_cg3d.F:80-88: the free-surface motion the 2-D solve already
+        # accounted for enters the 3-D RHS as a surface w
+        wSurfP2d = (etaN - state.etaH) \
+            / (cfg.implicDiv2Dflow * cfg.deltaTFreeSurf)
     if cfg.useRealFreshWaterFlux and cfg.fluidIsWater:
-        tmpFac = (cfg.freeSurfFac * cfg.mass2rUnit * cfg.implicDiv2Dflow
-                  / cfg.deltaTMom)
-        ksrf = cfg.nr - 1 if cfg.usingPCoords else 0
-        cg3d_b = cg3d_b.at[ksrf].add(
-            tmpFac * grid.rA * forcing.EmPmR * grid.maskInC)
-    surfFac = cfg.freeSurfFac  # deepFac2F(1) = 1
+        if oldFreeSurfTerm or cfg.usingPCoords:
+            tmpFac = (cfg.freeSurfFac * cfg.mass2rUnit
+                      * cfg.implicDiv2Dflow / cfg.deltaTMom)
+            ksrf = cfg.nr - 1 if cfg.usingPCoords else 0
+            cg3d_b = cg3d_b.at[ksrf].add(
+                tmpFac * grid.rA * forcing.EmPmR * grid.maskInC)
+        else:
+            wSurfP2d = wSurfP2d + (forcing.EmPmR * cfg.mass2rUnit
+                                   * grid.maskInC)
+    if oldFreeSurfTerm:
+        surfFac = cfg.freeSurfFac  # uniformFreeSurfLev; deepFac2F(1) = 1
+    else:
+        # pre_cg3d.F:135-145 (.NOT.oldFreeSurfTerm): surface term at ks
+        surfFac = 0.0
+        tmpFac = cfg.freeSurfFac * cfg.implicDiv2Dflow / cfg.deltaTMom
+        cg3d_b = cg3d_b + jnp.where(
+            selS, tmpFac * wSurfP2d[None] * grid.rA[None], 0.0)
     cg2dx = res.x
     psFac = cfg.implicSurfPress * cfg.implicDiv2Dflow
     uf = -grid.recip_dxC * psFac * (cg2dx - sh(cg2dx, di=-1))
@@ -599,7 +614,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
                  fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
                  opps=None, seaice=None, obcs=None,
-                 op3=None) -> Tuple[State, StepDiag]:
+                 op3=None, rbcs=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -625,7 +640,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         obm = obcs.masks
         ob = obcs_mod.calc_fields(cfg, grid, obcs.pp, state,
                                   myTime + cfg.deltaTClock, myIter + 1,
-                                  prescribed=obcs.prescribed)
+                                  prescribed=obcs.prescribed, m=obm)
 
     # pkg/exf bulk formulae (exf_getforcing.F): fluxes from the
     # atmospheric state, recomputed every step from the current SST
@@ -827,11 +842,15 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             cfg, grid_old, state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=rstar,
             sdr=sdr_thermo, kpp_fields=kpp_fields,
-            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
+            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields,
+            rbcs=rbcs, myTime=myTime)
         if ob is not None:
             # thermodynamics.F:353 OBCS_APPLY_TS
             from mitgcm_tpu.model import obcs as obcs_mod
             theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)
+            if pTr.shape[0]:
+                # ptracers_integrate.F:189 OBCS_APPLY_PTRACER
+                pTr = obcs_mod.apply_all_ptracers(cfg, obm, ob, pTr)
 
     if cfg.momStepping:
         (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
@@ -925,10 +944,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
             gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=rstar,
             sdr=sdr_thermo, kpp_fields=kpp_fields,
-            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields)
+            ggl90_fields=ggl90_fields, vmix_fields=vmix_fields,
+            rbcs=rbcs, myTime=myTime)
         if ob is not None:
             from mitgcm_tpu.model import obcs as obcs_mod
             theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)
+            if pTr.shape[0]:
+                pTr = obcs_mod.apply_all_ptracers(cfg, obm, ob, pTr)
         if opps is not None:
             theta, salt, _ = opps.apply(theta, salt, w, totPhiHyd)
 

@@ -316,10 +316,39 @@ def shortwave_heating(cfg: Config, grid: Grid, forcing: Forcing):
             * grid.recip_drF[:, None, None] * grid.recip_hFacC)
 
 
+def ptracer_params(cfg: Config, itr: int) -> dict:
+    """Per-tracer runtime parameters (pkg/ptracers/ptracers_readparms.F):
+    PTRACERS_advScheme(i) default saltAdvScheme, diffKh(i) default
+    diffKhS, diffKr(i) default diffKrS, ref(k,i) default 0."""
+    pt = {k.lower(): v for k, v in (cfg.ptracers or {}).items()}
+
+    def get(key, default):
+        v = pt.get(f"{key}({itr + 1})")
+        if v is None:
+            v = pt.get(key, default)
+        return v
+
+    ref = None
+    for k, v in pt.items():
+        if k.startswith("ptracers_ref(") and k.endswith(f",{itr + 1})"):
+            ref = [float(x) for x in (v if isinstance(v, list) else [v])]
+    if ref is None and itr == 0 and "ptracers_ref" in pt:
+        v = pt["ptracers_ref"]
+        ref = [float(x) for x in (v if isinstance(v, list) else [v])]
+    return {
+        "advScheme": int(get("ptracers_advscheme", cfg.saltAdvScheme)),
+        "diffKh": float(get("ptracers_diffkh", cfg.diffKhS)),
+        "diffKr": float(get("ptracers_diffkr", cfg.diffKrS)),
+        "name": str(get("ptracers_names", "")),
+        "initialFile": str(get("ptracers_initialfile", "")),
+        "ref": ref,
+    }
+
+
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                    myIter, conv_count=None, gm_tensor=None, gm_psi=None,
                    rstar=None, sdr=None, kpp_fields=None, ggl90_fields=None,
-                   vmix_fields=None):
+                   vmix_fields=None, rbcs=None, myTime=0.0):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
@@ -397,6 +426,10 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         if cfg.shortwaveHeating:
             sw = shortwave_heating(cfg, grid, forcing)
             intFT = sw if intFT is None else intFT + sw
+        if rbcs is not None:
+            rb = rbcs.tendency_t(theta, myTime)
+            if rb is not None:
+                intFT = rb if intFT is None else intFT + rb
         theta, gtNm1, gtNm2, somT = tracer_integrate(
             cfg, grid, flow, state_adv, theta, state.gtNm1, kapT, sfT,
             cfg.tempAdvScheme, vscheme, cfg.diffKhT, cfg.diffK4T, myIter,
@@ -417,27 +450,28 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             if forcing.diffKr3d is not None:
                 kapS = kapS + forcing.diffKr3d
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
+        intFS = None
+        if rbcs is not None:
+            intFS = rbcs.tendency_s(salt, myTime)
         salt, gsNm1, gsNm2, somS = tracer_integrate(
             cfg, grid, flow, state_adv, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
             gm_tensor=gm_tensor, gNm2=state.gsNm2, rstar_ratio=ratioC,
-            kpp_df=dfS, som_state=state.somS)
+            kpp_df=dfS, som_state=state.somS, interior_forc=intFS)
 
     # passive tracers (pkg/ptracers/ptracers_integrate.F); the age-tracer
     # source/relaxation follows tutorial_global_oce_latlon/code overrides
     if pTr.shape[0]:
-        pt = cfg.ptracers or {}
-        scheme = int(pt.get("ptracers_advscheme", cfg.tempAdvScheme))
-        diffKh = float(pt.get("ptracers_diffkh", 0.0))
-        diffKr = float(pt.get("ptracers_diffkr", cfg.diffKrT))
-        names = pt.get("ptracers_names(1)", pt.get("ptracers_names", ""))
-        is_age = "age" in str(names).lower()
         new_p, new_g = [], []
         for itr in range(pTr.shape[0]):
-            kapP = tracer_kappa(cfg, grid, conv_count, diffKr,
+            pp = ptracer_params(cfg, itr)
+            scheme = pp["advScheme"]
+            is_age = "age" in pp["name"].lower()
+            kapP = tracer_kappa(cfg, grid, conv_count, pp["diffKr"],
                                 pTr.dtype, gm_tensor=gm_tensor)
-            if is_age and itr == 0:
+            if is_age:
                 # surface: 10-day relaxation to zero; interior: +1 s/s
+                # (tutorial_global_oce_latlon/code age-tracer override)
                 sfP = (-pTr[itr, 0] / (10.0 * 86400.0)
                        * grid.drF[0] * grid.hFacC[0])
                 intF = jnp.ones_like(pTr[itr]) * grid.maskC
@@ -445,9 +479,13 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             else:
                 sfP = jnp.zeros_like(sfT)
                 intF = None
+            if rbcs is not None:
+                rb = rbcs.tendency_ptr(itr, pTr[itr], myTime)
+                if rb is not None:
+                    intF = rb if intF is None else intF + rb
             trn, gn, _, _som = tracer_integrate(
                 cfg, grid, flow, state_adv, pTr[itr], gPtrNm1[itr], kapP, sfP,
-                scheme, scheme, diffKh, 0.0, myIter,
+                scheme, scheme, pp["diffKh"], 0.0, myIter,
                 gm_tensor=gm_tensor, interior_forc=intF)
             new_p.append(trn)
             new_g.append(gn)
