@@ -83,9 +83,17 @@ class SeaiceParams:
     advArea: bool = True
     advSnow: bool = True
     advScheme: int = 77
-    diffKhArea: float = 0.0
-    diffKhHeff: float = 0.0
-    diffKhSnow: float = 0.0
+    # per-field schemes/diffusivities default UNSET (-1) and resolve via
+    # the seaice_readparms.F:995-1019 cascade in params_from_namelists
+    advSchArea: int = -1
+    advSchHeff: int = -1
+    advSchSnow: int = -1
+    advSchSalt: int = -1
+    diffKhArea: float = -1.0
+    diffKhHeff: float = -1.0
+    diffKhSnow: float = -1.0
+    diffKhSalt: float = -1.0
+    useFreeDrift: bool = False     # SEAICEuseFREEDRIFT (seaice_freedrift.F)
     lhEvap: float = 2.5e6
     lhFusion: float = 3.34e5
     mcPheePiston: float = 0.0      # derived: STANTON*USTAR if unset
@@ -183,6 +191,12 @@ _NML_MAP = {
     "seaicedoopenwatergrowth": "doOpenWaterGrowth",
     "seaicedoopenwatermelt": "doOpenWaterMelt",
     "seaice_tempfrz_ds": "dTempFrz_dS",
+    "seaiceusefreedrift": "useFreeDrift",
+    "seaiceadvscharea": "advSchArea", "seaiceadvschheff": "advSchHeff",
+    "seaiceadvschsnow": "advSchSnow", "seaiceadvschsalt": "advSchSalt",
+    "seaicediffkharea": "diffKhArea", "seaicediffkhheff": "diffKhHeff",
+    "seaicediffkhsnow": "diffKhSnow", "seaicediffkhsalt": "diffKhSalt",
+    "seaice_frazilfrac": "frazilFrac",
 }
 
 
@@ -206,6 +220,28 @@ def params_from_namelists(cfg: Config, nml01: dict, nml03: dict
                 setattr(p, tgt, float(v))
         # silently keep unknowns out: seaice_check.F validates; the
         # config-check slice will make this loud
+    # advection-scheme / diffusivity cascade (seaice_readparms.F:995-1019)
+    if p.advSchArea < 0:
+        p.advSchArea = p.advSchHeff
+    if p.advSchArea < 0:
+        p.advSchArea = p.advScheme
+    p.advScheme = p.advSchArea
+    if p.advSchHeff < 0:
+        p.advSchHeff = p.advSchArea
+    if p.advSchSnow < 0:
+        p.advSchSnow = p.advSchHeff
+    if p.advSchSalt < 0:
+        p.advSchSalt = p.advSchHeff
+    if p.diffKhArea < 0:
+        p.diffKhArea = p.diffKhHeff
+    if p.diffKhArea < 0:
+        p.diffKhArea = 0.0
+    if p.diffKhHeff < 0:
+        p.diffKhHeff = p.diffKhArea
+    if p.diffKhSnow < 0:
+        p.diffKhSnow = p.diffKhHeff
+    if p.diffKhSalt < 0:
+        p.diffKhSalt = p.diffKhHeff
     if p.deltaTtherm == 0.0:
         p.deltaTtherm = cfg.deltaTClock
     if p.deltaTdyn == 0.0:
@@ -1019,6 +1055,48 @@ class SeaIce:
         return out[0], out[1]
 
     # ------------------------------------------------------------------
+    def freedrift(self, ice: IceState, uVel0, vVel0, forcex0, forcey0):
+        """seaice_freedrift.F: analytic free-drift ice velocity from the
+        2-term balance (surface stress + Coriolis) against quadratic
+        ice-ocean drag; cell-centred solve, then averaged back to the
+        C-grid velocity points and masked."""
+        p = self.p
+        g = self.grid
+        # cell-centre forcing and state (seaice_freedrift.F:55-66)
+        taux_c = 0.5 * (forcex0 + sh(forcex0, di=1))
+        tauy_c = 0.5 * (forcey0 + sh(forcey0, dj=1))
+        mIceCor = p.rhoIce * ice.HEFF * g.fCori
+        u_c = 0.5 * (uVel0 + sh(uVel0, di=1))
+        v_c = 0.5 * (vVel0 + sh(vVel0, dj=1))
+        rhs_x = -taux_c - mIceCor * v_c
+        rhs_y = -tauy_c + mIceCor * u_c
+        nsq = rhs_x * rhs_x + rhs_y * rhs_y
+        pos = nsq > 0.0
+        rhs_n = jnp.where(pos, jnp.sqrt(jnp.where(pos, nsq, 1.0)), 0.0)
+        rhs_a = jnp.where(pos, jnp.arctan2(rhs_y, rhs_x), 0.0)
+        rhoConst = self.cfg.rhoConst
+        wDrag = jnp.where(g.yC < 0.0, p.waterDrag_south, p.waterDrag)
+        inv = 1.0 / (rhoConst * wDrag)
+        t2 = (inv * inv) * mIceCor * mIceCor
+        t3 = (inv * inv) * rhs_n * rhs_n
+        t4 = t2 * t2 + 4.0 * t3
+        pos3 = t3 > 0.0
+        sol_n = jnp.where(
+            pos3, jnp.sqrt(0.5 * (jnp.sqrt(jnp.where(pos3, t4, 1.0))
+                                  - t2)), 0.0)
+        c1 = wDrag * rhoConst
+        s2 = c1 * sol_n * sol_n
+        s3 = mIceCor * sol_n
+        s4 = s2 * s2 + s3 * s3
+        pos4 = s4 > 0.0
+        sol_a = jnp.where(pos4, rhs_a - jnp.arctan2(s3, s2), 0.0)
+        uic = u_c - sol_n * jnp.cos(sol_a)
+        vic = v_c - sol_n * jnp.sin(sol_a)
+        uic, vic = self.fill_uv(uic, vic)   # EXCH_UV_AGRID analog
+        uFD = 0.5 * (sh(uic, di=-1) + uic) * self.SIMaskU
+        vFD = 0.5 * (sh(vic, dj=-1) + vic) * self.SIMaskV
+        return self.fill_uv(uFD, vFD)
+
     def ocean_stress(self, ice, dwatn, uVel0, vVel0, fu, fv):
         """seaice_ocean_stress.F (non-HB87): blend ice-ocean drag."""
         p = self.p
@@ -1048,45 +1126,57 @@ class SeaIce:
     # ------------------------------------------------------------------
     # advection (seaice_advdiff.F + seaice_advection.F, Cartesian npass=2)
     # ------------------------------------------------------------------
-    def _advect_field(self, uc, vc, uTrans, vTrans, fld, dt):
+    def _advect_field(self, uc, vc, uTrans, vTrans, fld, dt, scheme=None):
         """SEAICE_ADVECTION for one extensive 2-D field: returns gFld."""
+        if scheme is None:
+            scheme = self.p.advScheme
         if self.cs:
-            return self._advect_field_cs(uc, vc, uTrans, vTrans, fld, dt)
+            return self._advect_field_cs(uc, vc, uTrans, vTrans, fld, dt,
+                                         scheme)
         g = self.grid
-        p = self.p
         localT = fld
         mW, mS = self.SIMaskU, self.SIMaskV
         # X pass
-        af = self._flux_x(uTrans, uc, mW, localT, dt)
+        af = self._flux_x(uTrans, uc, mW, localT, dt, scheme)
         localT = localT - dt * self.maskInCx * g.recip_rA * (
             sh(af, di=1) - af)
         # Y pass
-        af = self._flux_y(vTrans, vc, mS, localT, dt)
+        af = self._flux_y(vTrans, vc, mS, localT, dt, scheme)
         localT = localT - dt * self.maskInCx * g.recip_rA * (
             sh(af, dj=1) - af)
         return (localT - fld) / dt
 
-    def _flux_x(self, uTrans, uc, mW, localT, dt):
+    def _diffuse_field(self, fld, diffKh, xA, yA):
+        """SEAICE_DIFFUSION (seaice_diffusion.F:40-64): harmonic
+        Laplacian tendency of one extensive 2-D field, fac=1."""
+        g = self.grid
+        fZon = -diffKh * xA * g.recip_dxC * (fld - sh(fld, di=-1))
+        fMer = -diffKh * yA * g.recip_dyC * (fld - sh(fld, dj=-1))
+        return -self.HEFFM * g.recip_rA * (
+            (sh(fZon, di=1) - fZon) + (sh(fMer, dj=1) - fMer))
+
+    def _flux_x(self, uTrans, uc, mW, localT, dt, scheme):
         """X advective flux of one 2-D extensive field: OS7MP (scheme 7,
         seaice kernel write band) or the generic_advdiff kernels
         (SEAICEadvScheme 77 etc. route through the same gad_*_adv_x
         code in the reference, seaice_advection.F:360-420)."""
-        if self.p.advScheme == 7:
+        if scheme == 7:
             return os7mp_flux_x(uTrans, uc, mW, localT, dt,
                                 self.grid.recip_dxC, self.band7x)
         from mitgcm_tpu.model import gad
-        return gad.adv_flux_x(self.cfg, self.grid, self.p.advScheme,
+        return gad.adv_flux_x(self.cfg, self.grid, scheme,
                               uTrans, uc, localT, dt, mW)
 
-    def _flux_y(self, vTrans, vc, mS, localT, dt):
-        if self.p.advScheme == 7:
+    def _flux_y(self, vTrans, vc, mS, localT, dt, scheme):
+        if scheme == 7:
             return os7mp_flux_y(vTrans, vc, mS, localT, dt,
                                 self.grid.recip_dyC, self.band7y)
         from mitgcm_tpu.model import gad
-        return gad.adv_flux_y(self.cfg, self.grid, self.p.advScheme,
+        return gad.adv_flux_y(self.cfg, self.grid, scheme,
                               vTrans, vc, localT, dt, mS)
 
-    def _advect_field_cs(self, uc, vc, uTrans, vTrans, fld, dt):
+    def _advect_field_cs(self, uc, vc, uTrans, vTrans, fld, dt,
+                         scheme):
         """SEAICE_ADVECTION on the cubed sphere: the same 3-pass
         direction-split schedule with per-tile corner fills as
         gad_advection (seaice_advection.F:215-330 mirrors
@@ -1103,7 +1193,7 @@ class SeaIce:
         plans, kx, ky = _cs_pass_plan(n, ol)
         kx = jnp.asarray(kx, dtype)
         ky = jnp.asarray(ky, dtype)
-        if self.p.advScheme == 7:
+        if scheme == 7:
             kx, ky = self.band7x, self.band7y
         # masks corner-filled once (FILL_CS_CORNER_UV_RS, withSigns=F,
         # seaice_advection.F:288-292)
@@ -1130,11 +1220,11 @@ class SeaIce:
             xm = jnp.asarray(xm, dtype)
             ym = jnp.asarray(ym, dtype)
             localT = sel_fill(localT, 1, x_over)
-            afx = self._flux_x(uTrans, uc, mW, localT, dt) * kx
+            afx = self._flux_x(uTrans, uc, mW, localT, dt, scheme) * kx
             if pn == 0:
                 localT = sel_fill(localT, 2, x_over)
             localT = sel_fill(localT, 2, y_over)
-            afy = self._flux_y(vTrans, vc, mS, localT, dt) * ky
+            afy = self._flux_y(vTrans, vc, mS, localT, dt, scheme) * ky
             if pn == 0:
                 localT = sel_fill(localT, 1, y_over)
             updX = localT - dt * mIn * g.recip_rA * (sh(afx, di=1) - afx)
@@ -1153,12 +1243,19 @@ class SeaIce:
         vTrans = ice.vIce * yA
         hm = self.HEFFM
         heffNm1, areaNm1 = ice.HEFF, ice.AREA
-        heff = hm * (ice.HEFF + dt * self._advect_field(
-            ice.uIce, ice.vIce, uTrans, vTrans, ice.HEFF, dt))
-        area = hm * (ice.AREA + dt * self._advect_field(
-            ice.uIce, ice.vIce, uTrans, vTrans, ice.AREA, dt))
-        hsnow = hm * (ice.HSNOW + dt * self._advect_field(
-            ice.uIce, ice.vIce, uTrans, vTrans, ice.HSNOW, dt))
+        def adv_plus_diff(fld, scheme, diffKh):
+            gFld = self._advect_field(ice.uIce, ice.vIce, uTrans, vTrans,
+                                      fld, dt, scheme)
+            if diffKh > 0.0:
+                gFld = gFld + self._diffuse_field(fld, diffKh, xA, yA)
+            return gFld
+
+        heff = hm * (ice.HEFF + dt * adv_plus_diff(
+            ice.HEFF, p.advSchHeff, p.diffKhHeff))
+        area = hm * (ice.AREA + dt * adv_plus_diff(
+            ice.AREA, p.advSchArea, p.diffKhArea))
+        hsnow = hm * (ice.HSNOW + dt * adv_plus_diff(
+            ice.HSNOW, p.advSchSnow, p.diffKhSnow))
         sitr = ice.SItracer
         interior = self.interior
         siEps = 1.0e-5
@@ -1166,9 +1263,10 @@ class SeaIce:
             mate = p.SItrMate[itr]
             carrier_nm1 = heffNm1 if mate == "HEFF" else areaNm1
             carrier = heff if mate == "HEFF" else area
+            tr_sch = p.advSchHeff if mate == "HEFF" else p.advSchArea
+            tr_kh = p.diffKhHeff if mate == "HEFF" else p.diffKhArea
             ext = hm * sitr[itr] * carrier_nm1
-            ext = hm * (ext + dt * self._advect_field(
-                ice.uIce, ice.vIce, uTrans, vTrans, ext, dt))
+            ext = hm * (ext + dt * adv_plus_diff(ext, tr_sch, tr_kh))
             prev = sitr[itr]
             if mate == "HEFF":
                 tr = jnp.where(carrier >= siEps, ext / jnp.where(
@@ -1663,7 +1761,15 @@ class SeaIce:
             forcey0 = forcey0 - massV * g.recip_dyC * (
                 phiSurf - sh(phiSurf, dj=-1))
 
-        if p.useDYNAMICS:
+        if p.useDYNAMICS and p.useFreeDrift:
+            # seaice_dynsolver.F:303-321: uIce := uice_fd; nothing in
+            # the free-drift path updates DWATN, so SEAICE_OCEAN_STRESS
+            # runs with the stale init-time zeros (seaice_init_varia.F:79)
+            uIce, vIce = self.freedrift(ice, uVel0, vVel0,
+                                        forcex0, forcey0)
+            ice = ice._replace(uIce=uIce, vIce=vIce)
+            dwatn = jnp.zeros_like(press0)
+        elif p.useDYNAMICS:
             uIce, vIce, dwatn = self.lsr(
                 ice, forc, uVel0, vVel0, etaN, press0, zMax, zMin,
                 massC, massU, massV, forcex0, forcey0)
