@@ -304,6 +304,20 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                                     grid.recip_hFacW, cfg.deltaTMom)
         vStar = thermo_mod.impldiff(cfg, grid, vStar, kappaRV,
                                     grid.recip_hFacS, cfg.deltaTMom)
+        if cfg.useCDscheme:
+            # dynamics.F:615-633: the D-grid velocities also get the
+            # implicit vertical viscosity AFTER the CD scheme stored
+            # them (vVelD lives at U points -> kappaRU/recip_hFacW,
+            # uVelD at V points -> kappaRV/recip_hFacS). guCor this
+            # step used the un-smoothed values; next step's CD update
+            # starts from the smoothed ones.
+            cd_state = cd_state._replace(
+                vVelD=thermo_mod.impldiff(cfg, grid, cd_state.vVelD,
+                                          kappaRU, grid.recip_hFacW,
+                                          cfg.deltaTMom),
+                uVelD=thermo_mod.impldiff(cfg, grid, cd_state.uVelD,
+                                          kappaRV, grid.recip_hFacS,
+                                          cfg.deltaTMom))
 
     # non-hydrostatic vertical momentum (dynamics.F:642-652:
     # CALC_GW + TIMESTEP_WVEL): w* feeds the cg3d RHS

@@ -11,11 +11,16 @@ the model SST).  KPP runs with the pkg-default KPP_SMOOTH_SHSQ /
 KPP_SMOOTH_DBLOC horizontal smoothings and SHORTWAVE_HEATING penetrating
 radiation (lab_sea code/CPP_OPTIONS.h:22).
 
-Pass criteria (digits vs results/output.txt): step-1 statistics are
-digit-exact (>=10) for the tracer/seaice state and the post-seaice
-forcing-dependent stats; the series keeps a loose floor over all 9 steps
-(a remaining ~1e-4-relative uvel deficit at the ice edge caps later
-steps -- see PROGRESS notes).
+Pass criteria (digits vs results/output.txt): the FULL 9-step series is
+digit-matched (>=10 on every physical stat, most at 11-15; cg2d_init_res
+floors at 8, its print precision relative to the absolute solver
+tolerance).  The round-2 post-step-1 divergence was the missing
+dynamics.F:615-633 branch: with implicitViscosity+useCDscheme the
+D-grid velocities uVelD/vVelD get IMPLDIFF'd after the CD scheme stores
+them -- guCor in the same step is unaffected (computed pre-smoothing),
+so step 1 matched while every later step inherited un-smoothed CD state
+through the Coriolis term (rotational, hence invisible to
+cg2d_init_res, and largest at the ice edge where KPP viscosity peaks).
 """
 
 import pytest
@@ -26,26 +31,32 @@ from mitgcm_tpu.utils import refout
 
 DIR = reference_exp("lab_sea")
 
-# key -> (min digits at step 1, min digits over steps 2..9)
+# key -> (min digits at step 1, min digits over steps 2..9); measured
+# floors are 1-4 digits above these (cross-platform margin of ~1 digit)
 CHECKS = {
-    "dynstat_theta_max": (11, 3),
-    "dynstat_theta_mean": (11, 3),
-    "dynstat_theta_min": (11, 3),
-    "dynstat_salt_max": (12, 5),
-    "dynstat_salt_mean": (11, 6),
-    "dynstat_uvel_max": (10, 0),
-    "dynstat_uvel_mean": (9, 1),
-    "dynstat_vvel_max": (10, 1),
-    "ke_mean": (10, 1),
-    "cg2d_init_res": (8, 2),
-    "seaice_area_max": (11, 3),
-    "seaice_area_mean": (11, 3),
-    "seaice_heff_mean": (11, 3),
-    "seaice_hsnow_mean": (11, 3),
-    "seaice_uice_max": (11, 1),
-    "seaice_vice_min": (11, 1),
-    "seaice_sitracer01_mean": (11, 2),
-    "seaice_sitracer02_mean": (11, 2),
+    "dynstat_theta_max": (12, 12),
+    "dynstat_theta_mean": (13, 12),
+    "dynstat_theta_min": (12, 11),
+    "dynstat_salt_max": (13, 12),
+    "dynstat_salt_mean": (12, 12),
+    "dynstat_uvel_max": (11, 10),
+    "dynstat_uvel_min": (11, 10),
+    "dynstat_uvel_mean": (10, 9),
+    "dynstat_vvel_max": (12, 10),
+    "dynstat_vvel_min": (11, 10),
+    "ke_mean": (12, 11),
+    "advcfl_uvel_max": (11, 10),
+    "cg2d_init_res": (8, 7),
+    "seaice_area_max": (13, 13),
+    "seaice_area_mean": (13, 12),
+    "seaice_heff_mean": (13, 12),
+    "seaice_hsnow_mean": (12, 12),
+    "seaice_uice_max": (12, 10),
+    "seaice_uice_min": (13, 11),
+    "seaice_vice_max": (13, 11),
+    "seaice_vice_min": (13, 10),
+    "seaice_sitracer01_mean": (13, 12),
+    "seaice_sitracer02_mean": (12, 12),
 }
 
 
