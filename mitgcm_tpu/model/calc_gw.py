@@ -88,8 +88,12 @@ def calc_gw(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
         biharmonic = cfg.viscA4W != 0.0
         del2w = jnp.zeros_like(w)
         if biharmonic:
-            fEW = (w - sh(w, di=-1)) * grid.recip_dxC[None] * xA
-            fNS = (w - sh(w, dj=-1)) * grid.recip_dyC[None] * yA
+            # OBCS interior masks on the del2w precursor fluxes only
+            # (calc_gw.F:317,342); the final viscous fluxes are unmasked
+            mInW = grid.maskInW[None] if cfg.useOBCS else 1.0
+            mInS = grid.maskInS[None] if cfg.useOBCS else 1.0
+            fEW = (w - sh(w, di=-1)) * grid.recip_dxC[None] * xA * mInW
+            fNS = (w - sh(w, dj=-1)) * grid.recip_dyC[None] * yA * mInS
             del2w = ((sh(fEW, di=1) - fEW) + (sh(fNS, dj=1) - fNS)) \
                 * grid.recip_rA[None] * recip_rThickC * recip_deepFac2F
 

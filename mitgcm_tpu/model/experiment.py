@@ -504,6 +504,33 @@ class Experiment:
                 state = State(**{**state.__dict__,
                                  "pTr": jnp.stack(ptr0)})
 
+        if obcs_obj is not None and cfg.nIter0 == 0:
+            # obcs_init_variables.F:386-449: at nIter0=0 compute the OB
+            # values at startTime (OBCS_CALC + prescribed records) and
+            # apply them to the initial uVel/vVel/theta/salt/ptracers
+            # for consistency; ob0 is kept for the init-continuity wVel
+            from mitgcm_tpu.model import obcs as obcs_mod
+            ob0 = obcs_mod.calc_fields(
+                cfg, grid, cfg.obcs, state, cfg.startTime, 0,
+                prescribed=obcs_obj.prescribed, m=obcs_obj.masks)
+            u0, v0 = obcs_mod.apply_uv(cfg, obcs_obj.masks, cfg.obcs,
+                                       ob0, state.uVel, state.vVel)
+            t0, s0 = obcs_mod.apply_ts(cfg, obcs_obj.masks, ob0,
+                                       state.theta, state.salt)
+            # the reference exchanges AFTER the OB apply (initialise_varia
+            # EXCH sequence), so the halo beyond an OB holds the cyclic
+            # wrap of the opposite side, not the OB-extended value — the
+            # monitor del2 stencil and biharmonic dissipation read it
+            fill = ((lambda a: cs_fill.fill(a)) if cs_fill is not None
+                    else (lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)))
+            upd = {"uVel": fill(u0), "vVel": fill(v0),
+                   "theta": fill(t0), "salt": fill(s0)}
+            if cfg.usePTRACERS and state.pTr.shape[0]:
+                upd["pTr"] = fill(obcs_mod.apply_all_ptracers(
+                    cfg, obcs_obj.masks, ob0, state.pTr))
+            state = State(**{**state.__dict__, **upd})
+            obcs_obj.ob0 = ob0
+
         exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
                   vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj,
@@ -524,10 +551,13 @@ class Experiment:
                 from mitgcm_tpu.model import rstar as rstar_mod
                 fC, fW, fS = rstar_mod.rstar_facs(cfg, grid, st.etaH)
                 g = rstar_mod.rstar_view(cfg, grid, fC, fW, fS)
+            ob0 = self.obcs.ob0 if self.obcs is not None else None
+            obm0 = self.obcs.masks if self.obcs is not None else None
             w, _etaN, etaH, dEtaHdt, PmEpR = step_mod.integr_continuity(
                 cfg, g, st.uVel, st.vVel, st.etaN, st.etaH,
                 st.dEtaHdt, jnp.zeros_like(st.etaN),
-                jnp.asarray(cfg.nIter0), h0FacC=grid.hFacC)
+                jnp.asarray(cfg.nIter0), h0FacC=grid.hFacC,
+                ob=ob0, obm=obm0)
             fill = ((lambda a: self.cs_fill.fill(a))
                     if self.cs_fill is not None
                     else (lambda a: cyclic_fill_halo(a, cfg.oly, cfg.olx)))

@@ -140,7 +140,10 @@ def _adv_flux_highorder(cfg, scheme, trans, cfl, t, tm1, Rjp, Rj, Rjm,
 
 
 def adv_flux_x(cfg: Config, grid: Grid, scheme: int, uTrans, uFld, tracer,
-               deltaT, maskW):
+               deltaT, maskW, wetW=None):
+    """wetW: plain wet-point mask for the C4 wall-upwinding factor
+    (gad_c4_adv_x.F:71 uses maskW, NOT maskLocW with maskIn folded in);
+    defaults to maskW when the caller has no separate wet mask."""
     t = tracer
     tm1 = sh(t, di=-1)
     if scheme == ENUM_CENTERED_2ND:
@@ -160,14 +163,15 @@ def adv_flux_x(cfg: Config, grid: Grid, scheme: int, uTrans, uFld, tracer,
     Rjp = (tp1 - t) * maskp1
     Rj = (t - tm1) * maskW
     Rjm = (tm1 - tm2) * maskm1
+    wet = maskW if wetW is None else wetW
     return _adv_flux_highorder(cfg, scheme, uTrans,
                                jnp.abs(uFld * deltaT * grid.recip_dxC),
                                t, tm1, Rjp, Rj, Rjm,
-                               mask_m1p1=maskm1 * maskp1)
+                               mask_m1p1=sh(wet, di=-1) * sh(wet, di=1))
 
 
 def adv_flux_y(cfg: Config, grid: Grid, scheme: int, vTrans, vFld, tracer,
-               deltaT, maskS):
+               deltaT, maskS, wetS=None):
     t = tracer
     tm1 = sh(t, dj=-1)
     if scheme == ENUM_CENTERED_2ND:
@@ -186,10 +190,11 @@ def adv_flux_y(cfg: Config, grid: Grid, scheme: int, vTrans, vFld, tracer,
     Rjp = (tp1 - t) * maskp1
     Rj = (t - tm1) * maskS
     Rjm = (tm1 - tm2) * maskm1
+    wet = maskS if wetS is None else wetS
     return _adv_flux_highorder(cfg, scheme, vTrans,
                                jnp.abs(vFld * deltaT * grid.recip_dyC),
                                t, tm1, Rjp, Rj, Rjm,
-                               mask_m1p1=maskm1 * maskp1)
+                               mask_m1p1=sh(wet, dj=-1) * sh(wet, dj=1))
 
 
 def adv_flux_r(cfg: Config, grid: Grid, scheme: int, rTrans, wFld, tracer,
@@ -215,6 +220,21 @@ def adv_flux_r(cfg: Config, grid: Grid, scheme: int, rTrans, wFld, tracer,
 
     if scheme == ENUM_CENTERED_2ND:
         flx = mkm1 * rTrans * 0.5 * (t + tkm1)
+    elif scheme == ENUM_CENTERED_4TH:
+        # gad_c4_adv_r.F: 4th-order centered; the upwind correction is
+        # only active next to the top/bottom (maskBound wall factor)
+        k1 = jnp.arange(1, cfg.nr + 1,
+                        dtype=tracer.dtype)[:, None, None]  # interface k
+        maskPM = jnp.where((k1 <= 2.0) | (k1 >= float(cfg.nr)), 0.0, 1.0)
+        maskBound = maskPM * mkm2 * mkp1
+        Rjp = (tkp1 - t) * mkp1
+        Rj = t - tkm1
+        Rjm = (tkm1 - tkm2) * mkm1
+        Rjjp = Rjp - Rj
+        Rjjm = Rj - Rjm
+        flx = mkm1 * (
+            rTrans * ((t + tkm1) * 0.5 - (Rjjm + Rjjp) * (1.0 / 12.0))
+            + absT * (1.0 / 6.0) * (Rjjm - Rjjp) * 0.5 * (1.0 - maskBound))
     elif scheme in (ENUM_UPWIND_1RST, ENUM_DST2):
         # gad_dst2u1_adv_r.F: rkSign flips the upwind direction in r
         if scheme == ENUM_UPWIND_1RST:
@@ -305,9 +325,11 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
         # advection-scheme face masks carry the OBCS interior mask
         # (gad_calc_rhs.F:264,393 maskLocW/S = maskW/S * maskInW/S)
         fZon = fZon + adv_flux_x(cfg, grid, scheme, flow.uTrans, u, tracer,
-                                 deltaT, grid.maskW * grid.maskInW)
+                                 deltaT, grid.maskW * grid.maskInW,
+                                 wetW=grid.maskW)
         fMer = fMer + adv_flux_y(cfg, grid, scheme, flow.vTrans, v, tracer,
-                                 deltaT, grid.maskS * grid.maskInS)
+                                 deltaT, grid.maskS * grid.maskInS,
+                                 wetS=grid.maskS)
 
     if diffKh != 0.0:
         fZon = fZon - (diffKh * flow.xA * grid.recip_dxC
@@ -385,12 +407,12 @@ def multidim_advection(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w,
 
     # X pass
     af = adv_flux_x(cfg, grid, scheme, uT, u, tracer, deltaT,
-                    grid.maskW * grid.maskInW)
+                    grid.maskW * grid.maskInW, wetW=grid.maskW)
     localT = tracer - deltaT * rhc * rdrF * rrA * (
         (sh(af, di=1) - af) - tracer * (sh(uT, di=1) - uT)) * mIn
     # Y pass (on updated field; compensation still uses original tracer)
     af = adv_flux_y(cfg, grid, scheme, vT, v, localT, deltaT,
-                    grid.maskS * grid.maskInS)
+                    grid.maskS * grid.maskInS, wetS=grid.maskS)
     localT = localT - deltaT * rhc * rdrF * rrA * (
         (sh(af, dj=1) - af) - tracer * (sh(vT, dj=1) - vT)) * mIn
     # R pass on the post-horizontal field

@@ -68,13 +68,19 @@ def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ):
     """Laplacian of u,v for biharmonic viscosity (mom_u_del2u.F/mom_v_del2v.F)."""
     drF = grid.drF[:, None, None]
     recip_drF = grid.recip_drF[:, None, None]
+    # OBCS interior masks on the normal-gradient fluxes and the result
+    # (mom_u_del2u.F:60,92 / mom_v_del2v.F:74,91); identity without OBCS
+    mInC = grid.maskInC if cfg.useOBCS else 1.0
+    mInW = grid.maskInW if cfg.useOBCS else 1.0
+    mInS = grid.maskInS if cfg.useOBCS else 1.0
     # del2u: div of grad fluxes
-    fZon = drF * grid.hFacC * grid.dyF * grid.recip_dxF * (sh(u, di=1) - u)
+    fZon = (drF * grid.hFacC * grid.dyF * grid.recip_dxF
+            * (sh(u, di=1) - u) * mInC)
     fMer = drF * hFacZ * grid.dxV * grid.recip_dyU * (u - sh(u, dj=-1))
     del2u = (
         grid.recip_hFacW * recip_drF * grid.recip_rAw
         * ((fZon - sh(fZon, di=-1)) + (sh(fMer, dj=1) - fMer))
-        * grid.maskW
+        * grid.maskW * mInW
     )
     # side-drag-like closed-wall contribution (mom_u_del2u.F:121-141)
     hFacZClosedS = grid.hFacW - hFacZ
@@ -86,11 +92,12 @@ def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ):
         * drF * 2.0 * u * jnp.where(cfg.no_slip_sides, 1.0, 0.0)
     ) * grid.maskW
     fZonV = drF * hFacZ * grid.dyU * grid.recip_dxV * (v - sh(v, di=-1))
-    fMerV = drF * grid.hFacC * grid.dxF * grid.recip_dyF * (sh(v, dj=1) - v)
+    fMerV = (drF * grid.hFacC * grid.dxF * grid.recip_dyF
+             * (sh(v, dj=1) - v) * mInC)
     del2v = (
         grid.recip_hFacS * recip_drF * grid.recip_rAs
         * ((sh(fZonV, di=1) - fZonV) + (fMerV - sh(fMerV, dj=-1)))
-        * grid.maskS
+        * grid.maskS * mInS
     )
     hFacZClosedW = grid.hFacS - hFacZ
     hFacZClosedE = grid.hFacS - sh(hFacZ, di=1)

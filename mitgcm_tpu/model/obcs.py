@@ -472,12 +472,14 @@ def apply_eta(cfg, m: OBCSMasks, ob: OBFields, eta):
     return eta
 
 
-def apply_w(cfg, m: OBCSMasks, ob: OBFields, w):
-    """obcs_apply_w.F (non-hydrostatic): overwrite wVel at the OB cell."""
-    w = w * (1 - m.mN) + m.mN * _brow(ob.OBNw)
-    w = w * (1 - m.mS) + m.mS * _brow(ob.OBSw)
-    w = w * (1 - m.mE) + m.mE * _bcol(ob.OBEw)
-    w = w * (1 - m.mW) + m.mW * _bcol(ob.OBWw)
+def apply_w(cfg, m: OBCSMasks, ob: OBFields, w, maskC):
+    """obcs_apply_w.F (non-hydrostatic): overwrite wVel at the OB cell
+    with OB*w * maskC(k)*maskC(k-1) (the W-point wet mask)."""
+    mk = maskC * jnp.concatenate([maskC[:1], maskC[:-1]], axis=0)
+    w = w * (1 - m.mN) + m.mN * mk * _brow(ob.OBNw)
+    w = w * (1 - m.mS) + m.mS * mk * _brow(ob.OBSw)
+    w = w * (1 - m.mE) + m.mE * mk * _bcol(ob.OBEw)
+    w = w * (1 - m.mW) + m.mW * mk * _bcol(ob.OBWw)
     return w
 
 
@@ -640,5 +642,6 @@ class OBCS:
         self.pp: OBCSParams = cfg.obcs
         self.masks = build_apply_masks(cfg, self.pp, grid)
         self.prescribed = None
+        self.ob0 = None     # startTime OB values (nIter0=0 init apply)
         if self.pp.useOBCSprescribe and self.pp.files:
             self.prescribed = PrescribedOB(cfg, self.pp, dtype)

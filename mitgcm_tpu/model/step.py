@@ -621,6 +621,10 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
     w = w_rev[::-1]
     if cfg.rigidLid:
         w = w.at[0].set(0.0)
+    if cfg.useOBCS and cfg.nonHydrostatic and ob is not None:
+        # integr_continuity.F:309-310: OBCS_APPLY_W (non-hydrostatic only)
+        from mitgcm_tpu.model import obcs as obcs_mod
+        w = obcs_mod.apply_w(cfg, obm, ob, w, grid.maskC)
     return w, etaN_new, etaH_new, dEtaHdt_new, PmEpR_new
 
 

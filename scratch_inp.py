@@ -1,5 +1,8 @@
 """Scratch: cs32x15 input.in_p — incremental integration."""
 import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
+import os
 import shutil
 import tempfile
 import jax

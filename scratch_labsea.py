@@ -1,5 +1,8 @@
 """Diagnose lab_sea post-step-1 divergence: print matching digits for
 EVERY monitor stat at each step vs results/output.txt."""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
 import sys
 from tests.conftest import reference_exp
 from mitgcm_tpu.model.experiment import Experiment, read_pickup
