@@ -174,6 +174,8 @@ class Config:
     custom_forcing_t: object = None    # f(cfg,grid,state)->gT 3-D add
     useSHAP_FILT: bool = False
     shap: object = None                # ShapParams (data.shap)
+    zonfilt: object = None             # ZonFiltParams (data.zonfilt)
+    aim: object = None                 # AimParams (data.aimphys)
     grid_dir: str = ""                 # where tile*.mitgrid / input .bin
                                        # files live when not in run_dir
                                        # (verification prepare_run links)
@@ -330,6 +332,8 @@ class Config:
     usePTRACERS: bool = False
     useRBCS: bool = False
     useDiagnostics: bool = False
+    useAIM: bool = False
+    useZONAL_FILT: bool = False
 
     # package parameter groups (loaded from data.<pkg>)
     gmredi: Any = None
@@ -766,4 +770,24 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
         from mitgcm_tpu.model import shap_filt as shap_mod
         shnl = nml.read_namelist(shap_path)
         cfg.shap = shap_mod.from_namelist(shnl.get("SHAP_PARM01", {}), cfg)
+
+    zf_path = os.path.join(input_dir, "data.zonfilt")
+    if cfg.useZONAL_FILT:
+        from mitgcm_tpu.model import zonal_filt as zf_mod
+        zp = zf_mod.ZonFiltParams()
+        if os.path.exists(zf_path):
+            znl = nml.read_namelist(zf_path).get("ZONFILT_PARM01", {})
+            for key, val in znl.items():
+                for f in zp.__dataclass_fields__:
+                    if f.lower() == key.lower():
+                        setattr(zp, f, val)
+        cfg.zonfilt = zp
+
+    aim_path = os.path.join(input_dir, "data.aimphys")
+    if cfg.useAIM:
+        from mitgcm_tpu.model import aim as aim_mod
+        anl = {}
+        if os.path.exists(aim_path):
+            anl = nml.read_namelist(aim_path).get("AIM_PARAMS", {})
+        cfg.aim = aim_mod.from_namelist(anl)
     return cfg

@@ -247,6 +247,37 @@ def _pcoord_z_units(cfg: Config, rC):
     return z2r
 
 
+def _atm_phi_ref(cfg: Config, rF, rC):
+    """Reference geopotential phiRef(1:2Nr+1) on the interleaved
+    half/full-level grid for the ATMOSPHERIC buoyancy relation
+    (set_ref_state.F:297-346), tLoc = tRef (select_rStar=0 path)."""
+    nr = len(rC)
+    kappa = cfg.atm_kappa
+    cp = cfg.atm_Cp
+    po = cfg.atm_Po
+    t = np.asarray(cfg.tRef, dtype=np.float64)[:nr]
+    pik = lambda p: (max(p, 0.0) / po) ** kappa  # noqa: E731
+    phi = np.zeros(2 * nr + 1)
+    phi[0] = cfg.seaLev_Z * cfg.gravity
+    if cfg.integr_GeoPot == 1:
+        rHalf = np.empty(2 * nr + 1)
+        rHalf[0::2] = rF
+        rHalf[1::2] = rC
+        for k in range(2 * nr):
+            ks = k // 2
+            ddPI = cp * (pik(rHalf[k]) - pik(rHalf[k + 1]))
+            phi[k + 1] = phi[k] + ddPI * t[ks]
+    else:
+        phi[1] = phi[0] + cp * (pik(rF[0]) - pik(rC[0])) * t[0]
+        for k in range(1, nr):       # Fortran k=1..Nr-1
+            ddPI = cp * (pik(rC[k - 1]) - pik(rC[k]))
+            phi[2 * k] = phi[2 * k - 1] + ddPI * 0.5 * t[k - 1]
+            phi[2 * k + 1] = phi[2 * k - 1] + ddPI * 0.5 * (t[k - 1] + t[k])
+        ddPI = cp * (pik(rC[nr - 1]) - pik(rF[nr]))
+        phi[2 * nr] = phi[2 * nr - 1] + ddPI * t[nr - 1]
+    return phi
+
+
 def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
                dtype=jnp.float64) -> Grid:
     """Construct the full grid for cartesian / spherical-polar geometries.
@@ -434,6 +465,35 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         Ro_surf = np.zeros(pshape)
         Ro_surf[oly:oly + ny, olx:olx + nx] = bathy
         Ro_surf = _cyc(Ro_surf, oly, olx)
+    elif cfg.usingPCoords and cfg.topoFile and cfg.fluidIsAir:
+        # ini_depths.F:168-180 + ini_p_ground.F (selectFindRoSurf=0):
+        # topoFile holds the surface height topoZ [m]; the ground
+        # pressure Po_surf is the piecewise-linear interpolation of
+        # topoZ onto the reference geopotential heights hRef = phiRef/g
+        # at the interleaved half/full levels rHalf=(rF1,rC1,rF2,...)
+        prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
+        topoZ = mds.read_raw(
+            cfg.find_file(cfg.topoFile), (ny, nx), prec
+        ).astype(np.float64)
+        phiRef = _atm_phi_ref(cfg, rF, rC)
+        rHalf = np.empty(2 * nr + 1)
+        rHalf[0::2] = rF
+        rHalf[1::2] = rC
+        hRef = phiRef / cfg.gravity
+        po = np.empty_like(topoZ)
+        for jj in range(ny):
+            for ii in range(nx):
+                h = topoZ[jj, ii]
+                ks = 0
+                for kk in range(2 * nr):
+                    if h >= hRef[kk]:
+                        ks = kk
+                po[jj, ii] = rHalf[ks] + (rHalf[ks + 1] - rHalf[ks]) * (
+                    (h - hRef[ks]) / (hRef[ks + 1] - hRef[ks]))
+        R_low = np.full(pshape, rF[nr])
+        Ro_surf = np.zeros(pshape)
+        Ro_surf[oly:oly + ny, olx:olx + nx] = po
+        Ro_surf = _cyc(Ro_surf, oly, olx)
     else:
         R_low = np.zeros(pshape)
         R_low[oly:oly + ny, olx:olx + nx] = bathy
@@ -498,6 +558,15 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
                              cfg.hFacMin, cfg.hFacMinDr)
     hFacW = _cyc(hFacW, oly, olx)
     hFacS = _cyc(hFacS, oly, olx)
+    if not cfg.usingCartesianGrid:
+        # a V face with vanishing area (the ±90° polar row,
+        # ini_spherical_polar_grid.F:224 rAs=0) is closed: the reference
+        # keeps vVel exactly 0 there for the whole run (its advective
+        # divergence has recip_rAs=0 and the monitor/updates never move
+        # it) — masking reproduces that and keeps the tan(lat) metric
+        # term from contaminating the polar row
+        hFacS = np.where(rAs[None] == 0.0, 0.0, hFacS)
+        hFacW = np.where(rAw[None] == 0.0, 0.0, hFacW)
     hFacC = _cyc(hFacC, oly, olx)
     R_low = _cyc(R_low, oly, olx)
     Ro_surf = _cyc(Ro_surf, oly, olx)

@@ -229,6 +229,8 @@ class Experiment:
     obcs: object = None      # obcs.OBCS hook when useOBCS
     op3: object = None       # cg3d.CG3DOperator when nonHydrostatic
     rbcs: object = None      # rbcs.RBCS hook when useRBCS
+    aim: object = None       # aim.AIM physics when useAIM
+    zonfilt: object = None   # zonal_filt.ZonalFilt when useZONAL_FILT
 
     @classmethod
     def from_dir(cls, input_dir: str, dtype=jnp.float64,
@@ -479,6 +481,15 @@ class Experiment:
                 cfg, grid, dtype,
                 lambda f: _load_3d(cfg, f, dtype, cs_fill))
 
+        aim_obj = None
+        if cfg.useAIM:
+            from mitgcm_tpu.model import aim as aim_mod
+            aim_obj = aim_mod.AIM(cfg, grid, cfg.aim, dtype)
+        zonfilt_obj = None
+        if cfg.useZONAL_FILT:
+            from mitgcm_tpu.model import zonal_filt as zf_mod
+            zonfilt_obj = zf_mod.ZonalFilt(cfg, grid, cfg.zonfilt)
+
         # passive-tracer initial conditions (ptracers_init_varia.F:
         # ref profile, overridden by PTRACERS_initialFile)
         if cfg.usePTRACERS and state.pTr.shape[0]:
@@ -534,7 +545,8 @@ class Experiment:
         exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
                   vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj,
-                  obcs=obcs_obj, op3=op3, rbcs=rbcs_obj)
+                  obcs=obcs_obj, op3=op3, rbcs=rbcs_obj,
+                  aim=aim_obj, zonfilt=zonfilt_obj)
         exp.init_continuity()
         return exp
 
@@ -592,7 +604,8 @@ class Experiment:
                                          opps=self.opps,
                                          seaice=self.seaice,
                                          obcs=self.obcs, op3=self.op3,
-                                         rbcs=self.rbcs, **hooks)
+                                         rbcs=self.rbcs, aim=self.aim,
+                                         zonfilt=self.zonfilt, **hooks)
 
         self._step_fn = jax.jit(fn)
         return self._step_fn
@@ -798,7 +811,8 @@ class Experiment:
                     cfg, grid_a, op_a, state, forcing_a, myIter,
                     kpp=self.kpp, ggl90=self.ggl90, vmix=self.vmix,
                     opps=self.opps, seaice=self.seaice,
-                    obcs=self.obcs, op3=self.op3, rbcs=self.rbcs, **hooks)
+                    obcs=self.obcs, op3=self.op3, rbcs=self.rbcs,
+                    aim=self.aim, zonfilt=self.zonfilt, **hooks)
                 # don't stack the per-step 2-D forcing snapshots
                 return new_state, diag._replace(forc=None)
             return jax.lax.scan(body, state, iters)
@@ -917,9 +931,14 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
         "theta": vals["Theta"], "salt": vals["Salt"],
         "guNm1": vals["GuNm1"], "gvNm1": vals["GvNm1"],
         "gtNm1": vals["GtNm1"], "gsNm1": vals["GsNm1"],
-        "etaN": vals["EtaN"], "dEtaHdt": vals["dEtaHdt"],
-        "etaH": vals["EtaH"],
+        "etaN": vals["EtaN"],
     }
+    # old-format pickups (e.g. aim.5l_LatLon, pickupStrictlyMatch=F)
+    # lack EtaH/dEtaHdt: read_pickup.F falls back to etaH:=etaN and a
+    # zero dEtaHdt
+    if "dEtaHdt" in vals:
+        updates["dEtaHdt"] = vals["dEtaHdt"]
+    updates["etaH"] = vals.get("EtaH", vals["EtaN"])
     if "PhiHyd" in vals:
         updates["totPhiHyd"] = vals["PhiHyd"]
     # AB3 second tendency level (read_pickup.F:285/305); if the pickup
@@ -930,7 +949,7 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
             updates[sk] = vals[pk]
     # r* restart: old-time factors equal current ones (initialise_varia.F
     # calls CALC_R_STAR then UPDATE_R_STAR from the same etaH)
-    updates["etaHm1"] = vals["EtaH"]
+    updates["etaHm1"] = vals.get("EtaH", vals["EtaN"])
     exp.state = State(**{**exp.state.__dict__, **updates})
 
     # CD-scheme companion pickup (pkg/cd_code/cd_code_read_pickup.F:

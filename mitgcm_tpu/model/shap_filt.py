@@ -71,9 +71,9 @@ def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
         return u, v
     if shp.Shap_funct not in (2, 20):
         raise NotImplementedError(f"Shap_funct={shp.Shap_funct}")
-    if shp.nShapUVPhys < shp.nShapUV:
+    if shp.nShapUVPhys not in (0, shp.nShapUV):
         raise NotImplementedError(
-            "index-space filter iterations (nShapUVPhys < nShapUV)")
+            "mixed physical/index-space UV filter iterations")
     tmpU = u * grid.maskW
     tmpV = v * grid.maskS
     hFacZ = calc_hfacz(grid)
@@ -90,6 +90,22 @@ def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
     for n in range(1, shp.nShapUV + 1):
         if n % 2 == 1 or shp.Shap_alwaysExchUV:
             tmpU, tmpV = fill_uv(tmpU, tmpV)
+        if shp.nShapUVPhys == 0:
+            # index-space S2 (shap_filt_uv_s2.F nShapComput branch +
+            # shap_filt_computvort.F): plain index differences, vorticity
+            # zeroed next to walls via the maskZ test
+            hDiv = (sh(tmpU, di=1) - tmpU) + (sh(tmpV, dj=1) - tmpV)
+            vort3 = ((tmpV - sh(tmpV, di=-1)) - (tmpU - sh(tmpU, dj=-1)))
+            maskZ = ((grid.maskW + sh(grid.maskW, dj=-1))
+                     * (grid.maskS + sh(grid.maskS, di=-1)))
+            vort3 = jnp.where(maskZ < 1.0, 0.0, vort3)
+            newU = -0.125 * ((hDiv - sh(hDiv, di=-1))
+                             - (sh(vort3, dj=1) - vort3)) * grid.maskW
+            newV = -0.125 * ((hDiv - sh(hDiv, dj=-1))
+                             + (sh(vort3, di=1) - vort3)) * grid.maskS
+            tmpU = jnp.where(wr > 0, newU, tmpU)
+            tmpV = jnp.where(wr > 0, newV, tmpV)
+            continue
         hDiv = calc_hdiv(cfg, grid, tmpU, tmpV)
         vort3 = calc_relvort3(cfg, grid, tmpU, tmpV)
         if shp.Shap_uvLength < 0.0:
@@ -110,3 +126,46 @@ def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
         tmpV = jnp.where(wr > 0, newV, tmpV)
     fac = cfg.deltaTMom / shp.Shap_uvtau
     return u - tmpU * fac, v - tmpV * fac
+
+
+def apply_ts(cfg: Config, grid: Grid, shp: ShapParams, t, s, fill):
+    """SHAP_FILT_APPLY_TS -> SHAP_FILT_TRACER_S2 (Shap_funct=2/20) on
+    theta and salt (exchInOut=2 semantics: halos current at entry, so
+    the n=1 exchange is skipped; output halos refreshed by the caller).
+    """
+    if shp.nShapT <= 0 or shp.Shap_Trtau <= 0.0:
+        return t, s
+    if shp.Shap_funct not in (2, 20):
+        raise NotImplementedError(f"Shap_funct={shp.Shap_funct}")
+    nComput = shp.nShapT - shp.nShapTrPhys
+
+    nyp = cfg.ny + 2 * cfg.oly
+    nxp = cfg.nx + 2 * cfg.olx
+    wr = jnp.zeros((cfg.nFaces * nyp, nxp), t.dtype)
+    for f in range(cfg.nFaces):
+        wr = wr.at[f * nyp + 1:(f + 1) * nyp - 1, 1:nxp - 1].set(1.0)
+
+    def filt_one(fld):
+        tmp = fld
+        for n in range(1, shp.nShapT + 1):
+            if n % 2 == 1 and n >= 2:
+                tmp = fill(tmp)
+            if n <= nComput:
+                fdx = (tmp - sh(tmp, di=-1)) * grid.maskW
+                fdy = (tmp - sh(tmp, dj=-1)) * grid.maskS
+                grd = (sh(fdx, di=1) - fdx) + (sh(fdy, dj=1) - fdy)
+                new = -0.125 * grd
+            else:
+                fdx = ((tmp - sh(tmp, di=-1)) * grid.hFacW
+                       * grid.dyG * grid.recip_dxC)
+                fdy = ((tmp - sh(tmp, dj=-1)) * grid.hFacS
+                       * grid.dxG * grid.recip_dyC)
+                grd = (sh(fdx, di=1) - fdx) + (sh(fdy, dj=1) - fdy)
+                new = -0.125 * grd * grid.recip_hFacC
+                if shp.Shap_TrLength > 0.0:
+                    new = (new * grid.recip_rA
+                           * shp.Shap_TrLength ** 2)
+            tmp = jnp.where(wr > 0, new, tmp)
+        return fld - tmp * cfg.deltaTTracer / shp.Shap_Trtau
+
+    return filt_one(t), filt_one(s)

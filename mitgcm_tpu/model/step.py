@@ -166,7 +166,8 @@ def apply_forcing_uv(cfg: Config, grid: Grid, forcing: Forcing):
 
 def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
              rhoInSitu, myIter, rstar=None, sdr=None, kpp_fields=None,
-             ggl90_fields=None, vmix_fields=None, phi0surf=None):
+             ggl90_fields=None, vmix_fields=None, phi0surf=None,
+             aim_guv=None):
     """model/src/dynamics.F + timestep.F. Returns
     (uStar, vStar, guNm1', gvNm1', cd_state', totPhiHyd).
 
@@ -217,6 +218,10 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
     # --- timestep.F assembly ---
     if cfg.momForcing:
         guExt, gvExt = apply_forcing_uv(cfg, grid, forcing)
+        if aim_guv is not None:
+            # aim_tendency_apply.F U/V surface drag (APPLY_FORCING_U/V)
+            guExt = guExt + aim_guv[0]
+            gvExt = gvExt + aim_guv[1]
         if cfg.custom_forcing_uv is not None:
             guC, gvC = cfg.custom_forcing_uv(cfg, grid, state)
             guExt = guExt + guC
@@ -621,6 +626,14 @@ def integr_continuity(cfg: Config, grid: Grid, u, v, etaN, etaH, dEtaHdt,
     w = w_rev[::-1]
     if cfg.rigidLid:
         w = w.at[0].set(0.0)
+    if (cfg.usingPCoords and cfg.fluidIsWater
+            and cfg.useRealFreshWaterFlux and cfg.exactConserv):
+        # integr_continuity.F:285-292: p-coords surface level (k=Nr) gets
+        # the freshwater mass flux as a vertical velocity [Pa/s]; skipped
+        # on the very first call (myIter==0, no PmEpR available yet)
+        ks = cfg.nr - 1
+        w = w.at[ks].add(jnp.where(myIter != 0, 1.0, 0.0)
+                         * cfg.mass2rUnit * PmEpR_new * grid.maskC[ks])
     if cfg.useOBCS and cfg.nonHydrostatic and ob is not None:
         # integr_continuity.F:309-310: OBCS_APPLY_W (non-hydrostatic only)
         from mitgcm_tpu.model import obcs as obcs_mod
@@ -632,7 +645,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  myIter, fill=None, psum=None, pmax=None, fill_uv=None,
                  fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
                  opps=None, seaice=None, obcs=None,
-                 op3=None, rbcs=None) -> Tuple[State, StepDiag]:
+                 op3=None, rbcs=None, aim=None,
+                 zonfilt=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -649,6 +663,24 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # LOAD_FIELDS_DRIVER: interpolate periodic forcing to myTime
     myTime = cfg.startTime + (myIter - cfg.nIter0) * cfg.deltaTClock
     forc = load_fields(cfg, forcing, myTime)
+
+    # pkg/aim_v23 atmospheric physics (DO_ATMOSPHERIC_PHYS ->
+    # AIM_DO_PHYSICS): top-level humidity dump into the ground cell,
+    # then the full physics chain on the start-of-step state; the
+    # theta/q tendencies are applied as (out-of-AB) tracer forcing and
+    # the surface drag as momentum forcing this same step
+    aim_tend = None
+    aim_guv = None
+    if aim is not None:
+        from mitgcm_tpu.model import aim as aim_mod
+        salt_d = aim_mod.top_humidity_dump(cfg, grid, state.salt)
+        salt_d = fill(salt_d)
+        state = State(**{**state.__dict__, "salt": salt_d})
+        aim_dT, aim_dS, aim_drag, _aim_diag = aim.compute(
+            grid, state.theta, state.salt, state.uVel, state.vVel, myTime)
+        aim_tend = (aim_dT, aim_dS)
+        aim_guv = aim_mod.apply_drag_uv(cfg, grid, aim_drag,
+                                        state.uVel, state.vVel)
 
     # OBCS_CALC: boundary values at the end-of-step time
     # (do_oceanic_phys.F:317, myTime+deltaTClock / myIter+1)
@@ -861,7 +893,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=rstar,
             sdr=sdr_thermo, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields,
-            rbcs=rbcs, myTime=myTime)
+            rbcs=rbcs, myTime=myTime, aim_tend=aim_tend)
         if ob is not None:
             # thermodynamics.F:353 OBCS_APPLY_TS
             from mitgcm_tpu.model import obcs as obcs_mod
@@ -871,9 +903,15 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                 pTr = obcs_mod.apply_all_ptracers(cfg, obm, ob, pTr)
 
     if cfg.momStepping:
+        # DYNAMICS (forward_step.F:791) runs BEFORE UPDATE_R_STAR(.TRUE.)
+        # (:838): it sees the Nm1 hFac factors (grid_old), like the
+        # synchronous THERMODYNAMICS; only the cg2d update, pressure
+        # solve, correction, continuity and the STAGGERED thermodynamics
+        # (:1032) see the new factors
         (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
          totPhiHyd, nh) = dynamics(
             cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
+            aim_guv=aim_guv,
             sdr=None if not use_sdr else {"hsW": hs_new[1],
                                           "hsS": hs_new[2]},
             kpp_fields=kpp_fields, ggl90_fields=ggl90_fields,
@@ -910,6 +948,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             u, v = shap_mod.apply_uv(
                 cfg, grid, cfg.shap, u, v,
                 fill_uv_cg if fill_uv_cg is not None else fill_uv)
+        if zonfilt is not None and not cfg.zonfilt.zonal_filt_uvStar:
+            # momentum_correction_step.F:118-120 ZONAL_FILT_APPLY_UV
+            u, v = fill_uv(u, v)
+            u, v = zonfilt.apply_uv(grid_new, u, v)
     else:
         # momStepping=F (forward_step.F:785 etc.): velocities frozen, no
         # pressure solve; AB history and CD state carried unchanged
@@ -957,13 +999,26 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     if cfg.staggerTimeStep:
         stag_state = State(**{**state.__dict__,
                               "uVel": u, "vVel": v, "wVel": w})
+        # the staggered THERMODYNAMICS (forward_step.F:1032) runs after
+        # UPDATE_R_STAR(.TRUE.) (:838) -> hFac from f(etaH^n) = grid_new,
+        # and after CALC_R_STAR(etaH^{n+1}) (:976) -> the tracer-rescale
+        # ratio rStarExpC is the freshly rolled f(etaH^{n+1})/f(etaH^n)
+        stag_rstar = rstar
+        if use_rstar:
+            from mitgcm_tpu.model import rstar as rstar_mod
+            facC2, _facW2, _facS2 = rstar_mod.rstar_facs(
+                cfg, grid, etaH, fill=fill,
+                fill_uv=lambda a, b: fill_uv(a, b, False)
+                if cfg.nFaces > 1 else fill_uv(a, b))
+            stag_rstar = {**rstar, "ratioC": facC2 / rstar["facC"],
+                          "forcC": rstar["ratioC"]}
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
          gPtrNm1, somT, somS) = thermo_mod.thermodynamics(
-            cfg, grid_old, stag_state, forc, myIter, conv_count=conv_count,
-            gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=rstar,
+            cfg, grid_new, stag_state, forc, myIter, conv_count=conv_count,
+            gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=stag_rstar,
             sdr=sdr_thermo, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields,
-            rbcs=rbcs, myTime=myTime)
+            rbcs=rbcs, myTime=myTime, aim_tend=aim_tend)
         if ob is not None:
             from mitgcm_tpu.model import obcs as obcs_mod
             theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)
@@ -971,6 +1026,20 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                 pTr = obcs_mod.apply_all_ptracers(cfg, obm, ob, pTr)
         if opps is not None:
             theta, salt, _ = opps.apply(theta, salt, w, totPhiHyd)
+
+    # TRACERS_CORRECTION_STEP filters (forward_step.F:1052 ->
+    # tracers_correction_step.F:70-88): Shapiro then zonal FFT filter on
+    # the freshly stepped tracers
+    if cfg.useSHAP_FILT and cfg.shap.nShapT > 0:
+        from mitgcm_tpu.model import shap_filt as shap_mod
+        theta = fill(theta)
+        salt = fill(salt)
+        theta, salt = shap_mod.apply_ts(cfg, grid_new, cfg.shap,
+                                        theta, salt, fill)
+    if zonfilt is not None:
+        theta = fill(theta)
+        salt = fill(salt)
+        theta, salt = zonfilt.apply_ts(grid_new, theta, salt)
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,

@@ -348,7 +348,8 @@ def ptracer_params(cfg: Config, itr: int) -> dict:
 def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                    myIter, conv_count=None, gm_tensor=None, gm_psi=None,
                    rstar=None, sdr=None, kpp_fields=None, ggl90_fields=None,
-                   vmix_fields=None, rbcs=None, myTime=0.0):
+                   vmix_fields=None, rbcs=None, myTime=0.0,
+                   aim_tend=None):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
@@ -371,9 +372,14 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                              "uVel": uF, "vVel": vF, "wVel": wF})
     flow = gad.calc_adv_flow(cfg, grid, state_adv.uVel, state_adv.vVel,
                              state_adv.wVel)
+    # surface forcing is scaled by rStarExpC in DO_OCEANIC_PHYS
+    # (forcing_surf_relax.F:115-125), i.e. with the START-of-step ratio
+    # even in the staggered call, whereas the gTracer rescale below uses
+    # the freshly rolled ratio ("ratioC", see step.py stagger branch)
     sfT, sfS = surface_forcing_ts(
         cfg, grid, state, forcing,
-        rstar_ratio=None if rstar is None else rstar["ratioC"],
+        rstar_ratio=None if rstar is None
+        else rstar.get("forcC", rstar["ratioC"]),
         sdr_fac=None if sdr is None else sdr.get("stagger_fac"))
     # gTracer/AB rescale + new-thickness implicit solve: rStarExpC for
     # r*; hFac(kSurf)/hFac_surfC (3-D, kSurf level only) for surf-dr
@@ -421,6 +427,10 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                 kapT = kapT + forcing.diffKr3d
         vscheme = cfg.tempVertAdvScheme or cfg.tempAdvScheme
         intFT = None
+        if aim_tend is not None:
+            # aim_tendency_apply.F T part: aim_dTdt added as (out-of-AB)
+            # interior forcing
+            intFT = aim_tend[0] * grid.maskC
         if cfg.custom_forcing_t is not None:
             intFT = cfg.custom_forcing_t(cfg, grid, state)
         if cfg.shortwaveHeating:
@@ -451,8 +461,13 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                 kapS = kapS + forcing.diffKr3d
         vscheme = cfg.saltVertAdvScheme or cfg.saltAdvScheme
         intFS = None
+        if aim_tend is not None:
+            # aim_tendency_apply.F S part: humidity tendency aim_dSdt
+            intFS = aim_tend[1] * grid.maskC
         if rbcs is not None:
-            intFS = rbcs.tendency_s(salt, myTime)
+            rbS = rbcs.tendency_s(salt, myTime)
+            if rbS is not None:
+                intFS = rbS if intFS is None else intFS + rbS
         salt, gsNm1, gsNm2, somS = tracer_integrate(
             cfg, grid, flow, state_adv, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
