@@ -245,6 +245,12 @@ class Config:
     dumpFreq: float = 0.0
     monitorFreq: float = UNSET
     monitorSelect: int = UNSET
+    # Emit monitor stats with the pre-2009 formulas (MON_STATS_RL del2 =
+    # 0.25*sum|masked laplacian|/nPts without sqrt; W_hf CFL on recip_drC).
+    # Some committed verification outputs (e.g. aim.5l_LatLon) predate the
+    # 2009/12/21 switch to MON_CALC_STATS_RL and can only be digit-matched
+    # with the old formulas. Not a namelist parameter: set per-experiment.
+    monitorLegacyStats: bool = False
     externForcingPeriod: float = 0.0
     externForcingCycle: float = 0.0
     periodicExternalForcing: bool = False

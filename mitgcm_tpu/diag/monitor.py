@@ -18,8 +18,39 @@ from mitgcm_tpu.core.state import State
 from mitgcm_tpu.ops.stencil import interior_mask, shift as sh
 
 
-def calc_stats(cfg: Config, arr, hFac, mask2d, area, dr) -> Dict[str, jnp.ndarray]:
-    """mon_calc_stats_rl.F. arr/hFac: [nr', ...]; mask2d/area: 2-D; dr: [nr']."""
+def _legacy_del2(cfg: Config, arr, mask3, zero_y_halo: bool):
+    """Pre-2009 MON_STATS_RL del2: 0.25*sum|sum_nbr (arr_nbr-arr)*mask_nbr|
+    over wet interior cells, divided by the wet count — no sqrt.
+
+    The old code's scalar masks (maskC and the eta mask) were zero in the
+    y-halo beyond the domain edge while the vector masks (maskW/maskS) held
+    wrapped values — reverse-engineered digit-exactly from
+    verification/aim.5l_LatLon/results/output.txt step-0 stats."""
+    dt = arr.dtype
+    imask = interior_mask(arr.shape[-2:], cfg.oly, cfg.olx, dt,
+                          n_faces=cfg.nFaces)
+    if zero_y_halo:
+        ycol = jnp.zeros(arr.shape[-2:], dt)
+        ny = arr.shape[-2] - 2 * cfg.oly
+        ycol = ycol.at[cfg.oly:cfg.oly + ny, :].set(1.0)
+        mask3 = mask3 * ycol
+    lap = ((sh(arr, di=1) - arr) * sh(mask3, di=1)
+           + (sh(arr, di=-1) - arr) * sh(mask3, di=-1)
+           + (sh(arr, dj=1) - arr) * sh(mask3, dj=1)
+           + (sh(arr, dj=-1) - arr) * sh(mask3, dj=-1))
+    wet = (mask3 * imask) > 0.0
+    tot = jnp.sum(jnp.where(wet, 0.25 * jnp.abs(lap), 0.0))
+    npts = jnp.sum(jnp.where(wet, 1.0, 0.0))
+    return jnp.where(npts > 0.0, tot / npts, 0.0)
+
+
+def calc_stats(cfg: Config, arr, hFac, mask2d, area, dr,
+               legacy: str | None = None) -> Dict[str, jnp.ndarray]:
+    """mon_calc_stats_rl.F. arr/hFac: [nr', ...]; mask2d/area: 2-D; dr: [nr'].
+
+    legacy: None for the current formulas; 'c' / 'uv' to replace the del2
+    stat with the pre-2009 one (cfg.monitorLegacyStats decks) using a
+    zero-y-halo ('c', scalar masks) or wrapped ('uv', vector masks) mask."""
     dt = arr.dtype
     imask = interior_mask(arr.shape[-2:], cfg.oly, cfg.olx, dt,
                           n_faces=cfg.nFaces)
@@ -46,6 +77,9 @@ def calc_stats(cfg: Config, arr, hFac, mask2d, area, dr) -> Dict[str, jnp.ndarra
     sdSum = jnp.sum(jnp.where(wet, vol * (arr - theMean) ** 2, 0.0))
     theSD = jnp.where(volSum > 0.0, jnp.sqrt(sdSum / volSum), 0.0)
     theDel2 = jnp.where(nPts > 0.0, jnp.sqrt(del2_sum) / nPts, 0.0)
+    if legacy is not None:
+        theDel2 = _legacy_del2(cfg, arr, (hFac > 0.0).astype(dt),
+                               zero_y_halo=(legacy == "c"))
     any_wet = jnp.any(wet)
     theMin = jnp.where(any_wet, theMin, 0.0)
     theMax = jnp.where(any_wet, theMax, 0.0)
@@ -58,18 +92,20 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
     out: Dict[str, jnp.ndarray] = {}
     drF = grid.drF
     thickF = grid.drC[:cfg.nr]   # thickFacF(k)=drC(k) (deep/rho facs = 1)
+    lC = "c" if cfg.monitorLegacyStats else None
+    lUV = "uv" if cfg.monitorLegacyStats else None
     eta_stats = calc_stats(cfg, state.etaN[None], grid.maskInC[None],
-                           grid.maskInC, grid.rA, drF[:1])
+                           grid.maskInC, grid.rA, drF[:1], legacy=lC)
     u_stats = calc_stats(cfg, state.uVel, grid.hFacW, grid.maskInW,
-                         grid.rAw, drF)
+                         grid.rAw, drF, legacy=lUV)
     v_stats = calc_stats(cfg, state.vVel, grid.hFacS, grid.maskInS,
-                         grid.rAs, drF)
+                         grid.rAs, drF, legacy=lUV)
     w_stats = calc_stats(cfg, state.wVel, grid.maskC, grid.maskInC,
-                         grid.rA, thickF)
+                         grid.rA, thickF, legacy=lC)
     t_stats = calc_stats(cfg, state.theta, grid.hFacC, grid.maskInC,
-                         grid.rA, drF)
+                         grid.rA, drF, legacy=lC)
     s_stats = calc_stats(cfg, state.salt, grid.hFacC, grid.maskInC,
-                         grid.rA, drF)
+                         grid.rA, drF, legacy=lC)
     for name, st in (("eta", eta_stats), ("uvel", u_stats),
                      ("vvel", v_stats), ("wvel", w_stats),
                      ("theta", t_stats), ("salt", s_stats)):
@@ -79,7 +115,7 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
     # passive tracer statistics (pkg/ptracers/ptracers_monitor.F)
     for itr in range(state.pTr.shape[0]):
         p_stats = calc_stats(cfg, state.pTr[itr], grid.hFacC, grid.maskInC,
-                             grid.rA, drF)
+                             grid.rA, drF, legacy=lC)
         for k, v in p_stats.items():
             out[f"trcstat_ptracer{itr + 1:02d}_{k}"] = v
 
@@ -98,7 +134,10 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
         * dT * imask)
     wk = jnp.abs(state.wVel[1:]) if cfg.nr > 1 else jnp.zeros_like(
         state.wVel[:0])
-    rhf = grid.recip_hFacC * grid.recip_drF[:, None, None]
+    # pre-2009 monitor.F passed recip_drC (not recip_drF) to MON_ADVCFLW2
+    rdr = (grid.recip_drC[:cfg.nr, None, None] if cfg.monitorLegacyStats
+           else grid.recip_drF[:, None, None])
+    rhf = grid.recip_hFacC * rdr
     out["advcfl_W_hf_max"] = (jnp.max(
         wk * jnp.maximum(rhf[1:], rhf[:-1]) * dT * imask)
         if cfg.nr > 1 else jnp.asarray(0.0, state.wVel.dtype))
@@ -143,7 +182,7 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
         ks = cfg.ksurf0
         for nm, fld in (("sst", state.theta), ("sss", state.salt)):
             st = calc_stats(cfg, fld[ks][None], grid.maskInC[None],
-                            grid.maskInC, grid.rA, drF[:1])
+                            grid.maskInC, grid.rA, drF[:1], legacy=lC)
             for k, v in st.items():
                 out[f"dynstat_{nm}_{k}"] = v
     return out

@@ -7,6 +7,7 @@ from mitgcm_tpu.utils import refout
 
 DIR = reference_exp("aim.5l_LatLon")
 e = Experiment.from_dir(DIR + "/input", strict_config=False)
+e.cfg.monitorLegacyStats = True   # results/output.txt predates 2009 monitor
 read_pickup(e, DIR + "/input", 69120)
 ref = refout.parse_monitor_series(DIR + "/results/output.txt")
 n = int(os.environ.get("NSTEPS", "2"))
