@@ -753,9 +753,11 @@ class AIM:
         kGrd = self.kGrd
         kg = jnp.clip(kGrd, 1, nlev)
         nl1 = kGrd - 1
+        # CVDI = (SIGH(NL1)-SIGH(1))/((NL1-1)*3600): phy_vdifsc.F:63 — note
+        # SIGH(1), the first half-level below the top, not SIGH(0)=0
         cvdi = jnp.where(nl1 >= 2,
                          (jnp.asarray(SIGH, self.dtype)[
-                             jnp.clip(nl1, 0, nlev)] - SIGH[1 - 1])
+                             jnp.clip(nl1, 0, nlev)] - SIGH[1])
                          / (jnp.maximum(nl1 - 1, 1) * 3600.0), 0.0)
         rsig = 1.0 / DSIG
         dSEdp = [None] * nlev

@@ -265,13 +265,22 @@ def adv_flux_r(cfg: Config, grid: Grid, scheme: int, rTrans, wFld, tracer,
         d0 = (2.0 - wCFL) * (1.0 - wCFL) * (1.0 / 6.0)
         d1 = (1.0 - wCFL * wCFL) * (1.0 / 6.0)
         if scheme == ENUM_UPWIND_3RD:
-            Rjj_p = Rjp - Rj
-            Rjj_m = Rj - Rjm
-            flx = (rTrans * (t + tkm1 - (Rjj_p + Rjj_m) * (1.0 / 6.0)) * 0.5
-                   - absT * (Rjj_p - Rjj_m) * (1.0 / 6.0) * 0.5)
+            # gad_u3_adv_r.F:36-46 — its R's run top-down (opposite of the
+            # DST3 convention above): Rj unmasked, Rjm masked with m(k-2)
+            Rjp3 = (tkp1 - t) * mkp1
+            Rj3 = t - tkm1
+            Rjm3 = (tkm1 - tkm2) * mkm2
+            Rjjp = Rjp3 - Rj3
+            Rjjm = Rj3 - Rjm3
+            flx = mkm1 * (
+                rTrans * ((t + tkm1) * 0.5
+                          - (1.0 / 6.0) * (Rjjm + Rjjp) * 0.5)
+                + absT * (1.0 / 6.0) * (Rjjm - Rjjp) * 0.5)
         elif scheme == ENUM_DST3:
-            flx = (0.5 * (rTrans + absT) * (t + (d0 * Rj + d1 * Rjm))
-                   + 0.5 * (rTrans - absT) * (tkm1 - (d0 * Rj + d1 * Rjp)))
+            # gad_dst3_adv_r.F:69-73: downward-wind branch takes the
+            # d1-correction from its upstream side (Rjp below, Rjm above)
+            flx = (0.5 * (rTrans + absT) * (t + (d0 * Rj + d1 * Rjp))
+                   + 0.5 * (rTrans - absT) * (tkm1 - (d0 * Rj + d1 * Rjm)))
         else:
             thetaP = jnp.where(
                 jnp.abs(Rj) * _THETA_MAX <= jnp.abs(Rjm),
@@ -315,7 +324,7 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
              scheme: int, vert_scheme: int, diffKh: float, diffK4: float,
              kappaR, deltaT, implicit_diffusion: bool,
              calc_advection: bool = True, gm_tensor=None,
-             kpp_df=None) -> jnp.ndarray:
+             kpp_df=None, aim_salt_hack: bool = False) -> jnp.ndarray:
     """gad_calc_rhs.F: explicit tendency of one tracer, all levels."""
     dtype = tracer.dtype
     fZon = jnp.zeros_like(tracer)
@@ -358,8 +367,14 @@ def calc_rhs(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w, tracer,
     # vertical fluxes at interface k (index k; surface = 0)
     fVer = jnp.zeros_like(tracer)
     if calc_advection:
-        fVer = fVer + adv_flux_r(cfg, grid, vert_scheme, flow.rTrans, w,
-                                 tracer, deltaT) * grid.maskInC
+        af = adv_flux_r(cfg, grid, vert_scheme, flow.rTrans, w,
+                        tracer, deltaT) * grid.maskInC
+        if aim_salt_hack:
+            # gad_calc_rhs.F:504-508: with useAIM, no water-vapor
+            # vertical advective transport into the stratospheric
+            # level Nr (flux at interface k=Nr forced to zero)
+            af = af.at[cfg.nr - 1].set(0.0)
+        fVer = fVer + af
     if not implicit_diffusion:
         fVer = fVer + diff_flux_r(cfg, grid, kappaR, flow.maskUp, tracer)
     if gm_tensor is not None:

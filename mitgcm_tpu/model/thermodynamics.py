@@ -211,7 +211,8 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
                      vert_scheme: int, diffKh: float, diffK4: float,
                      myIter, gm_tensor=None, interior_forc=None,
                      deltaT=None, gNm2=None, rstar_ratio=None,
-                     kpp_df=None, som_state=None):
+                     kpp_df=None, som_state=None,
+                     aim_salt_hack: bool = False):
     """temp_integrate.F for one tracer; returns
     (tracer', gNm1', gNm2', som').
 
@@ -241,7 +242,7 @@ def tracer_integrate(cfg: Config, grid: Grid, flow, state: State,
         cfg, grid, flow, state.uVel, state.vVel, state.wVel, tracer,
         scheme, vert_scheme, diffKh, diffK4, kappaR, dt,
         cfg.implicitDiffusion, calc_advection=not (multidim or is_som),
-        gm_tensor=gm_tensor, kpp_df=kpp_df)
+        gm_tensor=gm_tensor, kpp_df=kpp_df, aim_salt_hack=aim_salt_hack)
 
     # surface forcing into surface cell (apply_forcing.F APPLY_FORCING_T);
     # with tracForcingOutAB=1 the forcing joins AFTER the AB extrapolation
@@ -472,7 +473,8 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             cfg, grid, flow, state_adv, salt, state.gsNm1, kapS, sfS,
             cfg.saltAdvScheme, vscheme, cfg.diffKhS, cfg.diffK4S, myIter,
             gm_tensor=gm_tensor, gNm2=state.gsNm2, rstar_ratio=ratioC,
-            kpp_df=dfS, som_state=state.somS, interior_forc=intFS)
+            kpp_df=dfS, som_state=state.somS, interior_forc=intFS,
+            aim_salt_hack=cfg.useAIM)
 
     # passive tracers (pkg/ptracers/ptracers_integrate.F); the age-tracer
     # source/relaxation follows tutorial_global_oce_latlon/code overrides
