@@ -2,13 +2,16 @@
 """Benchmark: forward-step throughput + roofline on the local accelerator.
 
 Prints ONE JSON line.  Headline metric stays the barotropic-gyre
-points*steps/s (comparable across rounds, vs the reference's committed
-single-CPU timer baseline ~2.2e4 from BASELINE.md); extra keys report:
-  - configs: points*steps/s for 3 configs, including a large
+points*steps/s in f32 (comparable across rounds, vs the reference's
+committed single-CPU timer baseline ~2.2e4 from BASELINE.md); extra keys:
+  - configs: points*steps/s for the driver-designated decks in BOTH f32
+    and f64 (all correctness testing is f64), plus a large
     bandwidth-bound domain (1024x1024x32 stratified gyre, f32)
-  - hbm_gbps: STREAM-triad-style measured HBM bandwidth on this chip
-  - model_gbps / roofline_frac: estimated bytes moved by the large-domain
-    step (3-D field traffic) vs the measured bandwidth
+  - hbm_gbps_measured: STREAM-triad measured HBM bandwidth on this chip
+  - large_model_gbps_*: bytes moved per second by the large-domain step,
+    from (a) XLA's cost model and (b) a field-traffic lower bound
+    (prognostic + scratch 3-D field reads/writes actually in the step)
+  - roofline_frac_est: cost-model traffic / measured bandwidth
 
 Everything runs through run_scan (the whole n-step loop is ONE compiled
 XLA program; monitor stays off the hot path).
@@ -18,10 +21,12 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ.setdefault("JAX_ENABLE_X64", "1")   # f64 rows need x64
 
 import jax
 import jax.numpy as jnp
+
+VERIF = "/root/reference/verification"
 
 
 def _time_scan(exp, n_steps, warmup=2):
@@ -33,9 +38,11 @@ def _time_scan(exp, n_steps, warmup=2):
     return time.perf_counter() - t0
 
 
-def bench_deck(exp_dir, n_steps, dtype, **size_kw):
-    from mitgcm_tpu.model.experiment import Experiment
+def bench_deck(exp_dir, n_steps, dtype, pickup=None, **size_kw):
+    from mitgcm_tpu.model.experiment import Experiment, read_pickup
     exp = Experiment.from_dir(exp_dir, dtype=dtype, **size_kw)
+    if pickup is not None:
+        read_pickup(exp, exp_dir, pickup)
     dt = _time_scan(exp, n_steps)
     pts = exp.cfg.nx * exp.cfg.ny * exp.cfg.nr
     return pts * n_steps / dt, dt
@@ -53,8 +60,7 @@ def bench_large(nx=1024, ny=1024, nr=32, n_steps=20):
     dt = _time_scan(exp, n_steps, warmup=2)
     pts = nx * ny * nr
     rate = pts * n_steps / dt
-    # bytes moved per step from XLA's own cost model of one forward step
-    import jax as _jax
+
     from mitgcm_tpu.model import step as step_mod
 
     def one(state_a, grid_a, op_a, forcing_a):
@@ -62,17 +68,24 @@ def bench_large(nx=1024, ny=1024, nr=32, n_steps=20):
                                       forcing_a, 0)
         return ns
 
+    # (a) XLA's own cost model of one compiled forward step
     try:
-        comp = _jax.jit(one).lower(exp.state, exp.grid, exp.op,
-                                   exp.forcing).compile()
+        comp = jax.jit(one).lower(exp.state, exp.grid, exp.op,
+                                  exp.forcing).compile()
         ca = comp.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        bytes_per_step = float(ca.get("bytes accessed", 0.0))
+        bytes_cost_model = float(ca.get("bytes accessed", 0.0))
     except Exception:
-        bytes_per_step = 0.0
-    model_gbps = bytes_per_step * (rate / pts) / 1e9
-    return rate, dt, model_gbps
+        bytes_cost_model = 0.0
+    # (b) field-traffic lower bound: every 3-D prognostic read+written
+    # once (u,v,w,t,s + AB histories u,v,t,s = 9 fields r+w) plus ~8
+    # scratch 3-D passes (fluxes, phiHyd, cg2d ~10 iters on 2-D is small)
+    fld_bytes = 4 * pts
+    bytes_lower_bound = fld_bytes * (2 * 9 + 8)
+    step_per_s = rate / pts
+    return (rate, dt, bytes_cost_model * step_per_s / 1e9,
+            bytes_lower_bound * step_per_s / 1e9)
 
 
 def measure_hbm_gbps():
@@ -97,20 +110,37 @@ def measure_hbm_gbps():
     return reps * 3 * 4 * n / dt / 1e9
 
 
+DECKS = [
+    # name, deck dir, n_steps, pickup iter, size kwargs
+    ("barotropic_gyre_62x62x1",
+     f"{VERIF}/tutorial_barotropic_gyre/input", 200, None, {}),
+    ("baroclinic_gyre_62x62x15",
+     f"{VERIF}/tutorial_baroclinic_gyre/input", 100, None,
+     dict(nx=62, ny=62, nr=15)),
+    ("global_oce_latlon_90x40x15",
+     f"{VERIF}/tutorial_global_oce_latlon/input", 60, None,
+     dict(nx=90, ny=40, nr=15)),
+    ("lab_sea_20x16x23",
+     f"{VERIF}/lab_sea/input", 60, 1, dict(nx=20, ny=16, nr=23)),
+]
+
+
 def main():
     results = {}
-    gyre_dir = "/root/reference/verification/tutorial_barotropic_gyre/input"
-    rate_g, _ = bench_deck(gyre_dir, 200, jnp.float32)
-    results["barotropic_gyre_62x62x1_f32"] = round(rate_g, 1)
+    rate_g = None
+    for name, deck, nsteps, pickup, kw in DECKS:
+        for dtype, tag in ((jnp.float32, "f32"), (jnp.float64, "f64")):
+            try:
+                rate, _ = bench_deck(deck, nsteps, dtype, pickup=pickup,
+                                     **kw)
+                results[f"{name}_{tag}"] = round(rate, 1)
+            except Exception as e:    # pragma: no cover - report, go on
+                results[f"{name}_{tag}"] = f"failed: {type(e).__name__}"
+                rate = None
+            if name.startswith("barotropic") and tag == "f32":
+                rate_g = rate
 
-    latlon = "/root/reference/verification/tutorial_global_oce_latlon/input"
-    try:
-        rate_l, _ = bench_deck(latlon, 60, jnp.float32, nx=90, ny=40, nr=15)
-        results["global_oce_latlon_90x40x15_f32"] = round(rate_l, 1)
-    except Exception as e:          # pragma: no cover - report, keep going
-        results["global_oce_latlon_90x40x15_f32"] = f"failed: {e}"
-
-    rate_big, _, model_gbps = bench_large()
+    rate_big, _, gbps_cost, gbps_lb = bench_large()
     results["gyre_1024x1024x32_f32"] = round(rate_big, 1)
 
     hbm = measure_hbm_gbps()
@@ -118,13 +148,14 @@ def main():
     baseline = 2.2e4   # reference tutorial_barotropic_gyre (BASELINE.md)
     print(json.dumps({
         "metric": "barotropic_gyre_points_steps_per_s",
-        "value": round(rate_g, 1),
+        "value": round(rate_g, 1) if rate_g else None,
         "unit": "gridpoints*steps/s",
-        "vs_baseline": round(rate_g / baseline, 2),
+        "vs_baseline": round(rate_g / baseline, 2) if rate_g else None,
         "configs": results,
         "hbm_gbps_measured": round(hbm, 1),
-        "large_model_gbps_est": round(model_gbps, 1),
-        "roofline_frac_est": round(model_gbps / hbm, 3),
+        "large_model_gbps_est": round(gbps_cost, 1),
+        "large_model_gbps_lower_bound": round(gbps_lb, 1),
+        "roofline_frac_est": round(gbps_cost / hbm, 3),
     }))
 
 

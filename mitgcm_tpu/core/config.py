@@ -250,7 +250,10 @@ class Config:
     # Some committed verification outputs (e.g. aim.5l_LatLon) predate the
     # 2009/12/21 switch to MON_CALC_STATS_RL and can only be digit-matched
     # with the old formulas. Not a namelist parameter: set per-experiment.
+    # hs94.cs-32x32x5's output sits between the two monitor revisions:
+    # legacy del2 but the modern recip_drF W_hf — hence two flags.
     monitorLegacyStats: bool = False
+    monitorLegacyWhf: bool = UNSET   # defaults to monitorLegacyStats
     externForcingPeriod: float = 0.0
     externForcingCycle: float = 0.0
     periodicExternalForcing: bool = False

@@ -78,8 +78,12 @@ def calc_stats(cfg: Config, arr, hFac, mask2d, area, dr,
     theSD = jnp.where(volSum > 0.0, jnp.sqrt(sdSum / volSum), 0.0)
     theDel2 = jnp.where(nPts > 0.0, jnp.sqrt(del2_sum) / nPts, 0.0)
     if legacy is not None:
+        # scalar masks had zero y-halos on the lat-lon grid only; on the
+        # cubed sphere the old exchange filled every halo (hs94 output
+        # matches with fully wrapped masks)
         theDel2 = _legacy_del2(cfg, arr, (hFac > 0.0).astype(dt),
-                               zero_y_halo=(legacy == "c"))
+                               zero_y_halo=(legacy == "c"
+                                            and cfg.nFaces == 1))
     any_wet = jnp.any(wet)
     theMin = jnp.where(any_wet, theMin, 0.0)
     theMax = jnp.where(any_wet, theMax, 0.0)
@@ -135,7 +139,9 @@ def dynstat(cfg: Config, grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
     wk = jnp.abs(state.wVel[1:]) if cfg.nr > 1 else jnp.zeros_like(
         state.wVel[:0])
     # pre-2009 monitor.F passed recip_drC (not recip_drF) to MON_ADVCFLW2
-    rdr = (grid.recip_drC[:cfg.nr, None, None] if cfg.monitorLegacyStats
+    legacy_whf = (cfg.monitorLegacyWhf if cfg.monitorLegacyWhf is not None
+                  else cfg.monitorLegacyStats)
+    rdr = (grid.recip_drC[:cfg.nr, None, None] if legacy_whf
            else grid.recip_drF[:, None, None])
     rhf = grid.recip_hFacC * rdr
     out["advcfl_W_hf_max"] = (jnp.max(

@@ -101,10 +101,11 @@ def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
         sx = dSigmaDx * rD * dSigmaDr
         sy = dSigmaDy * rD * dSigmaDr
         mss = gm.maxSlope * gm.maxSlope * unit * unit
+        sqCut = min(gm.slopeSqCutoff, float(jnp.finfo(ssq.dtype).max))
         taper = jnp.where(
-            (ssq > mss) & (ssq < gm.slopeSqCutoff),
+            (ssq > mss) & (ssq < sqCut),
             mss / jnp.where(ssq == 0.0, 1.0, ssq),
-            jnp.where(ssq >= gm.slopeSqCutoff, 0.0, 1.0))
+            jnp.where(ssq >= sqCut, 0.0, 1.0))
         return sx, sy, ssq, taper
     dsr = jnp.where(
         jnp.logical_and(dSigmaDr != 0.0, dSigmaDr <= small),
@@ -122,24 +123,27 @@ def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
         dSigmaDy / jnp.where(dsr == 0.0, 1.0, dsr))
     ssq = sx * sx + sy * sy
     taper = jnp.ones_like(ssq)
-    cutoff = ssq >= gm.slopeSqCutoff
-    ssq = jnp.where(cutoff, gm.slopeSqCutoff, ssq)
+    # the default slopeSqCutoff (1e48, GMREDI.h) overflows float32: clamp
+    # to the dtype's max — same comparison result (ssq <= big^2 anyway)
+    sqCut = min(gm.slopeSqCutoff, float(jnp.finfo(ssq.dtype).max))
+    cutoff = ssq >= sqCut
+    ssq = jnp.where(cutoff, sqCut, ssq)
     taper = jnp.where(cutoff, 0.0, taper)
 
     maxSlopeSqr = gm.maxSlope * gm.maxSlope * unit * unit
     scheme = gm.taper_scheme
     if scheme == "gkw91":
         taper = jnp.where(
-            (ssq != 0.0) & (ssq > maxSlopeSqr) & (ssq < gm.slopeSqCutoff),
+            (ssq != 0.0) & (ssq > maxSlopeSqr) & (ssq < sqCut),
             maxSlopeSqr / ssq, taper)
     elif scheme == "linear":
         taper = jnp.where(
-            (ssq != 0.0) & (ssq > maxSlopeSqr) & (ssq < gm.slopeSqCutoff),
+            (ssq != 0.0) & (ssq > maxSlopeSqr) & (ssq < sqCut),
             jnp.sqrt(maxSlopeSqr / jnp.where(ssq == 0.0, 1.0, ssq)), taper)
     elif scheme == "dm95":
         smod = jnp.sqrt(ssq) * runit       # Smod in z-slope units
         taper = jnp.where(
-            (ssq != 0.0) & (ssq < gm.slopeSqCutoff),
+            (ssq != 0.0) & (ssq < sqCut),
             0.5 * (1.0 + jnp.tanh((gm.Scrit - smod) / gm.Sd)), taper)
     elif scheme == "ldd97":
         # Large et al. 97: dm95's f1 times the near-boundary sine ramp
@@ -151,7 +155,7 @@ def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
         f2 = jnp.where(rnon >= 1.0, 1.0,
                        0.5 * (1.0 + jnp.sin(jnp.pi * (rnon - 0.5))))
         taper = jnp.where(
-            (ssq != 0.0) & (ssq < gm.slopeSqCutoff), f1 * f2, taper)
+            (ssq != 0.0) & (ssq < sqCut), f1 * f2, taper)
     elif scheme in ("", "clipping", "orig"):
         # slope clipping (gmredi_slope_limit.F clipping branch): limit
         # dSigmaDr so |S| <= maxSlope (in r-units: rMaxSlope*convSlopeUnit)
@@ -318,7 +322,8 @@ def _slope_psi(gm: GMParams, slope, dSigmaDr, unit=1.0):
     dsr = jnp.maximum(dSigmaDr, small)
     s = slope / dsr
     taper = jnp.ones_like(s)
-    cutoff = jnp.sqrt(gm.slopeSqCutoff)
+    cutoff = jnp.sqrt(min(gm.slopeSqCutoff,
+                          float(jnp.finfo(jnp.zeros(()).dtype).max)))
     hit = jnp.abs(s) >= cutoff
     s = jnp.where(hit, jnp.sign(s) * cutoff, s)
     taper = jnp.where(hit, 0.0, taper)

@@ -64,8 +64,17 @@ def calc_ke(cfg: Config, grid: Grid, u, v) -> jnp.ndarray:
     raise ValueError(f"selectKEscheme={scheme}")
 
 
-def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ):
-    """Laplacian of u,v for biharmonic viscosity (mom_u_del2u.F/mom_v_del2v.F)."""
+def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ,
+            h0W=None, h0S=None):
+    """Laplacian of u,v for biharmonic viscosity (mom_u_del2u.F/mom_v_del2v.F).
+
+    h0W/h0S: static open fractions for the closed-wall (no-slip) term —
+    under NONLIN_FRSURF the reference uses h0FacW/h0FacS there
+    (mom_u_del2u.F:121-129), not the current rescaled hFac."""
+    if h0W is None:
+        h0W = grid.hFacW
+    if h0S is None:
+        h0S = grid.hFacS
     drF = grid.drF[:, None, None]
     recip_drF = grid.recip_drF[:, None, None]
     # OBCS interior masks on the normal-gradient fluxes and the result
@@ -83,8 +92,8 @@ def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ):
         * grid.maskW * mInW
     )
     # side-drag-like closed-wall contribution (mom_u_del2u.F:121-141)
-    hFacZClosedS = grid.hFacW - hFacZ
-    hFacZClosedN = grid.hFacW - sh(hFacZ, dj=1)
+    hFacZClosedS = h0W - h0FacZ
+    hFacZClosedN = h0W - sh(h0FacZ, dj=1)
     del2u = del2u - (
         grid.recip_hFacW * recip_drF * grid.recip_rAw
         * (hFacZClosedS * grid.dxV * grid.recip_dyU
@@ -99,8 +108,8 @@ def _del2uv(cfg: Config, grid: Grid, u, v, hFacZ, h0FacZ):
         * ((sh(fZonV, di=1) - fZonV) + (fMerV - sh(fMerV, dj=-1)))
         * grid.maskS * mInS
     )
-    hFacZClosedW = grid.hFacS - hFacZ
-    hFacZClosedE = grid.hFacS - sh(hFacZ, di=1)
+    hFacZClosedW = h0S - h0FacZ
+    hFacZClosedE = h0S - sh(h0FacZ, di=1)
     del2v = del2v - (
         grid.recip_hFacS * recip_drF * grid.recip_rAs
         * (hFacZClosedW * grid.dyU * grid.recip_dxV
@@ -123,7 +132,18 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
     vTrans = v * yA
 
     hFacZ = calc_hfacz(grid)
-    h0FacZ = hFacZ
+    # mom_fluxform.F:296-305 (NONLIN_FRSURF): the closed-wall fractions
+    # of the side-drag and del2 terms use the STATIC (reference-level)
+    # open fractions h0Fac, not the r*-rescaled current ones
+    if (rstar is not None and cfg.nonlinFreeSurf > 0
+            and cfg.no_slip_sides and cfg.momViscosity):
+        h0W, h0S = rstar["h0FacW"], rstar["h0FacS"]
+        h0FacZ = jnp.minimum(
+            jnp.minimum(h0W, sh(h0W, dj=-1)),
+            jnp.minimum(h0S, sh(h0S, di=-1)))
+    else:
+        h0W, h0S = grid.hFacW, grid.hFacS
+        h0FacZ = hFacZ
     KE = calc_ke(cfg, grid, u, v)
 
     gU = jnp.zeros_like(u)
@@ -217,7 +237,8 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
         viscA4_Z = jnp.asarray(cfg.viscA4, dt)
         use_bih = cfg.viscA4 != 0.0
         if use_bih:
-            del2u, del2v = _del2uv(cfg, grid, u, v, hFacZ, h0FacZ)
+            del2u, del2v = _del2uv(cfg, grid, u, v, hFacZ, h0FacZ,
+                                   h0W=h0W, h0S=h0S)
         else:
             del2u = jnp.zeros_like(u)
             del2v = jnp.zeros_like(v)
@@ -265,10 +286,12 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
             * ((sh(fZonV, di=1) - fZonV) + (fMerV - sh(fMerV, dj=-1)) + dVrV)
         )
 
-        # side drag (mom_common/mom_u_sidedrag.F, sideDragFactor>0 branch)
+        # side drag (mom_common/mom_u_sidedrag.F, sideDragFactor>0 branch);
+        # mom_fluxform.F:632 passes h0FacZ, and the NONLIN_FRSURF branch
+        # uses h0FacW/h0FacS for the closed fractions
         if cfg.no_slip_sides:
-            hClosedS = grid.hFacW - hFacZ
-            hClosedN = grid.hFacW - sh(hFacZ, dj=1)
+            hClosedS = h0W - h0FacZ
+            hClosedN = h0W - sh(h0FacZ, dj=1)
             uDrag = -(
                 grid.recip_hFacW * recip_drF * grid.recip_rAw
                 * (hClosedS * grid.dxV * grid.recip_dyU
@@ -277,8 +300,8 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
                    * (viscAh_Z * u - viscA4_Z * del2u))
                 * drF * cfg.sideDragFactor
             )
-            hClosedW = grid.hFacS - hFacZ
-            hClosedE = grid.hFacS - sh(hFacZ, di=1)
+            hClosedW = h0S - h0FacZ
+            hClosedE = h0S - sh(h0FacZ, di=1)
             vDrag = -(
                 grid.recip_hFacS * recip_drF * grid.recip_rAs
                 * (hClosedW * grid.dyU * grid.recip_dxV

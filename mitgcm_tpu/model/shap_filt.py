@@ -61,6 +61,92 @@ def from_namelist(group: dict, cfg: Config) -> ShapParams:
     return p
 
 
+def _cs_corner_vort(cfg: Config, grid: Grid, u, v, vort3):
+    """Cube-corner vorticity override (shap_filt_computvort.F:74-160):
+    each face-corner Z point has only 3 edges; the 3-term circulation is
+    scaled by 4/3.  The operand grouping is face-dependent in the
+    reference purely for bit-reproducible rounding — replicated here."""
+    oly, olx = cfg.oly, cfg.olx
+    nyp = cfg.ny + 2 * oly
+    iW, iE = olx, olx + cfg.nx          # Fortran i=1 and i=sNx+1
+    mW, mS = grid.maskW, grid.maskS
+    for f in range(cfg.nFaces):
+        face = f + 1                     # reference myFace (1-based)
+        jS, jN = f * nyp + oly, f * nyp + oly + cfg.ny  # j=1, j=sNy+1
+        # south-west (same grouping on all faces)
+        mz = mW[:, jS, iW] + mW[:, jS - 1, iW] + mS[:, jS, iW]
+        val = ((v[:, jS, iW] - u[:, jS, iW]) + u[:, jS - 1, iW]) * (4.0 / 3.0)
+        vort3 = vort3.at[:, jS, iW].set(jnp.where(mz >= 2.0, val, 0.0))
+        # south-east
+        mz = mW[:, jS, iE] + mW[:, jS - 1, iE] + mS[:, jS, iE - 1]
+        if face == 2:
+            val = ((-u[:, jS, iE] - v[:, jS, iE - 1]) + u[:, jS - 1, iE])
+        elif face == 4:
+            val = ((-v[:, jS, iE - 1] + u[:, jS - 1, iE]) - u[:, jS, iE])
+        else:
+            val = ((u[:, jS - 1, iE] - u[:, jS, iE]) - v[:, jS, iE - 1])
+        vort3 = vort3.at[:, jS, iE].set(
+            jnp.where(mz >= 2.0, val * (4.0 / 3.0), 0.0))
+        # north-west
+        mz = mW[:, jN, iW] + mW[:, jN - 1, iW] + mS[:, jN, iW]
+        if face == 1:
+            val = ((u[:, jN - 1, iW] + v[:, jN, iW]) - u[:, jN, iW])
+        elif face == 3:
+            val = ((-u[:, jN, iW] + u[:, jN - 1, iW]) + v[:, jN, iW])
+        else:
+            val = ((v[:, jN, iW] - u[:, jN, iW]) + u[:, jN - 1, iW])
+        vort3 = vort3.at[:, jN, iW].set(
+            jnp.where(mz >= 2.0, val * (4.0 / 3.0), 0.0))
+        # north-east
+        mz = mW[:, jN, iE] + mW[:, jN - 1, iE] + mS[:, jN, iE - 1]
+        if face % 2 == 1:
+            val = ((-u[:, jN, iE] - v[:, jN, iE - 1]) + u[:, jN - 1, iE])
+        else:
+            val = ((u[:, jN - 1, iE] - u[:, jN, iE]) - v[:, jN, iE - 1])
+        vort3 = vort3.at[:, jN, iE].set(
+            jnp.where(mz >= 2.0, val * (4.0 / 3.0), 0.0))
+    return vort3
+
+
+def _cs_corner_fill(cfg: Config, fld, fill4dir: int):
+    """FILL_CS_CORNER_TR_RL (eesupp/src/fill_cs_corner_tr_rl.F,
+    withSigns=F): rewrite each face's 4 corner-halo blocks from the same
+    face's edge-halo strips, with the direction-dependent index rotation
+    (fill4dir=1 before an x-gradient, =2 before a y-gradient)."""
+    oly, olx = cfg.oly, cfg.olx
+    nyp = cfg.ny + 2 * oly
+    out = fld
+    for f in range(cfg.nFaces):
+        r0 = f * nyp                    # padded row of Fortran j = 1-OLy
+        # Fortran (i,j) -> [r0 + oly-1 + j, olx-1 + i]
+        def R(j):
+            return r0 + oly - 1 + j
+
+        def C(i):
+            return olx - 1 + i
+        for jj in range(1, oly + 1):
+            for ii in range(1, olx + 1):
+                if fill4dir == 1:
+                    out = out.at[:, R(1 - jj), C(1 - ii)].set(
+                        fld[:, R(ii), C(1 - jj)])
+                    out = out.at[:, R(1 - jj), C(cfg.nx + ii)].set(
+                        fld[:, R(ii), C(cfg.nx + jj)])
+                    out = out.at[:, R(cfg.ny + jj), C(1 - ii)].set(
+                        fld[:, R(cfg.ny + 1 - ii), C(1 - jj)])
+                    out = out.at[:, R(cfg.ny + jj), C(cfg.nx + ii)].set(
+                        fld[:, R(cfg.ny + 1 - ii), C(cfg.nx + jj)])
+                else:
+                    out = out.at[:, R(1 - jj), C(1 - ii)].set(
+                        fld[:, R(1 - ii), C(jj)])
+                    out = out.at[:, R(1 - jj), C(cfg.nx + ii)].set(
+                        fld[:, R(1 - ii), C(cfg.nx + 1 - jj)])
+                    out = out.at[:, R(cfg.ny + jj), C(1 - ii)].set(
+                        fld[:, R(cfg.ny + ii), C(jj)])
+                    out = out.at[:, R(cfg.ny + jj), C(cfg.nx + ii)].set(
+                        fld[:, R(cfg.ny + ii), C(cfg.nx + 1 - jj)])
+    return out
+
+
 def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
     """SHAP_FILT_APPLY_UV -> SHAP_FILT_UV_S2 (Shap_funct=2/20).
 
@@ -99,9 +185,16 @@ def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
             maskZ = ((grid.maskW + sh(grid.maskW, dj=-1))
                      * (grid.maskS + sh(grid.maskS, di=-1)))
             vort3 = jnp.where(maskZ < 1.0, 0.0, vort3)
-            newU = -0.125 * ((hDiv - sh(hDiv, di=-1))
+            hDivU = hDiv
+            hDivV = hDiv
+            if cfg.nFaces > 1:
+                vort3 = _cs_corner_vort(cfg, grid, tmpU, tmpV, vort3)
+                if not shp.Shap_alwaysExchUV:
+                    hDivU = _cs_corner_fill(cfg, hDiv, 1)
+                    hDivV = _cs_corner_fill(cfg, hDiv, 2)
+            newU = -0.125 * ((hDivU - sh(hDivU, di=-1))
                              - (sh(vort3, dj=1) - vort3)) * grid.maskW
-            newV = -0.125 * ((hDiv - sh(hDiv, dj=-1))
+            newV = -0.125 * ((hDivV - sh(hDivV, dj=-1))
                              + (sh(vort3, di=1) - vort3)) * grid.maskS
             tmpU = jnp.where(wr > 0, newU, tmpU)
             tmpV = jnp.where(wr > 0, newV, tmpV)

@@ -58,7 +58,8 @@ def impldiff(cfg: Config, grid: Grid, field, kappaR, recip_hFac, deltaT):
     y1 = field[0] * bet1
     c_shift = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
     (_, _), (gam, y) = jax.lax.scan(
-        fwd, (bet1, y1), (a[1:], b[1:], c_shift[1:], field[1:]))
+        fwd, (bet1, y1), (a[1:], b[1:], c_shift[1:], field[1:]),
+        unroll=True)
     y = jnp.concatenate([y1[None], y], axis=0)
     gam = jnp.concatenate([jnp.zeros_like(gam[:1]), gam], axis=0)
 
@@ -67,7 +68,8 @@ def impldiff(cfg: Config, grid: Grid, field, kappaR, recip_hFac, deltaT):
         x_k = y_k - gam_kp1 * x_kp1
         return x_k, x_k
 
-    _, x_rev = jax.lax.scan(bwd, y[-1], (y[:-1][::-1], gam[1:][::-1]))
+    _, x_rev = jax.lax.scan(bwd, y[-1], (y[:-1][::-1], gam[1:][::-1]),
+                            unroll=True)
     return jnp.concatenate([x_rev[::-1], y[-1:]], axis=0)
 
 

@@ -9,15 +9,22 @@ pressure (selectP_inEOS_Zc=2, totPhiHyd carried in the state), CD scheme
 momentum/tracer time steps (1800 s / 86400 s), periodic monthly forcing.
 
 Status: restart statistics match the reference to >= 13 significant
-digits; the 10-step series tracks at >= 4 significant digits on all
-compared statistics. Key restart semantics (integr_continuity.F:148-168
-+ update_etah.F): the pickup's 'EtaH' record is etaHnm1 (pre-update
-value, written by write_pickup.F:360), the pickup dEtaHdt must be KEPT
-(it carries the pre-restart EmPmR term), PmEpR is reconstructed from it
-for the first step's tracer forcing and thereafter lags EmPmR by one
-step on synchronous runs, and the init-call UPDATE_ETAH sets
-etaH := etaN. The remaining ~1e-5 relative enters step-1 momentum
-dynamics before the barotropic solve (not yet pinned down).
+digits; the 10-step series tracks at >= 5 significant digits on all
+compared statistics (step 1 at 5-8). Key restart semantics
+(integr_continuity.F:148-168 + update_etah.F): the pickup's 'EtaH'
+record is etaHnm1 (pre-update value, written by write_pickup.F:360),
+the pickup dEtaHdt must be KEPT (it carries the pre-restart EmPmR
+term), PmEpR is reconstructed from it for the first step's tracer
+forcing and thereafter lags EmPmR by one step on synchronous runs, and
+the init-call UPDATE_ETAH sets etaH := etaN.
+
+Round 4 closed most of the old ~1e-5 step-1 momentum delta: under
+NONLIN_FRSURF the closed-wall fractions of the side-drag and del2
+viscous terms use the STATIC h0Fac open fractions, not the r*-rescaled
+ones (mom_fluxform.F:296-305, mom_u_sidedrag.F:31-36) — with r* those
+differ by the surface-elevation factor.  The residual ~3e-8 relative
+in the step-1 cg2d RHS is still open (tracers are 9-13 digits;
+vvel_mean, a near-cancelling global sum, amplifies it to d=5).
 """
 
 import numpy as np
@@ -94,9 +101,7 @@ def test_10step_series(exp, ref_series):
                             abs(rr[k]))
                 if abs(rr[k]) < 1e-6 * scale:
                     continue
-                # the series holds >= 4 digits over 10 steps since the
-                # restart fixes (pickup dEtaHdt kept + PmEpR lag +
-                # etaH := etaN at init); the residual ~1e-5 relative
-                # enters step-1 dynamics pre-solve (under investigation)
-                assert refout.matching_digits(rr[k], mr[k]) >= 4, (
+                # >= 5 digits over 10 steps since the h0Fac closed-wall
+                # fix; the ~3e-8 step-1 pre-solve residual is still open
+                assert refout.matching_digits(rr[k], mr[k]) >= 5, (
                     i, k, rr[k], mr[k])
