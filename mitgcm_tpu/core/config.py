@@ -602,7 +602,7 @@ _IGNORABLE_KEYS = {
     # feed back into it (pkg/sbo angular-momentum budgets, pkg/profiles
     # observation sampling), so a deck enabling them still computes the
     # same solution
-    "usesbo", "useprofiles",
+    "usesbo", "useprofiles", "uselayers",
     # hFac recompute-from-pickup control (ini_masks_etc.F); our grids are
     # always rebuilt from the bathymetry so both settings are equivalent
     "doresethfactors",

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from mitgcm_tpu.core.config import Config
 from mitgcm_tpu.core.grid import Grid
@@ -81,6 +82,178 @@ def _limiter(cr):
 
 _CR_MAX = 1.0e6       # gad_fluxlimit_adv_x.F:63
 _THETA_MAX = 1.0e20   # gad_dst3fl_adv_x.F:36
+
+
+# ----------------------------------------------------------------------
+# OS7MP: 7th-order one-step monotonicity-preserving advection
+# (gad_os7mp_adv_x/y/r.F).  Shared by ocean tracers (scheme 7) and the
+# seaice advection (seaice_advection.F uses the same kernels).
+# ----------------------------------------------------------------------
+
+def os7mp_psi(trans, cfl, q_stack, m_stack):
+    """One-directional OS7MP flux given upwind-ordered stencils.
+
+    q_stack: tuple (Qippp,Qipp,Qip,Qi,Qim,Qimm,Qimmm);
+    m_stack: (MskIpp,MskIp,MskI,MskIm,MskImm,MskImmm)."""
+    Eps = 1.0e-20
+    Qippp, Qipp, Qip, Qi, Qim, Qimm, Qimmm = q_stack
+    MskIpp, MskIp, MskI, MskIm, MskImm, MskImmm = m_stack
+    Fac = 1.0
+    DelP = (Qip - Qi) * MskI
+    Phi = Fac * DelP
+    Fac = Fac * (cfl + 1.0) / 3.0
+    DelM = (Qi - Qim) * MskIm
+    Del2 = DelP - DelM
+    Phi = Phi - Fac * Del2
+    Fac = Fac * (cfl - 2.0) / 4.0
+    DelPP = (Qipp - Qip) * MskIp * MskI
+    Del2P = DelPP - DelP
+    Del3P = Del2P - Del2
+    Phi = Phi + Fac * Del3P
+    Fac = Fac * (cfl - 3.0) / 5.0
+    DelMM = (Qim - Qimm) * MskImm * MskIm
+    Del2M = DelM - DelMM
+    Del3M = Del2 - Del2M
+    Del4 = Del3P - Del3M
+    Phi = Phi + Fac * Del4
+    Fac = Fac * (cfl + 2.0) / 6.0
+    DelPPP = (Qippp - Qipp) * MskIpp * MskIp * MskI
+    Del2PP = DelPP - DelP
+    Del3PP = Del2PP - Del2P
+    Del4P = Del3PP - Del3P
+    Del5P = Del4P - Del4
+    Phi = Phi + Fac * Del5P
+    Fac = Fac * (cfl + 2.0) / 7.0
+    DelMMM = (Qimm - Qimmm) * MskImmm * MskImm * MskIm
+    Del2MM = DelMM - DelMMM
+    Del3MM = Del2M - Del2MM
+    Del4M = Del3M - Del3MM
+    Del5M = Del4 - Del4M
+    Del6 = Del5P - Del5M
+    Phi = Phi - Fac * Del6
+    DelIp = (Qip - Qi) * MskI
+    recip_DelIp = jnp.sign(DelIp) / jnp.maximum(jnp.abs(DelIp), Eps)
+    recip_DelIp = jnp.where(DelIp == 0.0, 1.0 / Eps, recip_DelIp)
+    Phi = Phi * recip_DelIp
+    DelI = (Qi - Qim) * MskIm
+    recip_DelI = jnp.sign(DelI) / jnp.maximum(jnp.abs(DelI), Eps)
+    recip_DelI = jnp.where(DelI == 0.0, 1.0 / Eps, recip_DelI)
+    rp1h = DelI * recip_DelIp
+    rp1h_cfl = rp1h / (cfl + Eps)
+    d2, d2p1, d2m1 = Del2, Del2P, Del2M
+    A = 4.0 * d2 - d2p1
+    B = 4.0 * d2p1 - d2
+    C, D = d2, d2p1
+    dp1h = (jnp.maximum(jnp.minimum(jnp.minimum(A, B), jnp.minimum(C, D)),
+                        0.0)
+            + jnp.minimum(jnp.maximum(jnp.maximum(A, B),
+                                      jnp.maximum(C, D)), 0.0))
+    A = 4.0 * d2m1 - d2
+    B = 4.0 * d2 - d2m1
+    C, D = d2m1, d2
+    dm1h = (jnp.maximum(jnp.minimum(jnp.minimum(A, B), jnp.minimum(C, D)),
+                        0.0)
+            + jnp.minimum(jnp.maximum(jnp.maximum(A, B),
+                                      jnp.maximum(C, D)), 0.0))
+    PhiMD = 1.0 / (1.0 - cfl) * (DelIp - dp1h) * recip_DelIp
+    PhiLC = rp1h_cfl * (1.0 + dm1h * recip_DelI)
+    PhiMin = jnp.maximum(jnp.minimum(0.0, PhiMD),
+                         jnp.minimum(jnp.minimum(0.0, 2.0 * rp1h_cfl),
+                                     PhiLC))
+    PhiMax = jnp.minimum(jnp.maximum(2.0 / (1.0 - cfl), PhiMD),
+                         jnp.maximum(jnp.maximum(0.0, 2.0 * rp1h_cfl),
+                                     PhiLC))
+    Phi = jnp.maximum(PhiMin, jnp.minimum(Phi, PhiMax))
+    Psi = Phi * 0.5 * (1.0 - cfl)
+    return trans * (Qi + Psi * DelIp)
+
+
+def os7mp_flux_x(uTrans, uFld, maskW, Q, dt, recip_dxC, band):
+    """gad_os7mp_adv_x.F; band zeroes the columns the reference kernel
+    does not write (i in [1-OLx+4, sNx+OLx-3])."""
+    cfl = jnp.abs(uFld * dt * recip_dxC)
+    up = [sh(Q, di=d) for d in (2, 1, 0, -1, -2, -3, -4)]
+    um = [sh(maskW, di=d) for d in (2, 1, 0, -1, -2, -3)]
+    dn = [sh(Q, di=d) for d in (-3, -2, -1, 0, 1, 2, 3)]
+    dm = [sh(maskW, di=d) for d in (-2, -1, 0, 1, 2, 3)]
+    fp = os7mp_psi(uTrans, cfl, tuple(up), tuple(um))
+    fn = os7mp_psi(uTrans, cfl, tuple(dn), tuple(dm))
+    f = jnp.where(uTrans > 0.0, fp, jnp.where(uTrans < 0.0, fn, 0.0))
+    return f * band
+
+
+def os7mp_flux_y(vTrans, vFld, maskS, Q, dt, recip_dyC, band):
+    cfl = jnp.abs(vFld * dt * recip_dyC)
+    up = [sh(Q, dj=d) for d in (2, 1, 0, -1, -2, -3, -4)]
+    um = [sh(maskS, dj=d) for d in (2, 1, 0, -1, -2, -3)]
+    dn = [sh(Q, dj=d) for d in (-3, -2, -1, 0, 1, 2, 3)]
+    dm = [sh(maskS, dj=d) for d in (-2, -1, 0, 1, 2, 3)]
+    fp = os7mp_psi(vTrans, cfl, tuple(up), tuple(um))
+    fn = os7mp_psi(vTrans, cfl, tuple(dn), tuple(dm))
+    f = jnp.where(vTrans > 0.0, fp, jnp.where(vTrans < 0.0, fn, 0.0))
+    return f * band
+
+
+def os7mp_band(cfg: Config, axis: str, dtype):
+    """The write band of the OS7MP kernels: x columns [1-OLx+4,
+    sNx+OLx-3], y rows [1-OLy+4, sNy+OLy-3] (per face)."""
+    nyp = cfg.ny + 2 * cfg.oly
+    nxp = cfg.nx + 2 * cfg.olx
+    band = jnp.zeros((cfg.nFaces * nyp, nxp), dtype)
+    for f in range(cfg.nFaces):
+        if axis == "x":
+            band = band.at[f * nyp:(f + 1) * nyp, 4:nxp - 3].set(1.0)
+        else:
+            band = band.at[f * nyp + 4:(f + 1) * nyp - 3, :].set(1.0)
+    return band
+
+
+def _os7mp_flux_r(cfg: Config, grid: Grid, rTrans, wFld, Q, deltaT):
+    """gad_os7mp_adv_r.F: vertical OS7MP flux at interface k (array
+    index k-1).  Vertical indices clamp at the column ends and the
+    stencil masks carry the float(kX-kY) clamp-indicator factors."""
+    nr = cfg.nr
+    mC = grid.maskC
+    cflK = jnp.abs(wFld * deltaT * grid.recip_drC[:nr, None, None])
+
+    def lev(off):
+        # Q/maskC at clamped Fortran level k+off for interface k=1..Nr,
+        # plus the (clamped_next - clamped_this) indicator pair handled
+        # by the caller; array index = clamp(k-1+off, 0, nr-1)
+        kk = np.arange(1, nr + 1)
+        idx = np.clip(kk - 1 + off, 0, nr - 1)
+        return idx
+
+    def gather(a, idx):
+        return a[idx]
+
+    kk = np.arange(1, nr + 1)
+    iK = {off: lev(off) for off in (-4, -3, -2, -1, 0, 1, 2, 3)}
+
+    def mfac(off_hi, off_lo):
+        # float(k_hi - k_lo) with clamped indices: 1 when distinct
+        return jnp.asarray(
+            (iK[off_hi] - iK[off_lo]).astype(float))[:, None, None]
+
+    QL = {off: Q[iK[off]] for off in iK}
+    ML = {off: mC[iK[off]] for off in iK}
+
+    # wTrans < 0 branch (upwind from above, Qi = Q(k-1))
+    q_dn = (QL[2], QL[1], QL[0], QL[-1], QL[-2], QL[-3], QL[-4])
+    m_dn = (ML[2] * mfac(2, 1), ML[1] * mfac(1, 0), ML[0] * mfac(0, -1),
+            ML[-1] * mfac(-1, -2), ML[-2] * mfac(-2, -3),
+            ML[-3] * mfac(-3, -4))
+    # wTrans > 0 branch (upwind from below, Qi = Q(k))
+    q_up = (QL[-3], QL[-2], QL[-1], QL[0], QL[1], QL[2], QL[3])
+    m_up = (ML[-2] * mfac(-2, -3), ML[-1] * mfac(-1, -2),
+            ML[0] * mfac(0, -1), ML[1] * mfac(1, 0),
+            ML[2] * mfac(2, 1), ML[3] * mfac(3, 2))
+    fn = os7mp_psi(rTrans, cflK, q_dn, m_dn)
+    fp = os7mp_psi(rTrans, cflK, q_up, m_up)
+    flx = jnp.where(rTrans > 0.0, fp,
+                    jnp.where(rTrans < 0.0, fn, 0.0))
+    # interface k=1 (surface) flux zeroed by the caller
+    return flx
 
 
 def _adv_flux_highorder(cfg, scheme, trans, cfl, t, tm1, Rjp, Rj, Rjm,
@@ -148,6 +321,10 @@ def adv_flux_x(cfg: Config, grid: Grid, scheme: int, uTrans, uFld, tracer,
     tm1 = sh(t, di=-1)
     if scheme == ENUM_CENTERED_2ND:
         return uTrans * 0.5 * (t + tm1)
+    if scheme == ENUM_OS7MP:
+        band = os7mp_band(cfg, "x", t.dtype)
+        return os7mp_flux_x(uTrans, uFld, maskW, t, deltaT,
+                            grid.recip_dxC, band)
     if scheme in (ENUM_UPWIND_1RST, ENUM_DST2):
         # gad_dst2u1_adv_x.F: Lax-Wendroff or upwind via CFL factor
         if scheme == ENUM_UPWIND_1RST:
@@ -176,6 +353,10 @@ def adv_flux_y(cfg: Config, grid: Grid, scheme: int, vTrans, vFld, tracer,
     tm1 = sh(t, dj=-1)
     if scheme == ENUM_CENTERED_2ND:
         return vTrans * 0.5 * (t + tm1)
+    if scheme == ENUM_OS7MP:
+        band = os7mp_band(cfg, "y", t.dtype)
+        return os7mp_flux_y(vTrans, vFld, maskS, t, deltaT,
+                            grid.recip_dyC, band)
     if scheme in (ENUM_UPWIND_1RST, ENUM_DST2):
         if scheme == ENUM_UPWIND_1RST:
             yLimit = 1.0
@@ -220,6 +401,8 @@ def adv_flux_r(cfg: Config, grid: Grid, scheme: int, rTrans, wFld, tracer,
 
     if scheme == ENUM_CENTERED_2ND:
         flx = mkm1 * rTrans * 0.5 * (t + tkm1)
+    elif scheme == ENUM_OS7MP:
+        flx = _os7mp_flux_r(cfg, grid, rTrans, wFld, t, deltaT)
     elif scheme == ENUM_CENTERED_4TH:
         # gad_c4_adv_r.F: 4th-order centered; the upwind correction is
         # only active next to the top/bottom (maskBound wall factor)

@@ -79,6 +79,12 @@ class GMTensor(NamedTuple):
     Kwx: jnp.ndarray   # [nr,...] at upper interfaces (k=1 row zero)
     Kwy: jnp.ndarray
     Kwz: jnp.ndarray
+    # GM_EXTRA_DIAGONAL (GM_ExtraDiag, on when AdvForm with isopycK!=0):
+    # the Redi tensor's off-diagonal horizontal-flux components — in the
+    # skew form they cancel against the GM part, with the advective form
+    # they must be carried explicitly (gmredi_calc_tensor.F:786-855)
+    Kuz: Optional[jnp.ndarray] = None
+    Kvz: Optional[jnp.ndarray] = None
 
 
 def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
@@ -246,8 +252,8 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
     dSrU = 0.25 * (sh(sigmaR, di=-1) + sigmaR
                    + (sh(sigR_kp1, di=-1) + sigR_kp1) * maskp1
                    ) * grid.maskW * gsign
-    _, _, _, taperU = _slope_limit(gm, dSxU, dSyU, dSrU,
-                                   Lrho=LrhoW, rDepth=rDepC, unit=unitC)
+    sxU, _, _, taperU = _slope_limit(gm, dSxU, dSyU, dSrU,
+                                     Lrho=LrhoW, rDepth=rDepC, unit=unitC)
     Kux = jnp.maximum(isoK * taperU, gm.Kmin_horiz)
 
     dSxV = 0.25 * (sh(sigmaX, dj=-1, di=1) + sh(sigmaX, di=1)
@@ -256,20 +262,48 @@ def calc_tensor(cfg: Config, grid: Grid, gm: GMParams,
     dSrV = 0.25 * (sh(sigmaR, dj=-1) + sigmaR
                    + (sh(sigR_kp1, dj=-1) + sigR_kp1) * maskp1
                    ) * grid.maskS * gsign
-    _, _, _, taperV = _slope_limit(gm, dSxV, dSyV, dSrV,
-                                   Lrho=LrhoS, rDepth=rDepC, unit=unitC)
+    _, syV, _, taperV = _slope_limit(gm, dSxV, dSyV, dSrV,
+                                     Lrho=LrhoS, rDepth=rDepC, unit=unitC)
     Kvy = jnp.maximum(isoK * taperV, gm.Kmin_horiz)
 
-    return GMTensor(Kux=Kux, Kvy=Kvy, Kwx=Kwx, Kwy=Kwy, Kwz=Kwz)
+    Kuz = Kvz = None
+    if gm.advForm and isoK != 0.0:
+        # GM_ExtraDiag (gmredi_readparms.F:246-250): with skewflx=0 the
+        # off-diagonal Redi terms Kuz/Kvz survive
+        Kuz = -gsign * isoK * sxU * taperU
+        Kvz = -gsign * isoK * syV * taperV
+    return GMTensor(Kux=Kux, Kvy=Kvy, Kwx=Kwx, Kwy=Kwy, Kwz=Kwz,
+                    Kuz=Kuz, Kvz=Kvz)
 
 
 def xy_flux(cfg: Config, grid: Grid, tensor: GMTensor, xA, yA, tracer):
-    """gmredi_xtransport.F/_ytransport.F diagonal part: extra horizontal
-    diffusive fluxes (GM_ExtraDiag off: pure Kux/Kvy d(tr)/dx)."""
+    """gmredi_xtransport.F/_ytransport.F: diagonal Kux/Kvy d(tr)/dx plus,
+    when GM_ExtraDiag, the off-diagonal Kuz/Kvz d(tr)/dz terms
+    (gmredi_xtransport.F:123-160)."""
     dfx = -(xA * tensor.Kux * grid.recip_dxC
             * (tracer - sh(tracer, di=-1)))
     dfy = -(yA * tensor.Kvy * grid.recip_dyC
             * (tracer - sh(tracer, dj=-1)))
+    if tensor.Kuz is not None:
+        nr = cfg.nr
+        mC = grid.maskC
+        t_km1 = jnp.concatenate([tracer[:1], tracer[:-1]], axis=0)
+        t_kp1 = jnp.concatenate([tracer[1:], tracer[-1:]], axis=0)
+        m_km1 = jnp.concatenate([mC[:1], mC[:-1]], axis=0)
+        m_kp1 = jnp.concatenate([mC[1:], mC[-1:]], axis=0)
+        maskFk = mC * m_km1
+        maskp1 = jnp.where(jnp.arange(nr)[:, None, None] == nr - 1,
+                           0.0, 1.0)
+        rdrC_k = grid.recip_drC[:nr, None, None]
+        rdrC_kp1 = grid.recip_drC[1:nr + 1, None, None]
+        up = maskFk * (t_km1 - tracer)             # at column (i,j)
+        dn = mC * m_kp1 * maskp1 * (tracer - t_kp1)
+        dTdzU = 0.5 * (0.5 * rdrC_k * (sh(up, di=-1) + up)
+                       + 0.5 * rdrC_kp1 * (sh(dn, di=-1) + dn))
+        dTdzV = 0.5 * (0.5 * rdrC_k * (sh(up, dj=-1) + up)
+                       + 0.5 * rdrC_kp1 * (sh(dn, dj=-1) + dn))
+        dfx = dfx - xA * tensor.Kuz * dTdzU
+        dfy = dfy - yA * tensor.Kvz * dTdzV
     return dfx, dfy
 
 

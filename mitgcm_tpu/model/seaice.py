@@ -299,111 +299,12 @@ class IceState(NamedTuple):
 
 
 # ----------------------------------------------------------------------
-# OS7MP flux kernel (pkg/generic_advdiff/gad_os7mp_adv_x.F) — 2-D
+# OS7MP flux kernel: shared with the ocean tracers — the canonical
+# implementation lives in gad.py (gad_os7mp_adv_x/y.F)
 # ----------------------------------------------------------------------
 
-def _os7mp_flux(trans, cfl, q_stack, m_stack):
-    """One-directional OS7MP flux given upwind-ordered stencils.
-
-    q_stack: tuple (Qippp,Qipp,Qip,Qi,Qim,Qimm,Qimmm);
-    m_stack: (MskIpp,MskIp,MskI,MskIm,MskImm,MskImmm)."""
-    Eps = 1.0e-20
-    Qippp, Qipp, Qip, Qi, Qim, Qimm, Qimmm = q_stack
-    MskIpp, MskIp, MskI, MskIm, MskImm, MskImmm = m_stack
-    Fac = 1.0
-    DelP = (Qip - Qi) * MskI
-    Phi = Fac * DelP
-    Fac = Fac * (cfl + 1.0) / 3.0
-    DelM = (Qi - Qim) * MskIm
-    Del2 = DelP - DelM
-    Phi = Phi - Fac * Del2
-    Fac = Fac * (cfl - 2.0) / 4.0
-    DelPP = (Qipp - Qip) * MskIp * MskI
-    Del2P = DelPP - DelP
-    Del3P = Del2P - Del2
-    Phi = Phi + Fac * Del3P
-    Fac = Fac * (cfl - 3.0) / 5.0
-    DelMM = (Qim - Qimm) * MskImm * MskIm
-    Del2M = DelM - DelMM
-    Del3M = Del2 - Del2M
-    Del4 = Del3P - Del3M
-    Phi = Phi + Fac * Del4
-    Fac = Fac * (cfl + 2.0) / 6.0
-    DelPPP = (Qippp - Qipp) * MskIpp * MskIp * MskI
-    Del2PP = DelPP - DelP
-    Del3PP = Del2PP - Del2P
-    Del4P = Del3PP - Del3P
-    Del5P = Del4P - Del4
-    Phi = Phi + Fac * Del5P
-    Fac = Fac * (cfl + 2.0) / 7.0
-    DelMMM = (Qimm - Qimmm) * MskImmm * MskImm * MskIm
-    Del2MM = DelMM - DelMMM
-    Del3MM = Del2M - Del2MM
-    Del4M = Del3M - Del3MM
-    Del5M = Del4 - Del4M
-    Del6 = Del5P - Del5M
-    Phi = Phi - Fac * Del6
-    DelIp = (Qip - Qi) * MskI
-    recip_DelIp = jnp.sign(DelIp) / jnp.maximum(jnp.abs(DelIp), Eps)
-    recip_DelIp = jnp.where(DelIp == 0.0, 1.0 / Eps, recip_DelIp)
-    Phi = Phi * recip_DelIp
-    DelI = (Qi - Qim) * MskIm
-    recip_DelI = jnp.sign(DelI) / jnp.maximum(jnp.abs(DelI), Eps)
-    recip_DelI = jnp.where(DelI == 0.0, 1.0 / Eps, recip_DelI)
-    rp1h = DelI * recip_DelIp
-    rp1h_cfl = rp1h / (cfl + Eps)
-    d2, d2p1, d2m1 = Del2, Del2P, Del2M
-    A = 4.0 * d2 - d2p1
-    B = 4.0 * d2p1 - d2
-    C, D = d2, d2p1
-    dp1h = (jnp.maximum(jnp.minimum(jnp.minimum(A, B), jnp.minimum(C, D)),
-                        0.0)
-            + jnp.minimum(jnp.maximum(jnp.maximum(A, B),
-                                      jnp.maximum(C, D)), 0.0))
-    A = 4.0 * d2m1 - d2
-    B = 4.0 * d2 - d2m1
-    C, D = d2m1, d2
-    dm1h = (jnp.maximum(jnp.minimum(jnp.minimum(A, B), jnp.minimum(C, D)),
-                        0.0)
-            + jnp.minimum(jnp.maximum(jnp.maximum(A, B),
-                                      jnp.maximum(C, D)), 0.0))
-    PhiMD = 1.0 / (1.0 - cfl) * (DelIp - dp1h) * recip_DelIp
-    PhiLC = rp1h_cfl * (1.0 + dm1h * recip_DelI)
-    PhiMin = jnp.maximum(jnp.minimum(0.0, PhiMD),
-                         jnp.minimum(jnp.minimum(0.0, 2.0 * rp1h_cfl),
-                                     PhiLC))
-    PhiMax = jnp.minimum(jnp.maximum(2.0 / (1.0 - cfl), PhiMD),
-                         jnp.maximum(jnp.maximum(0.0, 2.0 * rp1h_cfl),
-                                     PhiLC))
-    Phi = jnp.maximum(PhiMin, jnp.minimum(Phi, PhiMax))
-    Psi = Phi * 0.5 * (1.0 - cfl)
-    return trans * (Qi + Psi * DelIp)
-
-
-def os7mp_flux_x(uTrans, uFld, maskW, Q, dt, recip_dxC, band):
-    """gad_os7mp_adv_x.F on a 2-D field; band zeroes the columns the
-    reference kernel does not write (i in [1-OLx+4, sNx+OLx-3])."""
-    cfl = jnp.abs(uFld * dt * recip_dxC)
-    up = [sh(Q, di=d) for d in (2, 1, 0, -1, -2, -3, -4)]
-    um = [sh(maskW, di=d) for d in (2, 1, 0, -1, -2, -3)]
-    dn = [sh(Q, di=d) for d in (-3, -2, -1, 0, 1, 2, 3)]
-    dm = [sh(maskW, di=d) for d in (-2, -1, 0, 1, 2, 3)]
-    fp = _os7mp_flux(uTrans, cfl, tuple(up), tuple(um))
-    fn = _os7mp_flux(uTrans, cfl, tuple(dn), tuple(dm))
-    f = jnp.where(uTrans > 0.0, fp, jnp.where(uTrans < 0.0, fn, 0.0))
-    return f * band
-
-
-def os7mp_flux_y(vTrans, vFld, maskS, Q, dt, recip_dyC, band):
-    cfl = jnp.abs(vFld * dt * recip_dyC)
-    up = [sh(Q, dj=d) for d in (2, 1, 0, -1, -2, -3, -4)]
-    um = [sh(maskS, dj=d) for d in (2, 1, 0, -1, -2, -3)]
-    dn = [sh(Q, dj=d) for d in (-3, -2, -1, 0, 1, 2, 3)]
-    dm = [sh(maskS, dj=d) for d in (-2, -1, 0, 1, 2, 3)]
-    fp = _os7mp_flux(vTrans, cfl, tuple(up), tuple(um))
-    fn = _os7mp_flux(vTrans, cfl, tuple(dn), tuple(dm))
-    f = jnp.where(vTrans > 0.0, fp, jnp.where(vTrans < 0.0, fn, 0.0))
-    return f * band
+from mitgcm_tpu.model.gad import (  # noqa: E402
+    os7mp_psi as _os7mp_flux, os7mp_flux_x, os7mp_flux_y)
 
 
 # ----------------------------------------------------------------------
@@ -557,16 +458,25 @@ class SeaIce:
         return e11, e22, e12
 
     def viscosities(self, e11, e22, e12, press0, zMax, zMin):
-        """seaice_calc_viscosities.F (elliptical, etaZmethod=0)."""
+        """seaice_calc_viscosities.F (elliptical yield curve)."""
         p = self.p
         g = self.grid
         recip_e2 = 1.0 / (p.eccen * p.eccen)
         # eccfr unset -> normal flow rule: recip_efr2=1/e^2, efr4=e^2/e^4
         recip_efr2 = recip_e2
         recip_efr4 = recip_e2
-        e12sum = (e12 + sh(e12, di=1) + sh(e12, dj=1)
-                  + sh(sh(e12, di=1), dj=1))
-        e12Csq = (0.25 * e12sum) ** 2
+        if p.etaZmethod == 3:
+            # default method (seaice_calc_viscosities.F:126-136):
+            # area-weighted mean of e12^2 over the 4 surrounding Z points
+            e12Csq = 0.25 * g.recip_rA * (
+                g.rAz * e12 ** 2
+                + sh(g.rAz * e12 ** 2, di=1)
+                + sh(g.rAz * e12 ** 2, dj=1)
+                + sh(sh(g.rAz * e12 ** 2, di=1), dj=1))
+        else:
+            e12sum = (e12 + sh(e12, di=1) + sh(e12, dj=1)
+                      + sh(sh(e12, di=1), dj=1))
+            e12Csq = (0.25 * e12sum) ** 2
         ep = e11 + e22
         em = e11 - e22
         shearDefSq = em * em + 4.0 * e12Csq
@@ -591,6 +501,13 @@ class SeaIce:
                           + sh(sh(eta, di=-1), dj=-1))
         zetaZ = sumNorm * (zeta + sh(zeta, di=-1) + sh(zeta, dj=-1)
                            + sh(sh(zeta, di=-1), dj=-1))
+        if not p.no_slip:
+            # free slip = no lateral stress: mask eta/zeta at Z points
+            # next to any dry cell (seaice_calc_viscosities.F:467-476)
+            maskZ = (hm * sh(hm, di=-1) * sh(hm, dj=-1)
+                     * sh(sh(hm, di=-1), dj=-1))
+            etaZ = etaZ * maskZ
+            zetaZ = zetaZ * maskZ
         return eta, etaZ, zeta, zetaZ, press, deltaC
 
     def oceandrag(self, uIceC, vIceC, uVel0, vVel0):
