@@ -165,6 +165,17 @@ class Config:
     fluidIsAir: bool = False
     fluidIsWater: bool = True
     nFaces: int = 1                # 6 for the cubed sphere
+    # distributed cubed sphere: this process holds ONE face of a cube
+    # (mitgcm_tpu/parallel/dist.py DistCSModel) — nFaces==1 locally, but
+    # the cube-corner code paths (FILL_CS_CORNER_*, no-wrap vorticity
+    # stencils) must still run on the local face block
+    csLocalFace: bool = False
+
+    @property
+    def onCubeFace(self) -> bool:
+        """True when the arrays contain cubed-sphere face block(s) — the
+        full stacked cube (nFaces==6) or one distributed face."""
+        return self.nFaces > 1 or self.csLocalFace
     gadMultiDimCompressible: bool = False  # GAD_MULTIDIM_COMPRESSIBLE
     # exch2 global-file IO layout (pkg/exch2/w2_readparms.F:64 default -1):
     # -1/0 = global 2-D map, faces side by side along x ([n, 6n]);

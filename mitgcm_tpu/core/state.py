@@ -85,6 +85,10 @@ class State:
     # synchronous realFreshWaterFlux runs (external_forcing_surf.F:129);
     # staggered runs reset it to -EmPmR each step instead
     PmEpR: jnp.ndarray = None
+    # hydrostatic potential at the low-r boundary (diags_phi_rlow.F):
+    # sea-surface geopotential in p-coords; the sea-ice tilt force reads
+    # the previous DYNAMICS' value (seaice_dynsolver.F:225-230)
+    phiHydLow: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(
@@ -171,7 +175,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,
         guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
-        etaHm1=z2, totPhiHyd=z3,
+        etaHm1=z2, totPhiHyd=z3, phiHydLow=z2,
         pTr=zp, gPtrNm1=zp, GGL90TKE=z3, IDEMIX_E=z3, somT=somT,
         somS=somS,
         phi_nh=z3 if cfg.nonHydrostatic else z0,

@@ -915,7 +915,7 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     # walk the fldList: 3-D fields take nr records, 2-D one
     fld_names = [n for n in meta.get("fldList", _PICKUP_3D + _PICKUP_2D)
                  if n and n.strip()]
-    two_d = {"EtaN", "dEtaHdt", "EtaH", "EtaHnm1", "PmEpR"}
+    two_d = {"EtaN", "dEtaHdt", "EtaH", "EtaHnm1", "PmEpR", "Phi_rLow"}
     vals = {}
     off = 0
     for name in fld_names:
@@ -941,6 +941,9 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     updates["etaH"] = vals.get("EtaH", vals["EtaN"])
     if "PhiHyd" in vals:
         updates["totPhiHyd"] = vals["PhiHyd"]
+    if "Phi_rLow" in vals:
+        # written for p-coords sea-ice runs (write_pickup.F:334-339)
+        updates["phiHydLow"] = vals["Phi_rLow"]
     # AB3 second tendency level (read_pickup.F:285/305); if the pickup
     # lacks them the reference warns and keeps zeros — we do the same
     for pk, sk in (("GuNm2", "guNm2"), ("GvNm2", "gvNm2"),

@@ -594,7 +594,7 @@ def multidim_advection(cfg: Config, grid: Grid, flow: AdvFlow, u, v, w,
     Returns gTracer = (T_advected - T)/deltaT. On the cubed sphere the
     3-pass variant with corner fills is used instead.
     """
-    if cfg.nFaces == 6:
+    if cfg.onCubeFace:
         return multidim_advection_cs(cfg, grid, flow, u, v, w, tracer,
                                      scheme, vert_scheme, deltaT)
     rhc = grid.recip_hFacC

@@ -33,7 +33,7 @@ def calc_relvort3(cfg: Config, grid: Grid, u, v):
     udxC = u * grid.dxC
     vort3 = grid.recip_rAz * (
         (vdyC - sh(vdyC, di=-1)) - (udxC - sh(udxC, dj=-1)))
-    if cfg.nFaces != 6:
+    if not cfg.onCubeFace:
         return vort3
     n, ol = cfg.nx, cfg.olx
     nyp = cfg.ny + 2 * cfg.oly
@@ -385,7 +385,7 @@ def del2uv(cfg: Config, grid: Grid, hDiv, vort3, hFacZ):
     halo blocks are re-filled directionally before each derivative
     (FILL_CS_CORNER_TR_RL calls at mom_vi_del2uv.F:30-52)."""
     hv = hFacZ * vort3
-    if cfg.nFaces == 6:
+    if cfg.onCubeFace:
         from mitgcm_tpu.parallel.cs import fill_cs_corner
         # the reference's per-tile hDiv is zero-initialized and written
         # only over [1-OL..sN+OL-1]^2 (mom_calc_hdiv.F); the corner fills

@@ -68,7 +68,8 @@ def quasihydrostatic_term(cfg: Config, grid: Grid, u, v):
     return gw
 
 
-def _phi_hyd_oceanicp(cfg: Config, grid: Grid, rhoInSitu, etaH, rStarFacC):
+def _phi_hyd_oceanicp(cfg: Config, grid: Grid, rhoInSitu, etaH, rStarFacC,
+                      etaN=None):
     """OCEANICP branch of calc_phi_hyd.F:294-414: integrate the specific
     volume anomaly alpha' = 1/(rho'+rhoConst) - 1/rhoConst over pressure,
     restarting the k-ascending carry at kSurfC (the sea floor, which in
@@ -115,16 +116,34 @@ def _phi_hyd_oceanicp(cfg: Config, grid: Grid, rhoInSitu, etaH, rStarFacC):
         phiC = jnp.where(k == ks0, s, phiF + dM[k] * a)
         return phiC + dP[k] * a, phiC
 
-    _, phiC = jax.lax.scan(
+    phiFtop, phiC = jax.lax.scan(
         body, jnp.zeros_like(alphaP[0]), (kk, alphaP, surfC))
 
     rstar = (cfg.select_rStar >= 2 and cfg.nonlinFreeSurf >= 4
              and rStarFacC is not None)
     tot = phiC * rStarFacC if rstar else phiC
 
+    # phiHydLow: Phi at the low-r boundary = SEA-SURFACE geopotential in
+    # p-coords (diags_phi_rlow.F:115-186) — the sea-ice tilt force uses
+    # it as phiSurf (seaice_dynsolver.F:225-230).  At k=Nr (low-r top),
+    # phiHydLow = phiHydF(Nr+1) = the final integration carry, then the
+    # r* rescale + reference column + phi0surf (diags_phi_rlow.F:147-159:
+    # phiLow*rStarFacC + (Ro_surf-R_low)/rhoConst*(rStarFacC-1)
+    # + phi0surf), or + Bo_surf*etaN + phi0surf without r*.
+    if cfg.select_rStar >= 1 and cfg.nonlinFreeSurf >= 4 \
+            and rStarFacC is not None:
+        dPhiRef = (grid.Ro_surf - grid.R_low) * (1.0 / cfg.rhoConst)
+        phiLow = phiFtop * rStarFacC + dPhiRef * (rStarFacC - 1.0)
+    else:
+        phiLow = phiFtop
+        if etaN is not None:
+            phiLow = phiLow + grid.Bo_surf * etaN
+    if grid.phi0surf is not None:
+        phiLow = phiLow + grid.phi0surf
+
     if not cfg.momPressureForcing:
         z = jnp.zeros_like(phiC)
-        return phiC, z, z, tot
+        return phiC, z, z, tot, phiLow
 
     varLoc = phiC * rStarFacC if rstar else phiC
     if grid.phi0surf is not None:
@@ -146,12 +165,16 @@ def _phi_hyd_oceanicp(cfg: Config, grid: Grid, rhoInSitu, etaH, rStarFacC):
             * (rStarFacC - sh(rStarFacC, dj=-1)) * rck * grid.recip_dyC
     dX = dX * grid.maskW
     dY = dY * grid.maskS
-    return phiC, dX, dY, tot
+    return phiC, dX, dY, tot, phiLow
 
 
 def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
-                 etaH=None, rStarFacC=None, phi0surf=None):
-    """Return (phiHydC, dPhiHydX, dPhiHydY, totPhiHyd), each [nr, ...].
+                 etaH=None, rStarFacC=None, phi0surf=None, etaN=None):
+    """Return (phiHydC, dPhiHydX, dPhiHydY, totPhiHyd, phiHydLow).
+
+    phiHydLow (diags_phi_rlow.F) is the potential at the low-r boundary —
+    the sea-surface geopotential for the p-coords ocean; None for the
+    other buoyancy relations (not needed yet).
 
     rhoInSitu: density anomaly rho' (find_rho) at cell centers.
     Oceanic buoyancy: b' = gravity * rho'/rhoConst; phiHydC integrates b'
@@ -169,13 +192,14 @@ def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
         tot = phiC  # totPhiHyd for air handled when needed
         if not cfg.momPressureForcing:
             z = jnp.zeros_like(phiC)
-            return phiC, z, z, tot
+            return phiC, z, z, tot, None
         dX = grid.recip_dxC * (phiC - sh(phiC, di=-1))
         dY = grid.recip_dyC * (phiC - sh(phiC, dj=-1))
-        return phiC, dX, dY, tot
+        return phiC, dX, dY, tot, None
 
     if cfg.usingPCoords:
-        return _phi_hyd_oceanicp(cfg, grid, rhoInSitu, etaH, rStarFacC)
+        return _phi_hyd_oceanicp(cfg, grid, rhoInSitu, etaH, rStarFacC,
+                                 etaN=etaN)
 
     alphaRho = rhoInSitu
     if cfg.quasiHydrostatic:
@@ -214,7 +238,7 @@ def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
 
     if not cfg.momPressureForcing:
         z = jnp.zeros_like(phiC)
-        return phiC, z, z, tot
+        return phiC, z, z, tot, None
 
     # calc_grad_phi_hyd.F: varLoc = phiHyd(+ *rStarFac) + phi0surf;
     # phi0surf is zero without atmospheric/sea-ice loading (it carries
@@ -242,4 +266,4 @@ def calc_phi_hyd(cfg: Config, grid: Grid, rhoInSitu, uVel=None, vVel=None,
         varLoc = phiC if phi0surf is None else phiC + phi0surf[None]
         dX = grid.recip_dxC * (varLoc - sh(varLoc, di=-1))
         dY = grid.recip_dyC * (varLoc - sh(varLoc, dj=-1))
-    return phiC, dX, dY, tot
+    return phiC, dX, dY, tot, None

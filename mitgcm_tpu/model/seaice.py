@@ -319,7 +319,7 @@ class SeaIce:
         self.p = p
         ol, ny, nx = cfg.olx, cfg.ny, cfg.nx
         self.ol, self.ny, self.nx = ol, ny, nx
-        self.cs = cfg.nFaces > 1
+        self.cs = cfg.onCubeFace
         self._fills = fills
         # masks (seaice_init_fixed.F:266 + init_varia.F:190) at the
         # SURFACE level (kSurface = Nr under p-coords)
@@ -1641,7 +1641,7 @@ class SeaIce:
 
     # ------------------------------------------------------------------
     def step(self, ice: IceState, forc, uVel0, vVel0, etaN, theta0,
-             salt0, fu, fv):
+             salt0, fu, fv, phiHydLow=None):
         """SEAICE_MODEL (seaice_model.F): one sea-ice step.
 
         Returns (ice', forcing updates dict incl fu/fv)."""
@@ -1663,7 +1663,13 @@ class SeaIce:
                                                + sh(ice.HSNOW, di=-1))
             massV = massV + p.rhoSnow * 0.5 * (ice.HSNOW
                                                + sh(ice.HSNOW, dj=-1))
-        phiSurf = g.Bo_surf * etaN
+        # seaice_dynsolver.F:225-238: in p-coords the tilt potential is
+        # the actual sea-surface geopotential phiHydLow (previous
+        # DYNAMICS vintage); in z-coords Bo_surf*etaN
+        if phiHydLow is not None:
+            phiSurf = phiHydLow
+        else:
+            phiSurf = g.Bo_surf * etaN
         if p.scaleSurfStress:
             # seaice_dynsolver.F:266-273: wind stress scaled by the
             # ice-concentration fraction at the velocity point

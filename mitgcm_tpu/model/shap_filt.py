@@ -187,7 +187,7 @@ def apply_uv(cfg: Config, grid: Grid, shp: ShapParams, u, v, fill_uv):
             vort3 = jnp.where(maskZ < 1.0, 0.0, vort3)
             hDivU = hDiv
             hDivV = hDiv
-            if cfg.nFaces > 1:
+            if cfg.onCubeFace:
                 vort3 = _cs_corner_vort(cfg, grid, tmpU, tmpV, vort3)
                 if not shp.Shap_alwaysExchUV:
                     hDivU = _cs_corner_fill(cfg, hDiv, 1)

@@ -191,7 +191,7 @@ def som_advect(cfg: Config, grid: Grid, u, v, w, tracer, smTr,
 
     smTr: [9, nr, ny, nx] moment state (updated in the return value —
     the caller stores it and exchanges halos at end of step)."""
-    if cfg.nFaces == 6:
+    if cfg.onCubeFace:
         raise NotImplementedError("SOM on the cubed sphere: pending "
                                   "(gad_som_prep_cs_corner.F)")
     limiter = scheme % 10

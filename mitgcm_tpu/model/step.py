@@ -201,10 +201,10 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         kappaRU = kappaRU.at[:nr].set(nkU)
         kappaRV = kappaRV.at[:nr].set(nkV)
 
-    _, dPhiHydX, dPhiHydY, totPhiHyd = calc_phi_hyd(
+    _, dPhiHydX, dPhiHydY, totPhiHyd, phiHydLow = calc_phi_hyd(
         cfg, grid, rhoInSitu, uVel=u, vVel=v, etaH=state.etaH,
         rStarFacC=None if rstar is None else rstar["facC"],
-        phi0surf=phi0surf)
+        phi0surf=phi0surf, etaN=state.etaN)
 
     if cfg.vectorInvariantMomentum:
         tend = mom_vecinv(cfg, grid, u, v, w, kappaRU, kappaRV)
@@ -340,7 +340,7 @@ def dynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
         wStar = calc_gw_mod.timestep_wvel(cfg, grid, w, gw_ab)
         nh = {"wStar": wStar, "gwNm1": gwNm1, "gwNm2": gwNm2}
     return uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state, \
-        totPhiHyd, nh
+        totPhiHyd, nh, phiHydLow
 
 
 def solve_for_pressure(cfg: Config, grid: Grid, op, state: State,
@@ -726,7 +726,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         kSrf = 0 if not cfg.usingPCoords else cfg.nr - 1
         ice_out, si_upd = seaice.step(
             ice_in, forc, state.uVel[kSrf], state.vVel[kSrf], state.etaN,
-            state.theta[kSrf], state.salt[kSrf], forc.fu, forc.fv)
+            state.theta[kSrf], state.salt[kSrf], forc.fu, forc.fv,
+            phiHydLow=state.phiHydLow if cfg.usingPCoords else None)
         forc = Forcing(**{**forc.__dict__, **si_upd})
         state = State(**{**state.__dict__,
                          "uIce": ice_out.uIce, "vIce": ice_out.vIce,
@@ -755,7 +756,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     grid_old = grid_new = grid
     if use_sdr:
         from mitgcm_tpu.model import nlfs
-        fuv = (lambda a, b: fill_uv(a, b, False)) if cfg.nFaces > 1 \
+        fuv = (lambda a, b: fill_uv(a, b, False)) if cfg.onCubeFace \
             else fill_uv
         hs_new = nlfs.surf_dr_facs(cfg, grid, state.etaH, obm=obm,
                                    fill=fill, fill_uv=fuv)
@@ -784,11 +785,11 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         facC, facW, facS = rstar_mod.rstar_facs(
             cfg, grid, state.etaH, fill=fill,
             fill_uv=lambda a, b: fill_uv(a, b, False)
-            if cfg.nFaces > 1 else fill_uv(a, b))
+            if cfg.onCubeFace else fill_uv(a, b))
         facCm, facWm, facSm = rstar_mod.rstar_facs(
             cfg, grid, state.etaHm1, fill=fill,
             fill_uv=lambda a, b: fill_uv(a, b, False)
-            if cfg.nFaces > 1 else fill_uv(a, b))
+            if cfg.onCubeFace else fill_uv(a, b))
         grid_old = rstar_mod.rstar_view(cfg, grid, facCm, facWm, facSm)
         grid_new = rstar_mod.rstar_view(cfg, grid, facC, facW, facS)
         dtFS = cfg.deltaTFreeSurf
@@ -909,7 +910,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         # solve, correction, continuity and the STAGGERED thermodynamics
         # (:1032) see the new factors
         (uStar, vStar, (guNm1, guNm2), (gvNm1, gvNm2), cd_state,
-         totPhiHyd, nh) = dynamics(
+         totPhiHyd, nh, phiHydLow) = dynamics(
             cfg, grid_old, state, forc, rhoInSitu, myIter, rstar=rstar,
             aim_guv=aim_guv,
             sdr=None if not use_sdr else {"hsW": hs_new[1],
@@ -962,6 +963,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                                    uNM1=state.uNM1, vNM1=state.vNM1,
                                    etaNm1=state.etaNm1)
         totPhiHyd = state.totPhiHyd
+        phiHydLow = state.phiHydLow
         etaN = state.etaN
         phi_nh, nh = state.phi_nh, None
         z = jnp.zeros((), u.dtype)
@@ -1009,7 +1011,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             facC2, _facW2, _facS2 = rstar_mod.rstar_facs(
                 cfg, grid, etaH, fill=fill,
                 fill_uv=lambda a, b: fill_uv(a, b, False)
-                if cfg.nFaces > 1 else fill_uv(a, b))
+                if cfg.onCubeFace else fill_uv(a, b))
             stag_rstar = {**rstar, "ratioC": facC2 / rstar["facC"],
                           "forcC": rstar["ratioC"]}
         (theta, salt, gtNm1, gsNm1, gtNm2, gsNm2, pTr,
@@ -1069,6 +1071,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         # Nm1 rotation)
         etaHm1=state.etaH if (use_rstar or use_sdr) else state.etaHm1,
         totPhiHyd=totPhiHyd,
+        # phiHydLow (diags_phi_rlow.F): DYNAMICS vintage — consumed by
+        # the NEXT step's sea-ice tilt force in p-coords
+        phiHydLow=(phiHydLow if phiHydLow is not None
+                   else state.phiHydLow),
         # non-hydrostatic pressure + w-tendency history (NH_VARS.h)
         phi_nh=(fill(phi_nh) if phi_nh is not None and phi_nh.size
                 else state.phi_nh),

@@ -241,7 +241,9 @@ class CSExchange:
                         assert 0 <= jg + ol < nyp and 0 <= ig + ol < nxp
                         idx[f, jp, ip] = (link.nbr * nyp + (jg + ol)) \
                             * nxp + (ig + ol)
-        self.sc2_idx = jnp.asarray(idx.reshape(-1))
+        # NumPy, not jnp: this builder can run lazily inside a jit
+        # trace, where jnp.asarray returns a Tracer (caching it leaks)
+        self.sc2_idx = idx.reshape(-1)
 
     def fill_T2(self, arr):
         """Scalar ('T ') exchange, two passes: edges then corner blocks
@@ -626,8 +628,7 @@ class CSExchange:
                                     v_idx[f, tr, tc] = src
                                     v_sgn[f, tr, tc] = sgn
             self.cg_maps.append(
-                (jnp.asarray(u_idx.reshape(-1)), jnp.asarray(u_sgn),
-                 jnp.asarray(v_idx.reshape(-1)), jnp.asarray(v_sgn)))
+                (u_idx.reshape(-1), u_sgn, v_idx.reshape(-1), v_sgn))
 
     def fill_UV_cg(self, u, v, with_sign: bool = True):
         """Exact EXCH_UV_3D_RL for the cube: two RX2 'Cg' passes (ignore
@@ -725,8 +726,8 @@ class CSExchange:
                             idx[f, jp, ip] = (link.nbr * nyp + (jg + ol)) \
                                 * nxp + (ig + ol)
                             valid[f, jp, ip] = 1.0
-        self.z_idx = jnp.asarray(idx.reshape(-1))
-        self.z_valid = jnp.asarray(valid)
+        self.z_idx = idx.reshape(-1)
+        self.z_valid = valid
 
     def fill_Z(self, arr):
         self.build_z_map()

@@ -92,6 +92,65 @@ def test_kpp_physics_hooks(setup):
         1.0, float(np.max(np.abs(t_1)))))
 
 
+def test_reference_config_cs():
+    """Decomposition invariance on the CUBED SPHERE (hs94.cs-32x32x5):
+    one face per device over a 6-device "face" mesh, cross-face halos by
+    all_gather + the single-host CSExchange maps, reductions by psum
+    over the face axis.  Tolerance is relative ~1e-9: the cube-corner
+    vorticity operand grouping is face-dependent in the reference purely
+    for bit-reproducible rounding, and the SPMD per-face program uses
+    one grouping for all faces (same math, ulp-level difference)."""
+    from tests.conftest import reference_exp
+    from tests.test_hs94 import hs_forcing_uv, hs_forcing_t
+    from mitgcm_tpu.core.state import State
+    from mitgcm_tpu.model.experiment import Experiment
+
+    DIR = reference_exp("hs94.cs-32x32x5")
+    GRID_DIR = reference_exp("aim.5l_cs") + "/input"
+    exp = Experiment.from_dir(DIR + "/input", nx=32, ny=32, nr=5,
+                              grid_dir=GRID_DIR)
+    cfg, grid = exp.cfg, exp.grid
+    cfg.custom_forcing_uv = hs_forcing_uv
+    cfg.custom_forcing_t = hs_forcing_t
+    po, kap = cfg.atm_Po, cfg.atm_kappa
+    rC = np.asarray(grid.rC)
+    lat = np.deg2rad(np.asarray(grid.yC))
+    thetaLim = 200.0 / (rC[:, None, None] / po) ** kap
+    thetaEq = (315.0 - 60.0 * np.sin(lat) ** 2
+               - 10.0 * np.log(rC[:, None, None] / po) * np.cos(lat) ** 2)
+    theta0 = jnp.asarray(np.maximum(thetaLim, thetaEq)) * grid.maskC
+    exp.state = State(**{**exp.state.__dict__, "theta": theta0})
+    n_steps = 2
+
+    step1 = exp.make_step_fn()
+    s1 = exp.state
+    for i in range(n_steps):
+        s1, _ = step1(s1, exp.forcing, jnp.asarray(cfg.nIter0 + i))
+
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= 6
+    mesh = Mesh(np.array(cpus[:6]), ("face",))
+    model = dist.DistCSModel(exp, mesh)
+    sb, _ = model.run(model.shard(exp.state), model.shard(exp.forcing),
+                      n_steps=n_steps, n_iter0=cfg.nIter0)
+
+    for fname in ("theta", "uVel", "vVel", "etaN", "wVel"):
+        a1 = np.asarray(getattr(s1, fname))
+        an = model.gather(np.asarray(jax.device_get(getattr(sb, fname))))
+        assert a1.shape == an.shape, fname
+        scale = max(1.0, float(np.max(np.abs(a1))))
+        # compare interiors (halo conventions may differ post-step)
+        oly, olx = cfg.oly, cfg.olx
+        nyp = cfg.ny + 2 * oly
+        for f in range(6):
+            a1f = a1[..., f * nyp + oly:f * nyp + oly + cfg.ny,
+                     olx:olx + cfg.nx]
+            anf = an[..., f * nyp + oly:f * nyp + oly + cfg.ny,
+                     olx:olx + cfg.nx]
+            assert np.allclose(a1f, anf, rtol=0, atol=2e-9 * scale), \
+                (fname, f, float(np.max(np.abs(a1f - anf))))
+
+
 def test_reference_config_latlon():
     """Decomposition invariance on a real reference deck
     (tutorial_global_oce_latlon: GM-Redi + ptracers + periodic x)."""
