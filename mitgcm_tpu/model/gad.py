@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import jax
 import numpy as np
 
 from mitgcm_tpu.core.config import Config
@@ -36,9 +37,18 @@ ENUM_DST3 = 30
 ENUM_DST3_FLUX_LIMIT = 33
 ENUM_FLUX_LIMIT = 77
 ENUM_OS7MP = 7
+ENUM_PPM_NULL = 40
+ENUM_PPM_MONO = 41
+ENUM_PPM_WENO = 42
+ENUM_PQM_NULL = 50
+ENUM_PQM_MONO = 51
+ENUM_PQM_WENO = 52
+PPM_SCHEMES = (ENUM_PPM_NULL, ENUM_PPM_MONO, ENUM_PPM_WENO)
+PQM_SCHEMES = (ENUM_PQM_NULL, ENUM_PQM_MONO, ENUM_PQM_WENO)
 
 MULTIDIM_SCHEMES = (ENUM_FLUX_LIMIT, ENUM_DST3_FLUX_LIMIT, ENUM_DST2,
-                    ENUM_DST3, ENUM_UPWIND_1RST, ENUM_OS7MP)
+                    ENUM_DST3, ENUM_UPWIND_1RST, ENUM_OS7MP) \
+    + PPM_SCHEMES + PQM_SCHEMES
 
 
 class AdvFlow(NamedTuple):
@@ -256,6 +266,520 @@ def _os7mp_flux_r(cfg: Config, grid: Grid, rTrans, wFld, Q, deltaT):
     return flx
 
 
+# ---------------------------------------------------------------------------
+# PPM / PQM: Lagrangian piecewise parabolic / quartic methods
+# (pkg/generic_advdiff/gad_ppm_*.F, gad_pqm_*.F, gad_plm_fun.F,
+#  gad_osc_hat_*.F, gad_osc_mul_*.F)
+# ---------------------------------------------------------------------------
+
+def _plm_slope(ffll, ff00, ffrr):
+    """gad_plm_fun.F GAD_PLM_FUN_U: monotone centred half-slope dfds(0)
+    plus the one-sided halves dfds(-1), dfds(+1)."""
+    eps = 1.0e-16
+    dm = ff00 - ffll
+    dp = ffrr - ff00
+    d0 = 0.5 * (0.5 * (ff00 + ffrr) - 0.5 * (ffll + ff00))
+    scal = jnp.minimum(
+        jnp.minimum(jnp.abs(dm), jnp.abs(dp))
+        / jnp.maximum(jnp.abs(d0), eps), 1.0)
+    d0 = jnp.where(dm * dp > 0.0, scal * d0, 0.0)
+    return 0.5 * dm, d0, 0.5 * dp
+
+
+def _ppm_coef(ff00, fell, ferr):
+    """GAD_PPM_FUN_NULL coefficients on local coords s in [-1, 1]."""
+    h1 = 1.5 * ff00 - 0.25 * (ferr + fell)
+    h2 = 0.5 * (ferr - fell)
+    h3 = -1.5 * ff00 + 0.75 * (ferr + fell)
+    return h1, h2, h3
+
+
+def _ppm_mono(ff00, ffll, ffrr, fell, ferr, d0):
+    """GAD_PPM_FUN_MONO vectorized: (h1,h2,h3, mono>0 flag)."""
+    extrema = (ffrr - ff00) * (ff00 - ffll) <= 0.0
+    limL = (ffll - fell) * (fell - ff00) <= 0.0
+    limR = (ffrr - ferr) * (ferr - ff00) <= 0.0
+    fell = jnp.where(limL, ff00 - d0, fell)
+    ferr = jnp.where(limR, ff00 + d0, ferr)
+    h1, h2, h3 = _ppm_coef(ff00, fell, ferr)
+    has_turn = jnp.abs(h3) > jnp.abs(h2) * 0.5
+    turn = -0.5 * h2 / jnp.where(h3 == 0.0, 1.0, h3)
+    condA = has_turn & (turn >= -1.0) & (turn <= 0.0)
+    condB = has_turn & (turn > 0.0) & (turn <= 1.0)
+    # A and B are exclusive (disjoint turn ranges)
+    ferr = jnp.where(condA, 3.0 * ff00 - 2.0 * fell, ferr)
+    fell = jnp.where(condB, 3.0 * ff00 - 2.0 * ferr, fell)
+    redo = condA | condB
+    n1, n2, n3 = _ppm_coef(ff00, fell, ferr)
+    h1 = jnp.where(redo, n1, h1)
+    h2 = jnp.where(redo, n2, h2)
+    h3 = jnp.where(redo, n3, h3)
+    h1 = jnp.where(extrema, ff00, h1)
+    h2 = jnp.where(extrema, 0.0, h2)
+    h3 = jnp.where(extrema, 0.0, h3)
+    return h1, h2, h3, extrema | limL | limR | redo
+
+
+def _pqm_coef(ff00, fell, ferr, dell, derr):
+    """GAD_PQM_FUN_NULL coefficients (quartic, s in [-1, 1])."""
+    h1 = ((30.0 / 16.0) * ff00 - (7.0 / 16.0) * (ferr + fell)
+          + (1.0 / 16.0) * (derr - dell))
+    h2 = (3.0 / 4.0) * (ferr - fell) - (1.0 / 4.0) * (derr + dell)
+    h3 = (-(30.0 / 8.0) * ff00 + (15.0 / 8.0) * (ferr + fell)
+          - (3.0 / 8.0) * (derr - dell))
+    h4 = -(1.0 / 4.0) * (ferr - fell - derr - dell)
+    h5 = ((30.0 / 16.0) * ff00 - (15.0 / 16.0) * (ferr + fell)
+          + (5.0 / 16.0) * (derr - dell))
+    return h1, h2, h3, h4, h5
+
+
+def _pqm_mono(ff00, ffll, ffrr, fell, ferr, dell, derr, dfm, d0, dfp):
+    """GAD_PQM_FUN_MONO vectorized (incl. the QUADROOT inflexion test
+    and the edge 'pop' branches): (h1..h5, mono>0 flag)."""
+    extrema = (ffrr - ff00) * (ff00 - ffll) <= 0.0
+    limL = (ffll - fell) * (fell - ff00) <= 0.0
+    limR = (ffrr - ferr) * (ferr - ff00) <= 0.0
+    fell = jnp.where(limL, ff00 - d0, fell)
+    ferr = jnp.where(limR, ff00 + d0, ferr)
+    limDL = dell * dfm < 0.0
+    limDR = derr * dfp < 0.0
+    dell = jnp.where(limDL, dfm, dell)
+    derr = jnp.where(limDR, dfp, derr)
+    h1, h2, h3, h4, h5 = _pqm_coef(ff00, fell, ferr, dell, derr)
+
+    # QUADROOT on 12*h5*x^2 + 6*h4*x + 2*h3 (2nd derivative)
+    aa, bb, cc = 12.0 * h5, 6.0 * h4, 2.0 * h3
+    sq = bb * bb - 4.0 * aa * cc
+    hasA = (jnp.abs(aa) > 0.0) & (sq >= 0.0)
+    hasB = (jnp.abs(aa) <= 0.0) & (jnp.abs(bb) > 0.0)
+    sqr = jnp.sqrt(jnp.maximum(sq, 0.0))
+    ra = 0.5 / jnp.where(aa == 0.0, 1.0, aa)
+    rb = -cc / jnp.where(bb == 0.0, 1.0, bb)
+    far = 2.0      # outside (-1, 1): no effect
+    x1 = jnp.where(hasA, (-bb + sqr) * ra, jnp.where(hasB, rb, far))
+    x2 = jnp.where(hasA, (-bb - sqr) * ra, jnp.where(hasB, rb, far))
+
+    def dflx(x):
+        return h2 + x * h3 * 2.0 + x ** 2 * h4 * 3.0 + x ** 3 * h5 * 4.0
+
+    bad1 = (x1 > -1.0) & (x1 < 1.0) & (dflx(x1) * d0 < 0.0)
+    bad2 = (x2 > -1.0) & (x2 < 1.0) & (dflx(x2) * d0 < 0.0)
+    anybad = bad1 | bad2
+    bindm = anybad & (jnp.abs(dell) < jnp.abs(derr))
+    bindp = anybad & ~bindm
+
+    # bind == -1: pop inflexion onto the lower (-1) edge
+    eA_l, eA_r = fell, ferr
+    dA_r = -5.0 * ff00 + 3.0 * ferr + 2.0 * fell
+    dA_l = (5.0 / 3.0) * ff00 - (1.0 / 3.0) * ferr - (4.0 / 3.0) * fell
+    c1 = dA_l * dfm < 0.0
+    eA_r = jnp.where(c1, 5.0 * ff00 - 4.0 * eA_l, eA_r)
+    dA_r = jnp.where(c1, 10.0 * ff00 - 10.0 * eA_l, dA_r)
+    dA_l = jnp.where(c1, 0.0, dA_l)
+    c2 = dA_r * dfp < 0.0
+    eA_l = jnp.where(c2, (5.0 / 2.0) * ff00 - (3.0 / 2.0) * eA_r, eA_l)
+    dA_l = jnp.where(c2, -(5.0 / 3.0) * ff00 + (5.0 / 3.0) * eA_r, dA_l)
+    dA_r = jnp.where(c2, 0.0, dA_r)
+
+    # bind == +1: pop inflexion onto the upper (+1) edge
+    eB_l, eB_r = fell, ferr
+    dB_r = -(5.0 / 3.0) * ff00 + (4.0 / 3.0) * ferr + (1.0 / 3.0) * fell
+    dB_l = 5.0 * ff00 - 2.0 * ferr - 3.0 * fell
+    c1 = dB_l * dfm < 0.0
+    eB_r = jnp.where(c1, (5.0 / 2.0) * ff00 - (3.0 / 2.0) * eB_l, eB_r)
+    dB_r = jnp.where(c1, (5.0 / 3.0) * ff00 - (5.0 / 3.0) * eB_l, dB_r)
+    dB_l = jnp.where(c1, 0.0, dB_l)
+    c2 = dB_r * dfp < 0.0
+    eB_l = jnp.where(c2, 5.0 * ff00 - 4.0 * eB_r, eB_l)
+    dB_l = jnp.where(c2, -10.0 * ff00 + 10.0 * eB_r, dB_l)
+    dB_r = jnp.where(c2, 0.0, dB_r)
+
+    fell = jnp.where(bindm, eA_l, jnp.where(bindp, eB_l, fell))
+    ferr = jnp.where(bindm, eA_r, jnp.where(bindp, eB_r, ferr))
+    dell = jnp.where(bindm, dA_l, jnp.where(bindp, dB_l, dell))
+    derr = jnp.where(bindm, dA_r, jnp.where(bindp, dB_r, derr))
+    n = _pqm_coef(ff00, fell, ferr, dell, derr)
+    out = [jnp.where(anybad, nn, hh)
+           for nn, hh in zip(n, (h1, h2, h3, h4, h5))]
+    flat = (ff00, 0.0, 0.0, 0.0, 0.0)
+    out = [jnp.where(extrema, ff, hh) for ff, hh in zip(flat, out)]
+    mono = extrema | limL | limR | limDL | limDR | anybad
+    return out[0], out[1], out[2], out[3], out[4], mono
+
+
+def _p3e_edge(s, mask, f):
+    """GAD_PPM_P3E_*: 3rd-order edge value at the left edge of each
+    cell, with the outward mask-expansion of the 4-point stencil."""
+    mm1 = s(mask, -1)
+    fm1v = f + mm1 * (s(f, -1) - f)
+    f0v = s(f, -1) + mask * (f - s(f, -1))
+    mm2 = s(mask, -2) * mm1
+    tmp = 2.0 * fm1v - f0v
+    fm2v = tmp + mm2 * (s(f, -2) - tmp)
+    mp1 = s(mask, 1) * mask
+    tmp = 2.0 * f0v - fm1v
+    fp1v = tmp + mp1 * (s(f, 1) - tmp)
+    return (-(1.0 / 12.0) * (fm2v + fp1v)
+            + (7.0 / 12.0) * (fm1v + f0v))
+
+
+def _p5e_edge(s, mask, f, recip_dC):
+    """GAD_PQM_P5E_*: 5th-order edge value + edge slope (slope scaled
+    by recip_dxC/dyC/drC at the edge)."""
+    mm1 = s(mask, -1)
+    fm1v = f + mm1 * (s(f, -1) - f)
+    f0v = s(f, -1) + mask * (f - s(f, -1))
+    mm2 = s(mask, -2) * mm1
+    mm3 = s(mask, -3) * mm2
+    tmp = 2.0 * fm1v - f0v
+    fm2v = tmp + mm2 * (s(f, -2) - tmp)
+    tmp = 2.0 * fm2v - fm1v
+    fm3v = tmp + mm3 * (s(f, -3) - tmp)
+    mp1 = s(mask, 1) * mask
+    mp2 = s(mask, 2) * mp1
+    tmp = 2.0 * f0v - fm1v
+    fp1v = tmp + mp1 * (s(f, 1) - tmp)
+    tmp = 2.0 * fp1v - f0v
+    fp2v = tmp + mp2 * (s(f, 2) - tmp)
+    e1 = ((1.0 / 60.0) * (fm3v + fp2v) - (8.0 / 60.0) * (fm2v + fp1v)
+          + (37.0 / 60.0) * (fm1v + f0v))
+    e2 = (-(1.0 / 90.0) * (fm3v - fp2v) + (5.0 / 36.0) * (fm2v - fp1v)
+          - (49.0 / 36.0) * (fm1v - f0v)) * recip_dC
+    return e1, e2
+
+
+def _osc_hat(s, mask, f):
+    """GAD_OSC_LOC_* interior formula: masked 1st/2nd derivatives in
+    local coords (the callers fix the one-sided boundary columns)."""
+    fm1 = f + s(mask, -1) * (s(f, -1) - f)
+    fp1 = f + s(mask, 1) * (s(f, 1) - f)
+    d1 = 0.25 * (fp1 - fm1)
+    d2 = 0.25 * fp1 - 0.5 * f + 0.25 * fm1
+    return d1, d2
+
+
+def _osc_mul(s, mask, d1, d2):
+    """GAD_OSC_MUL_* with hh=2: WENO oscillation weights (scal1 for the
+    unlimited profile, scal2 for the limited one)."""
+    zero = 1.0e-20
+    omin = omax = None
+    mval = jnp.ones_like(mask)
+    for off in (-2, -1, 0, 1, 2):
+        dels = 2.0 * off
+        dd1 = s(d1, off)
+        dd2 = s(d2, off)
+        dfs1 = dd1 + dd2 * dels
+        oval = (2.0 * dfs1) ** 2 + (4.0 * dd2) ** 2
+        omin = oval if omin is None else jnp.minimum(omin, oval)
+        omax = oval if omax is None else jnp.maximum(omax, oval)
+        mval = mval * s(mask, off)
+    # reference form: s1 = 1e5/(omax+z)^3, s2 = 1/(omin+z)^3, then
+    # normalize.  Computed via the ratio q = ((omax+z)/(omin+z))^3 so no
+    # intermediate under/overflows (oval^3 spans ~1e-60..; TPU-emulated
+    # f64 only has the f32 exponent range); q -> inf gives the correct
+    # (0, 1) limit.
+    q = ((omax + zero) / (omin + zero)) ** 3
+    s1 = 1.0e5 / (1.0e5 + q)
+    s2 = q / (1.0e5 + q)
+    ok = mval > 0.0
+    return jnp.where(ok, s1, 0.0), jnp.where(ok, s2, 1.0)
+
+
+def _ppm_pqm_hat(scheme, s, mask, f, edges, osc, xhat=None):
+    """GAD_PPM_HAT_* / GAD_PQM_HAT_*: cell polynomial coefficients.
+
+    edges: (value,) for PPM or (value, slope) for PQM, at the LEFT edge
+    of each cell; osc: thunk returning the WENO weights; xhat: half
+    grid spacing (PQM scales the edge slopes to local coords)."""
+    ff00 = f
+    ffll = f + s(mask, -1) * (s(f, -1) - f)
+    ffrr = f + s(mask, 1) * (s(f, 1) - f)
+    fell = edges[0]
+    ferr = s(edges[0], 1)
+    ppm = scheme in PPM_SCHEMES
+    if not ppm:
+        dell = edges[1] * xhat
+        derr = s(edges[1], 1) * xhat
+    if scheme in (ENUM_PPM_NULL, ENUM_PQM_NULL):
+        if ppm:
+            return _ppm_coef(ff00, fell, ferr)
+        return _pqm_coef(ff00, fell, ferr, dell, derr)
+    dfm, d0, dfp = _plm_slope(ffll, ff00, ffrr)
+    if ppm:
+        lhat = _ppm_mono(ff00, ffll, ffrr, fell, ferr, d0)
+    else:
+        lhat = _pqm_mono(ff00, ffll, ffrr, fell, ferr, dell, derr,
+                         dfm, d0, dfp)
+    mono = lhat[-1]
+    lhat = lhat[:-1]
+    if scheme in (ENUM_PPM_MONO, ENUM_PQM_MONO):
+        return lhat
+    if ppm:
+        uhat = _ppm_coef(ff00, fell, ferr)
+    else:
+        uhat = _pqm_coef(ff00, fell, ferr, dell, derr)
+    fdel = jnp.abs(ffrr - ff00) + jnp.abs(ff00 - ffll)
+    fmag = jnp.abs(ffll) + jnp.abs(ff00) + jnp.abs(ffrr)
+    s1, s2 = osc()
+    blend = mono & (fdel > 1.0e-6 * fmag)
+    return tuple(jnp.where(blend, s1 * uu + s2 * ll, ll)
+                 for uu, ll in zip(uhat, lhat))
+
+
+def _sl_flux(s, uvel, ufac, coefs, cfl_up, cfl_dn, band):
+    """GAD_PPM_FLX_* / GAD_PQM_FLX_*: semi-Lagrangian edge flux — the
+    upwind cell polynomial integrated over the swept interval."""
+    def integ(ss11, ss22, cs):
+        tot = 0.0
+        for n, c in enumerate(cs, start=1):
+            tot = tot + (ss22 ** n - ss11 ** n) * (1.0 / n) * c
+        return tot
+
+    up = integ(1.0 - 2.0 * cfl_up, 1.0, [s(c, -1) for c in coefs])
+    dn = integ(-1.0 - 2.0 * cfl_dn, -1.0, list(coefs))
+    pos = uvel > 0.0
+    intF = jnp.where(pos, up, dn)
+    ucfl = jnp.where(pos, cfl_up, cfl_dn)
+    mag = jnp.maximum(jnp.abs(ucfl), 1.0e-20)
+    intF = 0.5 * intF / jnp.where(ucfl >= 0.0, mag, -mag)
+    return jnp.where(uvel == 0.0, 0.0, ufac * intF) * band
+
+
+def ppm_pqm_band(cfg: Config, axis: str, margin: int, dtype):
+    """Write band of the PPM/PQM flux kernels: x columns
+    [1-OLx+3, sNx+OLx-2] (PPM) / [1-OLx+4, sNx+OLx-3] (PQM); same rows
+    in y, per face."""
+    nyp = cfg.ny + 2 * cfg.oly
+    nxp = cfg.nx + 2 * cfg.olx
+    band = jnp.zeros((cfg.nFaces * nyp, nxp), dtype)
+    for f in range(cfg.nFaces):
+        if axis == "x":
+            band = band.at[f * nyp:(f + 1) * nyp,
+                           margin:nxp - margin + 1].set(1.0)
+        else:
+            band = band.at[f * nyp + margin:(f + 1) * nyp - margin + 1,
+                           :].set(1.0)
+    return band
+
+
+def _ppm_pqm_flux_h(cfg: Config, grid: Grid, scheme: int, axis: str,
+                    trans, vel, tracer, deltaT):
+    """Horizontal PPM/PQM flux (gad_ppm_adv_x/y.F, gad_pqm_adv_x/y.F):
+    operates on all levels at once with the 3-D maskC."""
+    if axis == "x":
+        s = lambda a, d: sh(a, di=d)                       # noqa: E731
+        recip_dF, recip_dC = grid.recip_dxF, grid.recip_dxC
+        dF = grid.dxF
+    else:
+        s = lambda a, d: sh(a, dj=d)                       # noqa: E731
+        recip_dF, recip_dC = grid.recip_dyF, grid.recip_dyC
+        dF = grid.dyF
+    mask = grid.maskC
+    ppm = scheme in PPM_SCHEMES
+    if ppm:
+        edges = (_p3e_edge(s, mask, tracer),)
+        xhat = None
+    else:
+        e1, e2 = _p5e_edge(s, mask, tracer, recip_dC)
+        edges = (e1, e2)
+        xhat = dF * 0.5
+
+    if scheme in (ENUM_PPM_WENO, ENUM_PQM_WENO):
+        d1, d2 = _osc_hat(s, mask, tracer)
+        d1, d2 = _osc_ends(axis, cfg, mask, tracer, d1, d2)
+        osc = lambda: _osc_mul(s, mask, d1, d2)            # noqa: E731
+    else:
+        osc = None
+    coefs = _ppm_pqm_hat(scheme, s, mask, tracer, edges, osc, xhat=xhat)
+    if not ppm:
+        # gad_pqm_hat_*.F zeroes the polynomial on dry cells
+        coefs = tuple(c * mask for c in coefs)
+    cfl_up = vel * deltaT * s(recip_dF, -1)
+    cfl_dn = vel * deltaT * recip_dF
+    band = ppm_pqm_band(cfg, axis, 3 if ppm else 4, tracer.dtype)
+    return _sl_flux(s, vel, trans, coefs, cfl_up, cfl_dn, band)
+
+
+def _osc_ends(axis, cfg, mask, f, d1, d2):
+    """GAD_OSC_LOC_* one-sided boundary columns (the first/last cell of
+    the padded row/column, reached by the +/-2 WENO window)."""
+    if axis == "x":
+        ax = -1
+    else:
+        # stacked-face layout: the per-face first/last rows; handled
+        # only for the single-block case (nFaces==1) — the multi-face
+        # y-sweep runs through the CS driver which splits per face
+        ax = -2
+    m = jnp.moveaxis(mask, ax, 0)
+    g = jnp.moveaxis(f, ax, 0)
+    e1 = jnp.moveaxis(d1, ax, 0)
+    e2 = jnp.moveaxis(d2, ax, 0)
+    f0 = g[0]
+    f1 = f0 + m[1] * (g[1] - f0)
+    f2 = f1 + m[2] * (g[2] - f1)
+    e1 = e1.at[0].set(0.5 * (f1 - f0))
+    e2 = e2.at[0].set(0.25 * f2 - 0.5 * f1 + 0.25 * f0)
+    h0 = g[-1]
+    h1 = h0 + m[-2] * (g[-2] - h0)
+    h2 = h1 + m[-3] * (g[-3] - h1)
+    e1 = e1.at[-1].set(0.5 * (h0 - h1))
+    e2 = e2.at[-1].set(0.25 * h0 - 0.5 * h1 + 0.25 * h2)
+    return jnp.moveaxis(e1, 0, ax), jnp.moveaxis(e2, 0, ax)
+
+
+def _ppm_pqm_flux_r(cfg: Config, grid: Grid, scheme: int, rTrans, wFld,
+                    tracer, deltaT):
+    """Vertical PPM/PQM flux (gad_ppm_adv_r.F / gad_pqm_adv_r.F):
+    columns padded with 3 ghost copies at both ends (mask 0), transport
+    facR = rTrans*maskC(k-1) (gad_advection.F:885-898 rTran3d)."""
+    nr = cfg.nr
+    mC = grid.maskC
+    ppm = scheme in PPM_SCHEMES
+    # padded columns: ghost cells copy the end values, ghost masks 0
+    P = jnp.concatenate([jnp.repeat(tracer[:1], 3, axis=0), tracer,
+                         jnp.repeat(tracer[-1:], 3, axis=0)], axis=0)
+    M = jnp.concatenate([jnp.zeros_like(mC[:3]), mC,
+                         jnp.zeros_like(mC[:3])], axis=0)
+
+    def cell(a, d, n):
+        # value at 1-based cell ir+d for ir in 1..n; cell 1 sits at
+        # padded index 3, so the slice starts at 3+d
+        return jax.lax.dynamic_slice_in_dim(a, 3 + d, n, axis=0)
+
+    # --- edges at interfaces ir in [1, Nr+1] (between cells ir-1, ir),
+    #     same stencils as _p3e/_p5e_edge applied to the padded column
+    def s_edge(a, d):
+        return cell(a, d, nr + 1)
+
+    mm1 = s_edge(M, -1)
+    fm1v = s_edge(P, 0) + mm1 * (s_edge(P, -1) - s_edge(P, 0))
+    f0v = s_edge(P, -1) + s_edge(M, 0) * (s_edge(P, 0) - s_edge(P, -1))
+    if ppm:
+        mm2 = s_edge(M, -2) * mm1
+        tmp = 2.0 * fm1v - f0v
+        fm2v = tmp + mm2 * (s_edge(P, -2) - tmp)
+        mp1 = s_edge(M, 1) * s_edge(M, 0)
+        tmp = 2.0 * f0v - fm1v
+        fp1v = tmp + mp1 * (s_edge(P, 1) - tmp)
+        eval_ = (-(1.0 / 12.0) * (fm2v + fp1v)
+                 + (7.0 / 12.0) * (fm1v + f0v))
+        eslp = None
+    else:
+        mm2 = s_edge(M, -2) * mm1
+        mm3 = s_edge(M, -3) * mm2
+        tmp = 2.0 * fm1v - f0v
+        fm2v = tmp + mm2 * (s_edge(P, -2) - tmp)
+        tmp = 2.0 * fm2v - fm1v
+        fm3v = tmp + mm3 * (s_edge(P, -3) - tmp)
+        mp1 = s_edge(M, 1) * s_edge(M, 0)
+        mp2 = s_edge(M, 2) * mp1
+        tmp = 2.0 * f0v - fm1v
+        fp1v = tmp + mp1 * (s_edge(P, 1) - tmp)
+        tmp = 2.0 * fp1v - f0v
+        fp2v = tmp + mp2 * (s_edge(P, 2) - tmp)
+        eval_ = ((1.0 / 60.0) * (fm3v + fp2v)
+                 - (8.0 / 60.0) * (fm2v + fp1v)
+                 + (37.0 / 60.0) * (fm1v + f0v))
+        eslp = (-(1.0 / 90.0) * (fm3v - fp2v)
+                + (5.0 / 36.0) * (fm2v - fp1v)
+                - (49.0 / 36.0) * (fm1v - f0v)
+                ) * grid.recip_drC[:nr + 1, None, None]
+
+    # --- cell polynomials for cells 1..Nr ---
+    f = tracer
+    mk = mC
+    mkm = jnp.concatenate([jnp.zeros_like(mk[:1]), mk[:-1]], axis=0)
+    mkp = jnp.concatenate([mk[1:], jnp.zeros_like(mk[:1])], axis=0)
+    fkm = jnp.concatenate([f[:1], f[:-1]], axis=0)
+    fkp = jnp.concatenate([f[1:], f[-1:]], axis=0)
+    ff00 = f
+    ffll = f + mkm * (fkm - f)
+    ffrr = f + mkp * (fkp - f)
+    fell, ferr = eval_[:nr], eval_[1:]
+    if not ppm:
+        rhat = grid.drF[:, None, None] * 0.5
+        dell, derr = eslp[:nr] * rhat, eslp[1:] * rhat
+
+    if scheme in (ENUM_PPM_WENO, ENUM_PQM_WENO):
+        # oscillation indicators on the padded column (interior formula;
+        # the padded ends are outside the +/-2 window of real cells)
+        sh1 = jnp.concatenate([M[:1] * 0, M[:-1]], axis=0)
+        fm1o = P + sh1 * (jnp.concatenate([P[:1], P[:-1]], axis=0) - P)
+        sh2 = jnp.concatenate([M[1:], M[:1] * 0], axis=0)
+        fp1o = P + sh2 * (jnp.concatenate([P[1:], P[-1:]], axis=0) - P)
+        D1 = 0.25 * (fp1o - fm1o)
+        D2 = 0.25 * fp1o - 0.5 * P + 0.25 * fm1o
+        zero = 1.0e-20
+        omin = omax = None
+        mval = jnp.ones_like(f)
+        for off in (-2, -1, 0, 1, 2):
+            dd1 = cell(D1, off, nr)
+            dd2 = cell(D2, off, nr)
+            dfs1 = dd1 + dd2 * (2.0 * off)
+            oval = (2.0 * dfs1) ** 2 + (4.0 * dd2) ** 2
+            omin = oval if omin is None else jnp.minimum(omin, oval)
+            omax = oval if omax is None else jnp.maximum(omax, oval)
+            mval = mval * cell(M, off, nr)
+        q = ((omax + zero) / (omin + zero)) ** 3
+        ok = mval > 0.0
+        s1 = jnp.where(ok, 1.0e5 / (1.0e5 + q), 0.0)
+        s2 = jnp.where(ok, q / (1.0e5 + q), 1.0)
+
+    if scheme in (ENUM_PPM_NULL, ENUM_PQM_NULL):
+        coefs = (_ppm_coef(ff00, fell, ferr) if ppm
+                 else _pqm_coef(ff00, fell, ferr, dell, derr))
+    else:
+        dfm, d0, dfp = _plm_slope(ffll, ff00, ffrr)
+        if ppm:
+            lhat = _ppm_mono(ff00, ffll, ffrr, fell, ferr, d0)
+        else:
+            lhat = _pqm_mono(ff00, ffll, ffrr, fell, ferr, dell, derr,
+                             dfm, d0, dfp)
+        mono = lhat[-1]
+        coefs = lhat[:-1]
+        if scheme in (ENUM_PPM_WENO, ENUM_PQM_WENO):
+            uhat = (_ppm_coef(ff00, fell, ferr) if ppm
+                    else _pqm_coef(ff00, fell, ferr, dell, derr))
+            fdel = jnp.abs(ffrr - ff00) + jnp.abs(ff00 - ffll)
+            fmag = jnp.abs(ffll) + jnp.abs(ff00) + jnp.abs(ffrr)
+            blend = mono & (fdel > 1.0e-6 * fmag)
+            coefs = tuple(jnp.where(blend, s1 * uu + s2 * ll, ll)
+                          for uu, ll in zip(uhat, coefs))
+    if not ppm:
+        coefs = tuple(c * mk for c in coefs)
+
+    # --- fluxes at interfaces ir in [2, Nr] (array index 1..nr-1) ---
+    rdrF = grid.recip_drF[:, None, None]
+    cm = [jnp.concatenate([c[:1], c[:-1]], axis=0) for c in coefs]
+    w = wFld
+    # wvel < 0: upwind cell ir-1, ss in [1+2*wCFL, 1]
+    cfl_m = w * deltaT * jnp.concatenate([rdrF[:1], rdrF[:-1]], axis=0)
+    # wvel > 0: cell ir, ss in [-1+2*wCFL, -1]
+    cfl_p = w * deltaT * rdrF
+
+    def integ(ss11, ss22, cs):
+        tot = 0.0
+        for n, c in enumerate(cs, start=1):
+            tot = tot + (ss22 ** n - ss11 ** n) * (1.0 / n) * c
+        return tot
+
+    up = integ(1.0 + 2.0 * cfl_m, 1.0, cm)
+    dn = integ(-1.0 + 2.0 * cfl_p, -1.0, list(coefs))
+    neg = w < 0.0
+    intF = jnp.where(neg, up, dn)
+    wcfl = jnp.where(neg, cfl_m, cfl_p)
+    mag = jnp.maximum(jnp.abs(wcfl), 1.0e-20)
+    # NOTE the sign: a literal read of gad_ppm_flx_r.F gives
+    # intF = -(upwind cell mean) in both branches, which is
+    # anti-diffusive through the shared fVerT update — the working
+    # convention (validated by digit-matching advect_xz) is +mean,
+    # i.e. divide the oriented integral by -wCFL
+    intF = -0.5 * intF / jnp.where(wcfl >= 0.0, mag, -mag)
+    facR = rTrans * mkm
+    flx = jnp.where(w == 0.0, 0.0, facR * intF)
+    return flx.at[0].set(0.0)
+
+
 def _adv_flux_highorder(cfg, scheme, trans, cfl, t, tm1, Rjp, Rj, Rjm,
                         mask_m1p1=None):
     """Shared wide-stencil advective flux (x/y direction-agnostic):
@@ -325,6 +849,9 @@ def adv_flux_x(cfg: Config, grid: Grid, scheme: int, uTrans, uFld, tracer,
         band = os7mp_band(cfg, "x", t.dtype)
         return os7mp_flux_x(uTrans, uFld, maskW, t, deltaT,
                             grid.recip_dxC, band)
+    if scheme in PPM_SCHEMES or scheme in PQM_SCHEMES:
+        return _ppm_pqm_flux_h(cfg, grid, scheme, "x", uTrans, uFld, t,
+                               deltaT)
     if scheme in (ENUM_UPWIND_1RST, ENUM_DST2):
         # gad_dst2u1_adv_x.F: Lax-Wendroff or upwind via CFL factor
         if scheme == ENUM_UPWIND_1RST:
@@ -357,6 +884,9 @@ def adv_flux_y(cfg: Config, grid: Grid, scheme: int, vTrans, vFld, tracer,
         band = os7mp_band(cfg, "y", t.dtype)
         return os7mp_flux_y(vTrans, vFld, maskS, t, deltaT,
                             grid.recip_dyC, band)
+    if scheme in PPM_SCHEMES or scheme in PQM_SCHEMES:
+        return _ppm_pqm_flux_h(cfg, grid, scheme, "y", vTrans, vFld, t,
+                               deltaT)
     if scheme in (ENUM_UPWIND_1RST, ENUM_DST2):
         if scheme == ENUM_UPWIND_1RST:
             yLimit = 1.0
@@ -403,6 +933,8 @@ def adv_flux_r(cfg: Config, grid: Grid, scheme: int, rTrans, wFld, tracer,
         flx = mkm1 * rTrans * 0.5 * (t + tkm1)
     elif scheme == ENUM_OS7MP:
         flx = _os7mp_flux_r(cfg, grid, rTrans, wFld, t, deltaT)
+    elif scheme in PPM_SCHEMES or scheme in PQM_SCHEMES:
+        flx = _ppm_pqm_flux_r(cfg, grid, scheme, rTrans, wFld, t, deltaT)
     elif scheme == ENUM_CENTERED_4TH:
         # gad_c4_adv_r.F: 4th-order centered; the upwind correction is
         # only active next to the top/bottom (maskBound wall factor)

@@ -939,8 +939,12 @@ class SeaIce:
             v = jnp.where(upd_v, v_new, v)
             m = m + 1
             do_chk = (m % p.SOLV_NCHECK) == 0
-            s1 = jnp.max(jnp.abs((u - uTmp) * mU)[jj, ii])
-            s2 = jnp.max(jnp.abs((v - vTmp) * mV)[jj, ii])
+            # global max over the interior of ALL tiles/faces
+            # (seaice_lsr.F:909-921 + _GLOBAL_MAX_RL) — a partial-face
+            # slice here silently stops the iteration when that one
+            # face happens to be ice-free
+            s1 = jnp.max(jnp.abs((u - uTmp) * mU) * self.interior)
+            s2 = jnp.max(jnp.abs((v - vTmp) * mV) * self.interior)
             chku = jnp.logical_and(do_chk, it4u)
             chkv = jnp.logical_and(do_chk, it4v)
             # WFAU2=0: freeze relaxation if the update grows (legacy)

@@ -257,7 +257,8 @@ def som_advect(cfg: Config, grid: Grid, u, v, w, tracer, smTr,
     fnv = jnp.maximum(0.0, -wdt_n)
     v_km1 = shk(smV)
     o_km1 = shk(smO)
-    sm_km1 = shk(sm)
+    # sm is the [9, nr, ny, nx] moment STACK: the k-shift is axis 1
+    sm_km1 = jnp.concatenate([sm[:, :1], sm[:, :-1]], axis=1)
     aln = fnv / v_km1
     alnq = aln * aln
     aln1 = 1.0 - aln

@@ -7,6 +7,7 @@ import shutil
 import tempfile
 import jax
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from mitgcm_tpu.model.experiment import Experiment
 from mitgcm_tpu.utils import refout
