@@ -192,6 +192,7 @@ class Config:
                                        # (verification prepare_run links)
     selectP_inEOS_Zc: int = UNSET      # set_parms.F:268 (2 for JMD95P etc)
     integr_GeoPot: int = 2             # set_defaults.F:136 (1=FV, 2=FD)
+    selectFindRoSurf: int = 0          # 1: Po_surf from analytic theta
     geoPotAnomFile: str = ""           # phi0surf input (ini_linear_phisurf.F)
     surf_pRef: float = 101325.0        # set_defaults.F:103
     eosRefP0: float = 101325.0         # ini_eos.F:82
@@ -353,6 +354,8 @@ class Config:
     useRBCS: bool = False
     useDiagnostics: bool = False
     useAIM: bool = False
+    useLand: bool = False
+    useThSIce: bool = False
     useZONAL_FILT: bool = False
 
     # package parameter groups (loaded from data.<pkg>)

@@ -173,6 +173,30 @@ def _cyc(a: np.ndarray, oly: int, olx: int) -> np.ndarray:
     return interior[..., jj, :][..., :, ii]
 
 
+def _bo_surf(cfg: Config, Ro_surf, kSurfC, nr):
+    """ini_linear_phisurf.F:80-183: Bo_surf/recip_Bo.  z-coords: gBaro;
+    p-coords uniformLin: 1/rhoConst; non-uniform atmosphere:
+    Bo = dPI/dp(Po_surf) * theta_ref (isothermal thetaConst when r*)."""
+    if cfg.usingZCoords:
+        return (np.full(Ro_surf.shape, cfg.gBaro),
+                np.full(Ro_surf.shape, 1.0 / cfg.gBaro))
+    if cfg.uniformLin_PhiSurf or not cfg.fluidIsAir:
+        return (np.full(Ro_surf.shape, cfg.recip_rhoConst),
+                np.full(Ro_surf.shape, cfg.rhoConst))
+    wet = (Ro_surf > 0.0) & (kSurfC <= nr)
+    dPIdp = np.where(wet, (cfg.atm_Rd / cfg.atm_Po) * np.maximum(
+        Ro_surf / cfg.atm_Po, 1e-30) ** (cfg.atm_kappa - 1.0), 0.0)
+    if cfg.select_rStar >= 1:
+        th = (cfg.thetaConst if cfg.thetaConst is not None
+              else cfg.tRef[0])
+    else:
+        ks = np.clip(np.asarray(kSurfC) - 1, 0, nr - 1)
+        th = np.asarray(cfg.tRef, float)[ks]
+    Bo = np.where(wet, dPIdp * th, 0.0)
+    recip = np.where(wet, _safe_recip(Bo), 0.0)
+    return Bo, recip
+
+
 def _hfac_column(rlow, rsurf, rF, drF, recip_drF, hFacMin, hFacMinDr):
     """Two-stage partial-cell fraction (ini_masks_etc.F:73-120).
 
@@ -245,6 +269,127 @@ def _pcoord_z_units(cfg: Config, rC):
         z2r[k] = cfg.gravity * _rho_scalar_ref(
             cfg, cfg.tRef[k], cfg.sRef[k], rC[k])
     return z2r
+
+
+def _analytic_theta_k(yLat, pN, kappa):
+    d2r = np.pi / 180.0
+    yyA, yyB, yyC = 45.0, 65.0, 65.0
+    yyAd, yyBd, yyCd = 0.9, 0.9, 10.0
+    cAtmp, cBtmp, ttdC = 2.6, 1.5, 3.3
+    ppN0, ppN1, ppN2 = 0.1, 0.19, 0.3
+    ppN3a, ppN3b, ppN4 = 0.9, 0.7, 0.925
+    ttp1, ttp2, ttp3, ttp4, ttp5 = 350.0, 342.0, 307.0, 301.0, 257.0
+    y = np.abs(np.asarray(yLat, float))[:, None]
+    yA = y - yyA
+    yA = yyA + np.minimum(0.0, yA / yyAd) + np.maximum(yA, 0.0)
+    yA = np.cos(d2r * np.maximum(yA, 0.0))
+    yB = y - yyB
+    yB = yyB + yB / yyBd
+    yB = np.cos(d2r * np.clip(yB, 0.0, 90.0))
+    yCt = y - yyC
+    yCt = np.maximum(0.0, 1.0 - (yCt / yyCd) ** 2)
+    yD = ppN3a + (ppN3b - ppN3a) * yCt
+    ttp2y = ttp3 + (ttp2 - ttp3) * yA ** cAtmp
+    ttp4y = ttp5 + (ttp4 - ttp5) * yB ** cBtmp
+    a1 = (ttp1 - ttp2y) * ppN1 * ppN2 / (ppN2 - ppN1)
+    p = np.asarray(pN, float)[None, :]
+    ppl = np.minimum(p, ppN1)
+    ppm = np.clip(p, ppN1, ppN2)
+    pph = np.maximum(p, ppN2)
+    ppr = (ppN0 + np.abs(ppl - ppN0) - ppN1) / (ppN2 - ppN1)
+    theta = (((1.0 - ppr) * ttp1 * ppN1 ** kappa
+              + ppr * ttp2y * ppN2 ** kappa) * ppl ** (-kappa)
+             + a1 * (1.0 / ppm - 1.0 / ppN1)
+             + (ttp4y - ttp2y) * (pph - ppN2) / (ppN4 - ppN2)
+             + (ttdC + yCt) * np.maximum(0.0, p - yD) / (1.0 - yD))
+    return theta
+
+
+def _p_ground_find1(cfg: Config, topoZ, yLat, rF, rC, drC):
+    """INI_P_GROUND (selectFindRoSurf=1, selectMode=2): find Po_surf
+    such that g*topoZ = Phi(Po_surf, theta_analytic(lat, p)), via a
+    60-level high-resolution Exner integration, then the
+    integr_GeoPot=2 finite-difference truncation correction
+    (ini_p_ground.F:123-249)."""
+    nr = len(rC)
+    kappa = cfg.atm_kappa
+    cp = cfg.atm_Cp
+    g = cfg.gravity
+    phiRef = _atm_phi_ref(cfg, rF, rC)
+    hRef1 = phiRef[0] / g
+    nLev = 60
+    plow = 0.4
+    dp = (1.0 - plow) / nLev
+    pLev = rF[0] / cfg.atm_Po - dp * np.arange(nLev + 1)
+    PiHvR = cp * pLev ** kappa
+    pMid = 0.5 * (pLev[:-1] + pLev[1:])
+    dPi = PiHvR[:-1] - PiHvR[1:]
+
+    shape = np.asarray(topoZ).shape
+    hflat = np.asarray(topoZ, float).ravel()
+    yflat = np.asarray(yLat, float).ravel()
+    theta = _analytic_theta_k(yflat, pMid, kappa)      # [ncell, 60]
+    dz = dPi[None, :] * theta / g
+    zcum = np.concatenate(
+        [np.zeros((len(hflat), 1)), np.cumsum(dz, axis=1)], axis=1)
+    phiLoc = hflat - hRef1
+    po = np.full_like(hflat, rF[0])
+    for idx in range(len(hflat)):
+        if phiLoc[idx] <= 0.0:
+            continue
+        k = int(np.searchsorted(zcum[idx, 1:], phiLoc[idx], side="left"))
+        if k >= nLev:
+            raise ValueError("ini_p_ground: topo exceeds column")
+        PiLoc = PiHvR[k] - g * (phiLoc[idx] - zcum[idx, k]) / theta[idx, k]
+        po[idx] = (PiLoc / cp) ** (1.0 / kappa) * cfg.atm_Po
+
+    if cfg.integr_GeoPot != 1:
+        # selectMode=2 truncation correction (ini_p_ground.F:222-249)
+        ratioRm = np.ones(nr)
+        ratioRp = np.ones(nr)
+        for k in range(1, nr):
+            ratioRm[k] = 0.5 * drC[k] / (rF[k] - rC[k])
+        for k in range(nr - 1):
+            ratioRp[k] = 0.5 * drC[k + 1] / (rC[k] - rF[k + 1])
+        for idx in range(len(po)):
+            Po = po[idx]
+            if Po < rC[0] and Po > rC[nr - 1]:
+                found = False
+                for k in range(nr):
+                    if not found and Po >= rC[k]:
+                        Po = rC[k] + (Po - rC[k]) / ratioRm[k]
+                        found = True
+                    rMidKp1 = rF[k + 1] if k == nr - 1 \
+                        else 0.5 * (rC[k] + rC[k + 1])
+                    if not found and Po >= rMidKp1:
+                        Po = rC[k] + (Po - rC[k]) / ratioRp[k]
+                        found = True
+                po[idx] = Po
+    return po.reshape(shape)
+
+
+def _p_ground_from_topo(cfg: Config, topoZ, rF, rC):
+    """ini_p_ground.F (selectFindRoSurf=0): ground pressure Po_surf from
+    the surface height topoZ by piecewise-linear interpolation onto the
+    reference geopotential heights hRef = phiRef/g at the interleaved
+    half/full levels rHalf = (rF1, rC1, rF2, ...)."""
+    nr = len(rC)
+    phiRef = _atm_phi_ref(cfg, rF, rC)
+    rHalf = np.empty(2 * nr + 1)
+    rHalf[0::2] = rF
+    rHalf[1::2] = rC
+    hRef = phiRef / cfg.gravity
+    flat = np.asarray(topoZ, dtype=np.float64).ravel()
+    po = np.empty_like(flat)
+    for idx in range(flat.size):
+        h = flat[idx]
+        ks = 0
+        for kk in range(2 * nr):
+            if h >= hRef[kk]:
+                ks = kk
+        po[idx] = rHalf[ks] + (rHalf[ks + 1] - rHalf[ks]) * (
+            (h - hRef[ks]) / (hRef[ks + 1] - hRef[ks]))
+    return po.reshape(np.asarray(topoZ).shape)
 
 
 def _atm_phi_ref(cfg: Config, rF, rC):
@@ -475,21 +620,7 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
         topoZ = mds.read_raw(
             cfg.find_file(cfg.topoFile), (ny, nx), prec
         ).astype(np.float64)
-        phiRef = _atm_phi_ref(cfg, rF, rC)
-        rHalf = np.empty(2 * nr + 1)
-        rHalf[0::2] = rF
-        rHalf[1::2] = rC
-        hRef = phiRef / cfg.gravity
-        po = np.empty_like(topoZ)
-        for jj in range(ny):
-            for ii in range(nx):
-                h = topoZ[jj, ii]
-                ks = 0
-                for kk in range(2 * nr):
-                    if h >= hRef[kk]:
-                        ks = kk
-                po[jj, ii] = rHalf[ks] + (rHalf[ks + 1] - rHalf[ks]) * (
-                    (h - hRef[ks]) / (hRef[ks + 1] - hRef[ks]))
+        po = _p_ground_from_topo(cfg, topoZ, rF, rC)
         R_low = np.full(pshape, rF[nr])
         Ro_surf = np.zeros(pshape)
         Ro_surf[oly:oly + ny, olx:olx + nx] = po
@@ -602,12 +733,7 @@ def build_grid(cfg: Config, bathy: Optional[np.ndarray] = None,
     recip_hFacS = _safe_recip(hFacS)
 
     # ---- linear free surface factor (ini_linear_phisurf.F) ----
-    if cfg.usingZCoords:
-        Bo_surf = np.full(pshape, cfg.gBaro)
-        recip_Bo = np.full(pshape, 1.0 / cfg.gBaro)
-    else:
-        Bo_surf = np.full(pshape, cfg.recip_rhoConst)
-        recip_Bo = np.full(pshape, cfg.rhoConst)
+    Bo_surf, recip_Bo = _bo_surf(cfg, Ro_surf, kSurfC, nr)
 
     inmask = np.zeros(pshape)
     inmask[oly:oly + ny, olx:olx + nx] = 1.0
@@ -694,6 +820,11 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     # jit the host-side fills: eager dispatch of the many small index ops
     # in fill_UV_cgrid costs ~10s/call, one fused compile ~1s
     jit_fill_C = jax.jit(ex.fill_C)
+    # two-pass scalar exchange with the corner halo blocks filled
+    # (EXCH2 UPDATE_CORNERS semantics) — required for R_low/Ro_surf so
+    # the corner-halo hFacC stays wet over topography
+    ex._build_scalar2_map()
+    jit_fill_T2 = jax.jit(ex.fill_T2)
     jit_fill_Z = jax.jit(ex.fill_Z)
     jit_fill_UV = jax.jit(
         lambda uu, vv: ex.fill_UV_cgrid(uu, vv, with_sign=False))
@@ -791,14 +922,38 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
         R_low = np.full(pshape, rF[nr])
         Ro_surf = np.zeros((6, nyp, nyp))
         Ro_surf[:, ol:ol + n, ol:ol + n] = bfaces
-        Ro_surf = np.asarray(jit_fill_C(jnp.asarray(Ro_surf))
+        Ro_surf = np.asarray(jit_fill_T2(jnp.asarray(Ro_surf))
+                             ).reshape(pshape)
+    elif cfg.usingPCoords and cfg.topoFile and cfg.fluidIsAir:
+        # ini_depths.F:168-180 + ini_p_ground.F (selectFindRoSurf=0) on
+        # the cube: surface height topoZ -> ground pressure Po_surf by
+        # piecewise-linear interpolation onto the reference geopotential
+        prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
+        tshape = (6 * n, n) if cfg.W2_mapIO == 1 else (n, 6 * n)
+        traw = mds.read_raw(cfg.find_file(cfg.topoFile),
+                            tshape, prec).astype(np.float64)
+        if cfg.W2_mapIO == 1:
+            tfaces = traw.reshape(6, n, n)
+        else:
+            tfaces = traw.reshape(n, 6, n).swapaxes(0, 1)
+        if cfg.selectFindRoSurf == 1:
+            yCf = np.asarray(yC).reshape(6, nyp, nyp)[:, ol:ol + n,
+                                                      ol:ol + n]
+            po = _p_ground_find1(cfg, tfaces, yCf, rF, rC, drC)
+        else:
+            po = _p_ground_from_topo(cfg, tfaces, rF, rC)
+        R_low = np.full(pshape, rF[nr])
+        Ro_surf = np.zeros((6, nyp, nyp))
+        Ro_surf[:, ol:ol + n, ol:ol + n] = po
+        Ro_surf = np.asarray(jit_fill_T2(jnp.asarray(Ro_surf))
                              ).reshape(pshape)
     else:
         R_low_in = np.full((6, n, n), rF[nr]) if bfaces is None else bfaces
         R_low = np.zeros((6, nyp, nyp))
         R_low[:, ol:ol + n, ol:ol + n] = np.minimum(R_low_in, rF[0]) \
             if cfg.usingZCoords else R_low_in
-        R_low = np.asarray(jit_fill_C(jnp.asarray(R_low))).reshape(pshape)
+        R_low = np.asarray(jit_fill_T2(jnp.asarray(R_low))
+                           ).reshape(pshape)
         Ro_surf = np.full(pshape, rF[0])
 
     rLowW = np.maximum(R_low, np.roll(R_low, 1, axis=-1))
@@ -881,12 +1036,7 @@ def build_cs_grid(cfg: Config, dtype=jnp.float64):
     fCoriG = 2.0 * cfg.omega * np.sin(np.deg2rad(yG))
     fCoriCos = 2.0 * cfg.omega * np.cos(np.deg2rad(yC))
 
-    if cfg.usingZCoords:
-        Bo_surf = np.full(pshape, cfg.gBaro)
-        recip_Bo = np.full(pshape, 1.0 / cfg.gBaro)
-    else:
-        Bo_surf = np.full(pshape, cfg.recip_rhoConst)
-        recip_Bo = np.full(pshape, cfg.rhoConst)
+    Bo_surf, recip_Bo = _bo_surf(cfg, Ro_surf, kSurfC, nr)
 
     imask = np.zeros(pshape)
     for f in range(6):

@@ -89,6 +89,13 @@ class State:
     # sea-surface geopotential in p-coords; the sea-ice tilt force reads
     # the previous DYNAMICS' value (seaice_dynsolver.F:225-230)
     phiHydLow: jnp.ndarray = None
+    # pkg/land prognostic state (LAND_VARS.h); zero-size unless useLand
+    landEnthalp: jnp.ndarray = None   # [2, ny, nx]
+    landW: jnp.ndarray = None         # [2, ny, nx] soil moisture
+    landT: jnp.ndarray = None         # [2, ny, nx] ground temperature
+    landSkinT: jnp.ndarray = None
+    landHSnow: jnp.ndarray = None
+    landSnowAge: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(
@@ -176,6 +183,8 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         guNm2=z3, gvNm2=z3, gtNm2=z3, gsNm2=z3,
         uVelD=z3, vVelD=z3, uNM1=z3, vNM1=z3, etaNm1=z2,
         etaHm1=z2, totPhiHyd=z3, phiHydLow=z2,
+        landEnthalp=z0, landW=z0, landT=z0, landSkinT=z0,
+        landHSnow=z0, landSnowAge=z0,
         pTr=zp, gPtrNm1=zp, GGL90TKE=z3, IDEMIX_E=z3, somT=somT,
         somS=somS,
         phi_nh=z3 if cfg.nonHydrostatic else z0,

@@ -122,6 +122,7 @@ class AimParams:
     aim_swcFile: str = ""
     aim_vegFile: str = ""
     aim_dragStrato: float = 0.0
+    aim_selectOceAlbedo: int = 0
     aim_surfForc_TimePeriod: float = 30.0 * 86400.0
     aim_surfForc_NppCycle: int = 12
     aim_surfForc_TransRatio: float = 1.0
@@ -194,10 +195,19 @@ class AIM:
     files).  `compute(...)` is pure and jit-friendly."""
 
     def __init__(self, cfg: Config, grid: Grid, p: AimParams,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, fill2d=None):
         self.cfg = cfg
         self.p = p
         self.dtype = dtype
+        # halo-layout loader for 2-D surface files (handles the global
+        # cubed-sphere record layout + proper cross-face halo fills);
+        # falls back to the simple cyclic pad for Cartesian tests
+        if fill2d is None:
+            oy_, ox_ = cfg.oly, cfg.olx
+            fill2d = lambda a: jnp.asarray(        # noqa: E731
+                np.pad(a, [(0, 0)] * (a.ndim - 2)
+                       + [(oy_, oy_), (ox_, ox_)], mode="wrap"), dtype)
+        self._fill2d = fill2d
         nr = cfg.nr
         rF = np.asarray(grid.rF)
         # sigma grids in PHYSICS order (aim_initialise.F:22-27 HSG)
@@ -225,14 +235,18 @@ class AIM:
 
         oy, ox = cfg.oly, cfg.olx
         ny, nx = cfg.ny, cfg.nx
+        if cfg.nFaces > 1:
+            gy, gx = ((cfg.nFaces * ny, ny) if cfg.W2_mapIO == 1
+                      else (ny, cfg.nFaces * ny))
+        else:
+            gy, gx = ny, nx
         # land fraction (aim_initialise.F:63-68)
         prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
-        landFr = np.zeros((ny, nx))
+        landFr = np.zeros((gy, gx))
         if p.aim_LandFile:
             landFr = mds.read_raw(cfg.find_file(p.aim_LandFile),
-                                  (ny, nx), prec).astype(np.float64)
-        self.landFr = jnp.asarray(np.pad(
-            landFr, ((oy, oy), (ox, ox)), mode="wrap"), dtype)
+                                  (gy, gx), prec).astype(np.float64)
+        self.landFr = jnp.asarray(fill2d(landFr), dtype)
         # theta->T conversion for the surface-temperature input file
         # (aim_initialise.F truncSurfP, MMsurfFc+surfPotTemp branch)
         Ro = np.asarray(grid.Ro_surf)
@@ -244,11 +258,11 @@ class AIM:
             self.truncSurfP = jnp.asarray((Ro / tp) ** self.kappa, dtype)
         # orographic drag factor (SFLSET, phy_suflux_prep.F:75-90) from
         # the topography height read back from topoFile
-        topoZ = np.zeros((ny, nx))
+        topoZ = np.zeros((gy, gx))
         if cfg.topoFile:
             topoZ = mds.read_raw(cfg.find_file(cfg.topoFile),
-                                 (ny, nx), prec).astype(np.float64)
-        phi0 = gg * np.pad(topoZ, ((oy, oy), (ox, ox)), mode="wrap")
+                                 (gy, gx), prec).astype(np.float64)
+        phi0 = gg * np.asarray(fill2d(topoZ))
         self.fOrogr = jnp.asarray(
             1.0 + FHDRAG * (1.0 - np.exp(-np.maximum(phi0, 0.0)
                                          / (gg * HDRAG))), dtype)
@@ -261,6 +275,40 @@ class AIM:
         self.csLat = jnp.asarray(
             np.cos(np.asarray(grid.yC) * np.pi / 180.0), dtype)
         self._mm_cache = {}
+        self.yC = jnp.asarray(np.asarray(grid.yC), dtype)
+        self.land = None          # pkg/land instance (set by Experiment)
+
+        # F.Molteni surface BC (aim_useFMsurfBC): 12-record monthly
+        # climatologies loaded whole; the month pair + weights are
+        # computed inside `compute` (aim_fields_load.F:86-95)
+        if p.aim_useFMsurfBC:
+            def rd(fname, nrec):
+                f = cfg.find_file(fname)
+                raw = mds.read_raw(f, (nrec, gy, gx), prec
+                                   ).astype(np.float64)
+                return jnp.asarray(fill2d(raw), dtype)
+
+            ncyc = p.aim_surfForc_NppCycle
+            self.fm = {}
+            if p.aim_albFile:
+                self.fm["alb"] = rd(p.aim_albFile, 1)[0] / 100.0
+            if p.aim_vegFile:
+                self.fm["veg"] = jnp.maximum(
+                    rd(p.aim_vegFile, 1)[0] / 100.0, 0.0)
+            else:
+                self.fm["veg"] = jnp.zeros_like(self.landFr)
+            if p.aim_sstFile:
+                self.fm["sst"] = rd(p.aim_sstFile, ncyc)
+            if p.aim_lstFile:
+                self.fm["lst"] = rd(p.aim_lstFile, ncyc)
+            if p.aim_oiceFile:
+                self.fm["oic"] = rd(p.aim_oiceFile, ncyc)
+            if p.aim_snowFile:
+                self.fm["snw"] = rd(p.aim_snowFile, ncyc)
+            if p.aim_swcFile:
+                sw = rd(p.aim_swcFile, 2 * ncyc)
+                self.fm["sw1"] = sw[:ncyc]
+                self.fm["sw2"] = sw[ncyc:]
 
     # -- monthly-mean surface BC (aim_fields_load.F MM branch) ------------
     def _read_mm(self, stem):
@@ -274,15 +322,37 @@ class AIM:
             out.append(np.pad(a, ((oy, oy), (ox, ox)), mode="wrap"))
         return jnp.asarray(np.stack(out), self.dtype)
 
-    def surf_bc(self, myTime):
-        """(fmask[3], alb1[4], sst1, stl1, sti1, soilw1) at myTime
-        (aim_fields_load.F:28-35 month index + aim_surf_bc.F MM branch).
-        Month selection is a traced gather so `compute` stays jittable."""
+    def surf_bc(self, myTime, tyear=None, land_state=None):
+        """(fmask[3], alb1[4], sst1, stl1, sti1, soilw1, snow1, oice1)
+        at myTime: aim_surf_bc.F — the F.Molteni monthly-climatology
+        branch (aim_useFMsurfBC) or the MM monthly-file branch; the
+        pkg/land override (AIM_LAND2AIM) is applied when a land state is
+        passed.  Month selection is a traced gather so `compute` stays
+        jittable."""
         p = self.p
-        if not p.aim_useMMsurfFc:
-            raise NotImplementedError(
-                "pkg/aim: only the aim_useMMsurfFc monthly-mean surface "
-                "BC branch is implemented (aim_surf_bc.F FM branch absent)")
+        if p.aim_useFMsurfBC:
+            out = self._surf_bc_fm(myTime, tyear)
+        elif p.aim_useMMsurfFc:
+            out = self._surf_bc_mm(myTime)
+        else:
+            raise NotImplementedError("aim_surf_bc: no surface BC source")
+        fmask1, alb1, sst1, stl1, sti1, soilw1, snow1, oice1 = out
+        if self.land is not None and land_state is not None:
+            # AIM_LAND2AIM: prognostic land surface replaces climatology
+            stl1, soilw1, albL = self.land.land2aim(land_state)
+            alb1 = [alb1[0], albL, alb1[2], alb1[3]]
+        fmask3 = (1.0 - fmask1) * oice1
+        fmask2 = 1.0 - fmask1 - fmask3
+        alb1 = list(alb1)
+        alb1[0] = fmask1 * alb1[1] + fmask2 * alb1[2] + fmask3 * alb1[3]
+        if not p.aim_splitSIOsFx:
+            fmask3 = jnp.zeros_like(fmask1)
+            fmask2 = 1.0 - fmask1
+        return ((fmask1, fmask2, fmask3), alb1, sst1, stl1, sti1,
+                soilw1, snow1, oice1)
+
+    def _surf_bc_mm(self, myTime):
+        p = self.p
         if "salb" not in self._mm_cache:
             self._mm_cache["salb"] = self._read_mm("salb") / 100.0
             stem = "stheta" if p.aim_surfPotTemp else "sTemp"
@@ -296,13 +366,96 @@ class AIM:
         alb = jnp.take(self._mm_cache["salb"], mi, axis=0)
         st = jnp.take(self._mm_cache["st"], mi, axis=0)
         sw = jnp.take(self._mm_cache["smoist"], mi, axis=0)
-        fmask1 = self.landFr
-        oice1 = jnp.zeros_like(fmask1)
-        fmask3 = (1.0 - fmask1) * oice1
-        fmask2 = 1.0 - fmask1 - fmask3
-        alb1 = [None, alb, alb, alb]
-        alb1[0] = fmask1 * alb1[1] + fmask2 * alb1[2] + fmask3 * alb1[3]
-        return ((fmask1, fmask2, fmask3), alb1, st, st, st, sw)
+        z = jnp.zeros_like(self.landFr)
+        return (self.landFr, [None, alb, alb, alb], st, st, st, sw, z, z)
+
+    def _surf_bc_fm(self, myTime, tyear):
+        """aim_surf_bc.F:104-260 (aim_useFMsurfBC): linear-in-time
+        interpolation between two monthly records, FM soil-water
+        availability, sst/sea-ice temperature split, and the FM
+        snow/sea-ice albedo."""
+        p = self.p
+        fm = self.fm
+        tNcyc = float(p.aim_surfForc_NppCycle)
+        t0prd = myTime / p.aim_surfForc_TimePeriod
+        tmprd = jnp.mod(t0prd - 0.5 + tNcyc, tNcyc)
+        nm0 = jnp.floor(tmprd).astype(jnp.int32)    # 0-based month
+        nm1 = jnp.mod(nm0 + 1, p.aim_surfForc_NppCycle)
+        dTprd = tmprd - nm0
+        w1 = jnp.clip(0.5 + (dTprd - 0.5) * p.aim_surfForc_TransRatio,
+                      0.0, 1.0)
+        w0 = 1.0 - w1
+
+        def interp(name):
+            return (w0 * jnp.take(fm[name], nm0, axis=0)
+                    + w1 * jnp.take(fm[name], nm1, axis=0))
+
+        sst1 = interp("sst")
+        stl1 = interp("lst")
+        # FM soil water availability (aim_surf_bc.F:147-171)
+        SDEP1, IDEP2 = 70.0, 3.0
+        SDEP2 = IDEP2 * SDEP1
+        SWWIL2 = SDEP2 * SWWIL
+        RSW = 1.0 / (SDEP1 * SWCAP + SDEP2 * (SWCAP - SWWIL))
+        veg = fm["veg"]
+        sw0m = (jnp.take(fm["sw1"], nm0, axis=0) + veg * jnp.maximum(
+            IDEP2 * jnp.take(fm["sw2"], nm0, axis=0) - SWWIL2, 0.0)) * RSW
+        sw1m = (jnp.take(fm["sw1"], nm1, axis=0) + veg * jnp.maximum(
+            IDEP2 * jnp.take(fm["sw2"], nm1, axis=0) - SWWIL2, 0.0)) * RSW
+        soilw1 = jnp.minimum(1.0, w0 * sw0m + w1 * sw1m)
+        snow1 = interp("snw")
+        oice1 = interp("oic")
+
+        if p.aim_splitSIOsFx:
+            # split open-ocean / sea-ice surface temperature
+            oceTfreez = 273.15 - 1.9
+            sti1 = sst1
+            big = oice1 > 1.0e-2
+            sstc = jnp.where(big, jnp.maximum(sst1, oceTfreez), sst1)
+            sti1 = jnp.where(big, sstc + (sti1 - sstc)
+                             / jnp.where(big, oice1, 1.0), sti1)
+            sst1 = sstc
+            oice1 = jnp.where(big, oice1, 0.0)
+        else:
+            sti1 = sst1
+
+        # FM surface albedo (aim_surf_bc.F:203-259); ALLOW_INSOLATION
+        # undefined: RZEN form.  aim_selectOceAlbedo=0 keeps ALBSEA.
+        RSD = 1.0 / SDALB
+        alb_land = (fm["alb"] + jnp.maximum(0.0, ALBSN - fm["alb"])
+                    * jnp.minimum(1.0, RSD * snow1))
+        if p.aim_selectOceAlbedo == 1:
+            alpha = 2.0 * jnp.pi * (tyear + 10.0 / 365.0)
+            rzen = jnp.cos(alpha) * (-23.45 * jnp.pi / 180.0)
+            zc, zs = jnp.cos(rzen), jnp.sin(rzen)
+            sj = jnp.sin(self.yC * jnp.pi / 180.0)
+            cj = jnp.cos(self.yC * jnp.pi / 180.0)
+            tmpa = sj * zs
+            tmpb = cj * zc
+            tmpl = -tmpa / jnp.where(tmpb == 0.0, 1.0, tmpb)
+            hlim = jnp.arccos(jnp.clip(tmpl, -1.0, 1.0))
+            czen_mid = 2.0 * (tmpa * hlim + tmpb * jnp.sin(hlim))
+            czen2_mid = (2.0 * tmpa * tmpa * hlim
+                         + 4.0 * tmpa * tmpb * jnp.sin(hlim)
+                         + tmpb * tmpb * (hlim + 0.5
+                                          * jnp.sin(2.0 * hlim)))
+            czen_lo = 2.0 * tmpa * jnp.pi
+            czen2_lo = jnp.pi * (2.0 * tmpa * tmpa + tmpb * tmpb)
+            czen = jnp.where(
+                tmpl >= 1.0, 0.0,
+                jnp.where(tmpl <= -1.0, czen2_lo / czen_lo,
+                          czen2_mid / jnp.where(czen_mid == 0.0, 1.0,
+                                                czen_mid)))
+            albsea1 = ((2.6 / (czen ** 1.7 + 0.065))
+                       + (15.0 * (czen - 0.1) * (czen - 0.5)
+                          * (czen - 1.0))) / 100.0
+        else:
+            albsea1 = ALBSEA
+        alb2 = 0.5 * ALBSEA + 0.5 * albsea1
+        alb2 = alb2 * jnp.ones_like(alb_land)
+        alb3 = ALBICE * jnp.ones_like(alb_land)
+        return (self.landFr, [None, alb_land, alb2, alb3], sst1, stl1,
+                sti1, soilw1, snow1, oice1)
 
     # -- dynamics <-> physics mapping -------------------------------------
     def dyn2aim(self, grid: Grid, theta, salt, uVel, vVel):
@@ -678,9 +831,10 @@ class AIM:
     # -- surface fluxes ---------------------------------------------------
     def suflux(self, PSA, TA, QA, RH, ThA, Vsurf2, WVS, fmask, stl1, sst1,
                sti1, soilw1, ssr_list, slrd):
-        """phy_suflux_prep/land/ocean/post chain (aim_splitSIOsFx=F).
-        Returns dict with blended SHF/EVAP/DRAG, slru (ST4S), net sfc LW
-        per surface, TSFC and dTskin."""
+        """phy_suflux_prep/land/ocean/sice chain.  Returns the per-surface
+        fluxes + the implicit-solve products (Shf0/dShf/... and sFlx)
+        for land and sea-ice; blending happens in suflux_post AFTER the
+        land/ice implicit skin-temperature adjustments."""
         kGrd = self.kGrd
         kg = jnp.clip(kGrd, 1, self.nlev)
         TAg = self._gather(TA, kg)
@@ -701,49 +855,88 @@ class AIM:
                 CDS * denvv]
         rdth = FSTAB / DTHETA
 
-        # land (phy_suflux_land.F), dTstab=1 branch, no DEW on land
-        tskinL = stl1 + dTskin
-        tsfcL = 273.16 + dTskin
-        fsland = 1.0 + jnp.clip(tskinL - T1, -DTHETA, DTHETA) * rdth
-        cdenvv = CHL * denvv * fsland
-        fstb0 = 1.0 + jnp.clip(tsfcL - T1, -DTHETA, DTHETA) * rdth
-        shf0 = CHL * denvv * fstb0
-        dtstb = (DTHETA + DTSTAB - jnp.abs(tskinL - T1)) / DTSTAB
-        dfstb = rdth * jnp.clip(dtstb * 0.5, 0.0, 1.0)
-        dshf = CHL * denvv * dfstb
-        qsat1, dqs1 = dqsat_dt(tskinL, PSA)
-        qsat2 = qsat(tsfcL, PSA)
-        evapL = cdenvv * soilw1 * jnp.maximum(0.0, qsat1 - Q0)
-        devp = (cdenvv * soilw1 * dqs1
-                + dshf * soilw1 * jnp.maximum(0.0, qsat1 - Q0))
-        shfL = cdenvv * self.CP * (tskinL - T0)
-        dshf = cdenvv * self.CP + dshf * self.CP * (tskinL - T0)
-        dshf = jnp.maximum(dshf, 0.0)
-        devp = jnp.maximum(devp, -dshf / ALHC)
-        slruL = SBC * tskinL ** 4
+        def bulk(ch, tsurf, tsfc, swav, alhevp, ssr_s, with_ssr):
+            """Shared phy_suflux_land/sice body (dTstab=1, no dew):
+            fluxes at the skin temp + at tsfc (freezing) + derivatives
+            + the net-flux triplet sFlx (land includes SSR in sFlx)."""
+            fstab = 1.0 + jnp.clip(tsurf - T1, -DTHETA, DTHETA) * rdth
+            cdenvv = ch * denvv * fstab
+            fstb0 = 1.0 + jnp.clip(tsfc - T1, -DTHETA, DTHETA) * rdth
+            shf0c = ch * denvv * fstb0
+            dtstb = (DTHETA + DTSTAB - jnp.abs(tsurf - T1)) / DTSTAB
+            dfstb = rdth * jnp.clip(dtstb * 0.5, 0.0, 1.0)
+            dshfc = ch * denvv * dfstb
+            qs1, dqs1 = dqsat_dt(tsurf, PSA)
+            qs2 = qsat(tsfc, PSA)
+            evap = cdenvv * swav * jnp.maximum(0.0, qs1 - Q0)
+            evp0 = shf0c * swav * jnp.maximum(0.0, qs2 - Q0)
+            devp = (cdenvv * swav * dqs1
+                    + dshfc * swav * jnp.maximum(0.0, qs1 - Q0))
+            shf = cdenvv * self.CP * (tsurf - T0)
+            shf0 = shf0c * self.CP * (tsfc - T0)
+            dshf = cdenvv * self.CP + dshfc * self.CP * (tsurf - T0)
+            dshf = jnp.maximum(dshf, 0.0)
+            devp = jnp.maximum(devp, -dshf / alhevp)
+            slr0 = SBC * tsfc ** 4
+            slru = SBC * tsurf ** 4
+            dslr = 4.0 * SBC * tsurf ** 3
+            rad = (ssr_s if with_ssr else 0.0) + slrd
+            sflx0 = (rad - EMISFC * slr0) - (shf0 + alhevp * evp0)
+            sflx1 = (rad - EMISFC * slru) - (shf + alhevp * evap)
+            sflx2 = -EMISFC * dslr - (dshf + alhevp * devp)
+            return {"shf": shf, "evap": evap, "slru": slru,
+                    "shf0": shf0, "dshf": dshf, "evp0": evp0,
+                    "devp": devp, "slr0": slr0, "dslr": dslr,
+                    "sflx0": sflx0, "sflx1": sflx1, "sflx2": sflx2}
+
+        # land (phy_suflux_land.F): skin = stl1+dTskin, freezing pt
+        # shifted by dTskin, sFlx includes SSR over land
+        landF = bulk(CHL, stl1 + dTskin, 273.16 + dTskin, soilw1,
+                     ALHC, ssr_list[1], True)
 
         # ocean (phy_suflux_ocean.F)
+        one = jnp.ones_like(sst1)
         fssea = 1.0 + jnp.clip(sst1 - T1, -DTHETA, DTHETA) * rdth
         cdo = CHS * denvv * fssea
-        shfO = cdo * self.CP * (sst1 - T0)
-        evapO = cdo * (qsat(sst1, PSA) - Q0)
-        slruO = SBC * sst1 ** 4
+        oceF = {"shf": cdo * self.CP * (sst1 - T0),
+                "evap": cdo * (qsat(sst1, PSA) - Q0),
+                "slru": SBC * sst1 ** 4}
 
-        # splitSIOsFx = FALSE: no separate sea-ice fluxes
-        shfI = jnp.zeros_like(shfO)
-        evapI = jnp.zeros_like(shfO)
-        slruI = jnp.zeros_like(shfO)
+        # sea ice (phy_suflux_sice.F, aim_splitSIOsFx only): NO dTskin,
+        # evap carries the latent heat of freezing with energPrecip or
+        # thsice; swav=1; sFlx has no SSR (added by thsice_impl)
+        if self.p.aim_splitSIOsFx:
+            alhevp = (ALHC + ALHF
+                      if (self.p.aim_energPrecip or self.cfg.useThSIce)
+                      else ALHC)
+            iceF = bulk(CHS, sti1, 273.16 * one, one, alhevp,
+                        ssr_list[3], False)
+        else:
+            z = jnp.zeros_like(sst1)
+            iceF = {"shf": z, "evap": z, "slru": z}
 
+        return {"landF": landF, "oceF": oceF, "iceF": iceF,
+                "drag": drag, "T0": T0, "Q0": Q0, "T1": T1,
+                "dTskin": dTskin, "speed0": speed0}
+
+    def suflux_post(self, sf, fmask, stl1, sst1, sti1):
+        """phy_suflux_post.F: 3-surface blend (after the implicit land /
+        sea-ice skin-temperature adjustments updated landF/iceF/stl1)."""
         fm1, fm2, fm3 = fmask
+        landF, oceF, iceF, drag = (sf["landF"], sf["oceF"], sf["iceF"],
+                                   sf["drag"])
         drag0 = fm1 * drag[1] + fm2 * drag[2] + fm3 * drag[3]
-        shf_0 = fm1 * shfL + fm2 * shfO + fm3 * shfI
-        evap0 = fm1 * evapL + fm2 * evapO + fm3 * evapI
-        slru = fm1 * slruL + fm2 * slruO + fm3 * slruI
+        shf_0 = (fm1 * landF["shf"] + fm2 * oceF["shf"]
+                 + fm3 * iceF["shf"])
+        evap0 = (fm1 * landF["evap"] + fm2 * oceF["evap"]
+                 + fm3 * iceF["evap"])
+        slru = (fm1 * landF["slru"] + fm2 * oceF["slru"]
+                + fm3 * iceF["slru"])
         tsfc = fm1 * stl1 + fm2 * sst1 + fm3 * sti1
         st4s = EMISFC * slru
         return {"drag0": drag0, "shf0": shf_0, "evap0": evap0,
-                "st4s": st4s, "tsfc": tsfc, "T0": T0, "Q0": Q0,
-                "speed0": speed0}
+                "st4s": st4s, "tsfc": tsfc, "T0": sf["T0"],
+                "Q0": sf["Q0"], "speed0": sf["speed0"]}
 
     # -- shallow convection / vertical diffusion (phy_vdifsc.F) -----------
     def vdifsc(self, dpFac, SE, RH, QA, QSAT):
@@ -825,15 +1018,17 @@ class AIM:
         return ttstack, qtstack
 
     # -- the full physics step --------------------------------------------
-    def compute(self, grid: Grid, theta, salt, uVel, vVel, myTime):
+    def compute(self, grid: Grid, theta, salt, uVel, vVel, myTime,
+                land_state=None):
         """One AIM_DO_PHYSICS call (minus the top-level humidity dump,
         which mutates the state and is handled by the caller).  Returns
-        (aim_dTdt, aim_dSdt, aim_drag) in DYNAMICS order/units."""
+        (aim_dTdt, aim_dSdt, aim_drag, diag, land_state')."""
         cfg = self.cfg
         nlev = self.nlev
         yearLength = 86400.0 * 360.0
         tyear = jnp.mod(myTime / yearLength, 1.0)
-        fmask, alb1, stl1, sst1, sti1, soilw1 = self.surf_bc(myTime)
+        (fmask, alb1, stl1, sst1, sti1, soilw1, snow1,
+         oice1) = self.surf_bc(myTime, tyear, land_state)
         TA, QA, ThA, PSA, dpFac, Vsurf2, WVS = self.dyn2aim(
             grid, theta, salt, uVel, vVel)
         SE = ThA
@@ -851,6 +1046,28 @@ class AIM:
 
         precls, tt_lsc, qt_lsc = self.lscond(PSA, dpFac, QA, QSAT)
 
+        # energy of precipitation (phy_snow_precip.F, aim_energPrecip):
+        # corrects the condensation heating for snow / rain temperature
+        kg = self.kGrd
+        if self.p.aim_energPrecip:
+            kgc = jnp.clip(kg, 1, nlev)
+            T1s = self._gather(ThA, kgc) * PSA ** self.kappa
+            enPrec = jnp.where(
+                kg > 0,
+                jnp.where(T1s >= 273.15, (4200.0 / 1000.0)
+                          * (T1s - 273.15), -ALHF), 0.0)
+            # large-scale: DTLSC += EnPrec*DQLSC/CP for k=2..kGrd
+            tt_lsc = tt_lsc + jnp.where(
+                (lvl >= 2) & (lvl <= kg),
+                enPrec[None] * qt_lsc / self.CP, 0.0)
+            # convective: DTCNV(Ktop) -= EnPrec*PRECNV*GRDSCP(Ktop)
+            conv_on = (kg > 0) & (icltop0 < kg)
+            tt_cnv = tt_cnv - jnp.where(
+                (lvl == icltop0) & conv_on[None],
+                enPrec[None] * precnv[None] * grdscp3, 0.0)
+        else:
+            enPrec = jnp.zeros_like(PSA)
+
         fsol, ozone, ozupp, zenit, stratz = self.sol_oz(tyear)
         absCO2 = ABLCO2
         (dfabs_sw, fsfc_sw, tsr, upswg, cloudc, icltop, qcloud,
@@ -866,20 +1083,59 @@ class AIM:
         sf = self.suflux(PSA, TA, QA, RH, ThA, Vsurf2, WVS, fmask,
                          stl1, sst1, sti1, soilw1, fsfc_sw, slrd)
 
+        # pkg/land implicit skin/ground temperature (aim_land_impl.F):
+        # adjust the land fluxes and stl1 with the solved dTsurf, then
+        # run the land forward step with the AIM fluxes (aim_aim2land.F
+        # + land_stepfwd.F)
+        land_new = land_state
+        if self.land is not None and land_state is not None:
+            lf = dict(sf["landF"])
+            snowcell = ((land_state.skinT < 0.0)
+                        | (land_state.hSnow > 0.0))
+            sflx0 = lf["sflx0"] - jnp.where(snowcell,
+                                            ALHF * lf["evp0"], 0.0)
+            sflx1 = lf["sflx1"] - jnp.where(snowcell,
+                                            ALHF * lf["evap"], 0.0)
+            sflx2 = lf["sflx2"] - jnp.where(snowcell,
+                                            ALHF * lf["devp"], 0.0)
+            lnd1, dTsurf, pme_melt = self.land.impl_temp(
+                land_state, sflx0, sflx1, sflx2)
+            pinned = dTsurf > 999.0
+            shfL = jnp.where(pinned, lf["shf0"],
+                             lf["shf"] + dTsurf * lf["dshf"])
+            evapL = jnp.where(pinned, lf["evp0"],
+                              lf["evap"] + dTsurf * lf["devp"])
+            slruL = jnp.where(pinned, lf["slr0"],
+                              lf["slru"] + dTsurf * lf["dslr"])
+            heatFlx = jnp.where(pinned, sflx0,
+                                sflx1 + dTsurf * sflx2)
+            enWFlux = jnp.where(snowcell, ALHF * evapL, 0.0)
+            stl1 = jnp.where(pinned, 273.15 * jnp.ones_like(stl1),
+                             stl1 + dTsurf)
+            sf = {**sf, "landF": {**lf, "shf": shfL, "evap": evapL,
+                                  "slru": slruL}}
+            # AIM_AIM2LAND: fresh water + precip energy fluxes
+            pr_m_ev = (pme_melt + 1.0e-3 * (precnv + precls - evapL))
+            enWFlux = enWFlux + enPrec * (precnv + precls)
+            land_new, _ro, _er = self.land.stepfwd(
+                lnd1, heatFlx, pr_m_ev, enWFlux)
+
+        sfp = self.suflux_post(sf, fmask, stl1, sst1, sti1)
+
         _ftop, dfabs_lw2 = self.radlw_up(
-            TA, sf["tsfc"], sf["st4s"], tau2, ozupp, dfabs_lw,
+            TA, sfp["tsfc"], sfp["st4s"], tau2, ozupp, dfabs_lw,
             flux_lw, st4a)
         tt_rlw = dfabs_lw2 * grdscp3
 
         tt_pbl, qt_pbl = self.vdifsc(dpFac, SE, RH, QA, QSAT)
         # surface fluxes into the ground cell (phy_driver.F:306-316)
-        kg = self.kGrd
         grds_g = self._gather(grdscp3 * jnp.ones_like(TA), kg)
         grdq_g = self._gather(grdsig3 * jnp.ones_like(TA), kg)
         tt_pbl = tt_pbl + jnp.where((lvl == kg) & (kg > 0),
-                                    sf["shf0"] * grds_g, 0.0)
+                                    sfp["shf0"] * grds_g, 0.0)
         qt_pbl = qt_pbl + jnp.where((lvl == kg) & (kg > 0),
-                                    sf["evap0"] * grdq_g, 0.0)
+                                    sfp["evap0"] * grdq_g, 0.0)
+        sf = sfp
 
         # aim_aim2dyn.F: back to dynamics order, theta units, /hFac
         rC = np.asarray(grid.rC)
@@ -891,7 +1147,7 @@ class AIM:
         dSdt_dyn = dSdt[::-1] * grid.recip_hFacC
         diag = {"precnv": precnv, "precls": precls, "cloudc": cloudc,
                 "tsr": tsr, "cbmf": cbmf}
-        return dTdt_dyn, dSdt_dyn, sf["drag0"], diag
+        return dTdt_dyn, dSdt_dyn, sf["drag0"], diag, land_new
 
 
 def apply_drag_uv(cfg: Config, grid: Grid, aim_drag, uVel, vVel):

@@ -484,7 +484,40 @@ class Experiment:
         aim_obj = None
         if cfg.useAIM:
             from mitgcm_tpu.model import aim as aim_mod
-            aim_obj = aim_mod.AIM(cfg, grid, cfg.aim, dtype)
+            fill2d = lambda a: _pad_and_fill(        # noqa: E731
+                cfg, a, dtype, cs_fill)
+            aim_obj = aim_mod.AIM(cfg, grid, cfg.aim, dtype,
+                                  fill2d=fill2d)
+            if cfg.useLand:
+                from mitgcm_tpu.core import nml
+                from mitgcm_tpu.model import land as land_mod
+                lnl = {}
+                lpath = cfg.find_file("data.land")
+                if os.path.exists(lpath):
+                    lnl = nml.read_namelist(lpath)
+                lp = land_mod.params_from_namelists(cfg, lnl)
+                grnd_alb = aim_obj.fm.get(
+                    "alb", jnp.zeros_like(aim_obj.landFr)) \
+                    if getattr(aim_obj, "fm", None) is not None \
+                    else jnp.zeros_like(aim_obj.landFr)
+                land_obj = land_mod.Land(cfg, lp, aim_obj.landFr,
+                                         grnd_alb, dtype)
+                aim_obj.land = land_obj
+                gy, gx = _global_dims(cfg)
+                prec = ">f4" if cfg.readBinaryPrec == 32 else ">f8"
+
+                def read_rec(fname, nrec):
+                    return mds.read_raw(cfg.find_file(fname),
+                                        (nrec, gy, gx), prec
+                                        ).astype(np.float64)
+
+                lst0 = land_mod.init_state(land_obj, fill2d, read_rec)
+                state = State(**{
+                    **state.__dict__,
+                    "landEnthalp": lst0.enthalp, "landW": lst0.groundW,
+                    "landT": lst0.groundT, "landSkinT": lst0.skinT,
+                    "landHSnow": lst0.hSnow,
+                    "landSnowAge": lst0.snowAge})
         zonfilt_obj = None
         if cfg.useZONAL_FILT:
             from mitgcm_tpu.model import zonal_filt as zf_mod
@@ -902,15 +935,28 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     dtype = exp.state.etaN.dtype
     nr = cfg.nr
 
-    def pad3(a):
-        out = np.zeros((nr, cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
-        out[:, cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = a
-        return cyclic_fill_halo(jnp.asarray(out, dtype), cfg.oly, cfg.olx)
+    if cfg.nFaces > 1:
+        # cubed-sphere pickup records are global-layout; scalar-fill the
+        # halos here, u/v pairs get the vector exchange afterwards
+        def pad3(a):
+            return _pad_and_fill(cfg, np.asarray(a), dtype, exp.cs_fill)
 
-    def pad2(a):
-        out = np.zeros((cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
-        out[cfg.oly:cfg.oly + cfg.ny, cfg.olx:cfg.olx + cfg.nx] = a
-        return cyclic_fill_halo(jnp.asarray(out, dtype), cfg.oly, cfg.olx)
+        pad2 = pad3
+    else:
+        def pad3(a):
+            out = np.zeros((nr, cfg.ny + 2 * cfg.oly,
+                            cfg.nx + 2 * cfg.olx))
+            out[:, cfg.oly:cfg.oly + cfg.ny,
+                cfg.olx:cfg.olx + cfg.nx] = a
+            return cyclic_fill_halo(jnp.asarray(out, dtype), cfg.oly,
+                                    cfg.olx)
+
+        def pad2(a):
+            out = np.zeros((cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx))
+            out[cfg.oly:cfg.oly + cfg.ny,
+                cfg.olx:cfg.olx + cfg.nx] = a
+            return cyclic_fill_halo(jnp.asarray(out, dtype), cfg.oly,
+                                    cfg.olx)
 
     # walk the fldList: 3-D fields take nr records, 2-D one
     fld_names = [n for n in meta.get("fldList", _PICKUP_3D + _PICKUP_2D)
@@ -953,7 +999,32 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     # r* restart: old-time factors equal current ones (initialise_varia.F
     # calls CALC_R_STAR then UPDATE_R_STAR from the same etaH)
     updates["etaHm1"] = vals.get("EtaH", vals["EtaN"])
+    if cfg.nFaces > 1 and exp.cs_fill is not None:
+        # read_pickup.F exchanges: u/v get the C-grid VECTOR fill
+        for ku, kv in (("uVel", "vVel"), ("guNm1", "gvNm1"),
+                       ("guNm2", "gvNm2")):
+            if ku in updates and kv in updates:
+                uu, vv = exp.cs_fill.fill_uv(updates[ku], updates[kv])
+                updates[ku], updates[kv] = uu, vv
     exp.state = State(**{**exp.state.__dict__, **updates})
+
+    # pkg/land companion pickup (land_read_pickup.F new format:
+    # enthalp[nLev], groundW[nLev], skinT, hSnow, snowAge)
+    land_path = os.path.join(in_dir, f"pickup_land.{myIter:010d}")
+    if (exp.aim is not None and getattr(exp.aim, "land", None) is not None
+            and os.path.exists(land_path)):
+        from mitgcm_tpu.model import land as land_mod
+        gy, gx = _global_dims(cfg)
+        raw = mds.read_raw(land_path, (7, gy, gx), ">f8")
+        fill2d_l = lambda a: _pad_and_fill(     # noqa: E731
+            cfg, np.asarray(a), dtype, exp.cs_fill)
+        lst0 = land_mod.init_state(exp.aim.land, fill2d_l, None,
+                                   pickup=raw)
+        exp.state = State(**{
+            **exp.state.__dict__,
+            "landEnthalp": lst0.enthalp, "landW": lst0.groundW,
+            "landT": lst0.groundT, "landSkinT": lst0.skinT,
+            "landHSnow": lst0.hSnow, "landSnowAge": lst0.snowAge})
 
     # CD-scheme companion pickup (pkg/cd_code/cd_code_read_pickup.F:
     # records uVelD,vVelD,uNM1,vNM1 (Nr each) then etaNm1 at 4*Nr+1;

@@ -676,11 +676,26 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         salt_d = aim_mod.top_humidity_dump(cfg, grid, state.salt)
         salt_d = fill(salt_d)
         state = State(**{**state.__dict__, "salt": salt_d})
-        aim_dT, aim_dS, aim_drag, _aim_diag = aim.compute(
-            grid, state.theta, state.salt, state.uVel, state.vVel, myTime)
+        land_in = None
+        if aim.land is not None:
+            from mitgcm_tpu.model import land as land_mod
+            land_in = land_mod.LandState(
+                enthalp=state.landEnthalp, groundW=state.landW,
+                groundT=state.landT, skinT=state.landSkinT,
+                hSnow=state.landHSnow, snowAge=state.landSnowAge)
+        aim_dT, aim_dS, aim_drag, _aim_diag, land_out = aim.compute(
+            grid, state.theta, state.salt, state.uVel, state.vVel,
+            myTime, land_state=land_in)
         aim_tend = (aim_dT, aim_dS)
         aim_guv = aim_mod.apply_drag_uv(cfg, grid, aim_drag,
                                         state.uVel, state.vVel)
+        if land_out is not None:
+            state = State(**{
+                **state.__dict__,
+                "landEnthalp": land_out.enthalp, "landW": land_out.groundW,
+                "landT": land_out.groundT, "landSkinT": land_out.skinT,
+                "landHSnow": land_out.hSnow,
+                "landSnowAge": land_out.snowAge})
 
     # OBCS_CALC: boundary values at the end-of-step time
     # (do_oceanic_phys.F:317, myTime+deltaTClock / myIter+1)
@@ -1085,6 +1100,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         siHEFF=state.siHEFF, siHSNOW=state.siHSNOW,
         siHSALT=state.siHSALT, siTICES=state.siTICES,
         SItracer=state.SItracer,
+        # pkg/land state was updated in-place after AIM physics
+        landEnthalp=state.landEnthalp, landW=state.landW,
+        landT=state.landT, landSkinT=state.landSkinT,
+        landHSnow=state.landHSnow, landSnowAge=state.landSnowAge,
     )
     diag = diag._replace(forc={"Qnet": forc.Qnet, "Qsw": forc.Qsw,
                                "EmPmR": forc.EmPmR, "fu": forc.fu,

@@ -758,7 +758,10 @@ class CSFill:
         self.nyp = ex.n + 2 * ex.ol
 
     def fill(self, a):
-        return _from_faces(self.ex.fill_C(_to_faces(a, self.nyp)))
+        # two-pass scalar exchange: edge halos then the corner-diagonal
+        # blocks (EXCH2 UPDATE_CORNERS) — fill_C alone leaves zeros in
+        # the OLxOL corner blocks, which the reference never has
+        return _from_faces(self.ex.fill_T2(_to_faces(a, self.nyp)))
 
     def fill_uv(self, u, v, with_sign=True):
         uf, vf = self.ex.fill_UV_cgrid(_to_faces(u, self.nyp),

@@ -148,3 +148,13 @@ if os.environ.get("ICESTATS"):
             if k.startswith("seaice_") and k in m:
                 print(f"{k:30s} d={refout.matching_digits(r[k], m[k]):2d} "
                       f"ref={r[k]: .13e} mine={m[k]: .13e}")
+
+if os.environ.get("ALLSTATS"):
+    for step in (1, 2):
+        if step > n:
+            break
+        r, m = ref[step], recs[step]
+        print(f"=== step {step} all:")
+        for k in sorted(r):
+            if k in m and not k.startswith("time_"):
+                print(f"{k:30s} d={refout.matching_digits(r[k], m[k]):2d}")
