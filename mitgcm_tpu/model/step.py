@@ -987,9 +987,20 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
 
     # the reference increments myIter between DYNAMICS and the pressure
     # solve (forward_step.F:806), so continuity sees nIter0+iloop.
-    # Continuity runs on the locally-updated velocities (the uVel/vVel
-    # exchange happens later, do_statevars_exch); the fill below only
-    # refreshes halos for the next step's stencils.
+    # Continuity runs on the locally-updated velocities: in the
+    # reference the tile-overlap values are recomputed locally and are
+    # bit-identical to an exchange, so on the CUBE (where our stacked
+    # shifts make halo-region updates garbage) the state exchange must
+    # happen BEFORE continuity or the face-seam fluxes break global
+    # conservation; on the cyclic lat-lon tiling the shift-computed
+    # halos are already exact and the fill placement is a no-op.
+    # staggered runs exchange the state velocities with EXCH_UV_3D_RL
+    # (do_stagger_fields_exchanges.F); non-staggered with EXCH_UV_XYZ_RL
+    # (do_fields_blocking_exchanges.F) — different corner conventions
+    if cfg.staggerTimeStep and fill_uv_cg is not None:
+        u, v = fill_uv_cg(u, v)
+    else:
+        u, v = fill_uv(u, v)
     # calc_wVelocity = momStepping .OR. exactConserv (set_parms.F:98)
     if cfg.momStepping or cfg.exactConserv:
         w, etaN, etaH, dEtaHdt, PmEpR = integr_continuity(
@@ -998,13 +1009,6 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     else:
         w, etaH, dEtaHdt = state.wVel, state.etaH, state.dEtaHdt
         PmEpR = state.PmEpR
-    # staggered runs exchange the state velocities with EXCH_UV_3D_RL
-    # (do_stagger_fields_exchanges.F); non-staggered with EXCH_UV_XYZ_RL
-    # (do_fields_blocking_exchanges.F) — different corner conventions
-    if cfg.staggerTimeStep and fill_uv_cg is not None:
-        u, v = fill_uv_cg(u, v)
-    else:
-        u, v = fill_uv(u, v)
     w = fill(w)
 
     # OPPS convective adjustment of the freshly stepped tracers

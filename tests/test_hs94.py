@@ -135,22 +135,17 @@ def test_iter0_digit_match(exp, ref_series):
 
 def test_20step_series(exp, ref_series):
     recs = exp.run(20)
-    # step-1 cg2d residual is bit-exact: dynamics and pressure solve are
-    # verified to full precision; the Shapiro-filter corner-halo delta
-    # limits the series match to >= 4 digits (see module docstring)
     assert refout.matching_digits(
         ref_series[1]["cg2d_init_res"], recs[1]["cg2d_init_res"]) >= 12
+    # full-precision series match (measured 12-13 digits on every stat)
+    # after the cube exchange fixes: two-pass corner-block scalar fill
+    # + the pre-continuity state exchange (see step.py:988)
     for i, (rr, mr) in enumerate(zip(ref_series, recs)):
-        for k in KEYS:
+        for k in KEYS + KEYS3 + KEYS4:
             if k in rr and k in mr:
                 scale = max(abs(rr.get(k.rsplit("_", 1)[0] + "_max", 0.0)),
                             abs(rr[k]))
                 if abs(rr[k]) < 1e-6 * scale:
                     continue   # roundoff-dominated stat
-                assert refout.matching_digits(rr[k], mr[k]) >= 4, (
-                    i, k, rr[k], mr[k])
-        for k in KEYS3 + KEYS4:
-            if k in rr and k in mr:
-                need = 3 if k in KEYS3 else 4
-                assert refout.matching_digits(rr[k], mr[k]) >= need, (
+                assert refout.matching_digits(rr[k], mr[k]) >= 10, (
                     i, k, rr[k], mr[k])
