@@ -50,7 +50,7 @@ class Config:
     diffK4S: float = 0.0
     diffKzS: float = UNSET
     diffKrS: float = 0.0
-    f0: float = 0.0
+    f0: float = 1.0e-4        # set_defaults.F:111
     beta: float = 0.0
     fPrime: float = 0.0
     omega: float = UNSET           # default 2pi/86164 s (set_parms)
