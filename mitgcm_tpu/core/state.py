@@ -75,6 +75,7 @@ class State:
     siHSALT: jnp.ndarray = None
     siTICES: jnp.ndarray = None      # [multDim, ny, nx]
     SItracer: jnp.ndarray = None     # [nTr, ny, nx]
+    siSigma: jnp.ndarray = None      # [3, ny, nx] EVP sigma1/2/12 ([0,..])
     # non-hydrostatic pressure + wVel AB tendency history
     # (model/inc/NH_VARS.h phi_nh/gwNm1/gwNm2); zero-size when hydrostatic
     phi_nh: jnp.ndarray = None
@@ -137,6 +138,9 @@ class Forcing:
     wspeed: jnp.ndarray = None   # exf wind speed (bulk formulae input)
     evap: jnp.ndarray = None     # exf evaporation [m/s]
     runoftemp: jnp.ndarray = None  # runoff temperature [degC] (ALLOW_RUNOFTEMP)
+    # ATMOSPHERIC_LOADING: surface pressure loading [Pa] (pLoadFile /
+    # exf apressure) added to phi0surf (external_forcing_surf.F:360-377)
+    pLoad: jnp.ndarray = None
     # ALLOW_3D_DIFFKR: additive 3-D vertical-diffusivity anomaly
     # [nr, ny, nx] on top of the diffKrNr profile — the xx_diffkr control
     # target (ctrl_map_ini_genarr.F:399-402)
@@ -176,7 +180,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         siHEFF=z2 if cfg.useSEAICE else z0,
         siHSNOW=z2 if cfg.useSEAICE else z0,
         siHSALT=z2 if cfg.useSEAICE else z0,
-        siTICES=z0, SItracer=z0,
+        siTICES=z0, SItracer=z0, siSigma=z0,
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
         etaN=z2, etaH=z2, dEtaHdt=z2, PmEpR=z2,
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,

@@ -43,13 +43,13 @@ _SPD = 86400.0
 _FIELDS = ["hflux", "sflux", "ustress", "vstress", "swflux", "lwflux",
            "atemp", "aqh", "uwind", "vwind", "precip", "evap",
            "swdown", "lwdown", "runoff", "runoftemp", "wspeed",
-           "snowprecip", "climsst", "climsss"]
+           "snowprecip", "climsst", "climsss", "apressure"]
 _INTERP_DEFAULT = {"hflux": 1, "sflux": 1, "swflux": 1, "lwflux": 1,
                    "ustress": 12, "vstress": 22, "uwind": 12,
                    "vwind": 22, "atemp": 1, "aqh": 1, "precip": 1,
                    "evap": 1, "swdown": 1, "lwdown": 1, "runoff": 1,
                    "runoftemp": 1, "wspeed": 1, "snowprecip": 1,
-                   "climsst": 2, "climsss": 2}
+                   "climsst": 2, "climsss": 2, "apressure": 1}
 
 # EXF_CONSTANTS.h + exf_readparms.F:318-370 bulk-formulae constants
 BULK = dict(

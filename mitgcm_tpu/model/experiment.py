@@ -191,6 +191,13 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
         stack, knots = masked_records("climsss", maskC0)
         upd["SSS"] = jnp.asarray(refill(stack))
         tknots["SSS"] = jnp.asarray(knots)
+    if "apressure" in fields:
+        # exf_mapfields.F:314-321: pLoad = apressure - surf_pRef
+        # (pressure ANOMALY, ATMOSPHERIC_LOADING)
+        stack, knots = masked_records("apressure", maskC0)
+        upd["pLoad"] = jnp.asarray(refill(
+            (stack - cfg.surf_pRef) * maskC0[None]))
+        tknots["pLoad"] = jnp.asarray(knots)
     # bulk-formulae mode (ALLOW_ATM_TEMP/ALLOW_ATM_WIND): carry the raw
     # atmospheric state; fluxes are computed per step in forward_step
     if "snowprecip" in fields:
@@ -317,6 +324,13 @@ class Experiment:
         sss = _load_2d(cfg, cfg.saltClimFile, dtype, cs_fill)
         if sss is not None:
             forcing = Forcing(**{**forcing.__dict__, "SSS": sss})
+        pload = _load_2d(cfg, cfg.pLoadFile, dtype, cs_fill)
+        if pload is not None:
+            if not cfg.usingZCoords:
+                raise NotImplementedError(
+                    "pLoadFile under p-coords (the phi0surf-from-file "
+                    "hack, ini_forcing.F) is not supported")
+            forcing = Forcing(**{**forcing.__dict__, "pLoad": pload})
 
         # pkg/exf forcing pipeline (records pre-interpolated at setup,
         # calendar-aware time knots; see model/exf.py)
@@ -462,12 +476,46 @@ class Experiment:
             seaice_obj = seaice_mod.SeaIce(cfg, grid, sip,
                                            fills=cs_fill)
             ice0 = seaice_obj.init_state(dtype)
+            if sip.uIceFile or sip.vIceFile or sip.HeffFile \
+                    or sip.AreaFile or sip.HsnowFile:
+                # seaice_init_varia.F:285-367 fresh-start file reads
+                fuv = seaice_obj.fill_uv
+                fl = seaice_obj.fill
+                uI, vI = ice0.uIce, ice0.vIce
+                if sip.uIceFile:
+                    uI = _load_2d(cfg, sip.uIceFile, dtype, cs_fill)[0]
+                if sip.vIceFile:
+                    vI = _load_2d(cfg, sip.vIceFile, dtype, cs_fill)[0]
+                if sip.uIceFile or sip.vIceFile:
+                    uI = uI * seaice_obj.seaiceMaskU
+                    vI = vI * seaice_obj.seaiceMaskV
+                    uI, vI = fuv(uI, vI)
+                heff, area = ice0.HEFF, ice0.AREA
+                if sip.HeffFile:
+                    heff = jnp.maximum(
+                        fl(_load_2d(cfg, sip.HeffFile, dtype,
+                                    cs_fill)[0]), 0.0)
+                area = jnp.where(heff > 0.0, 1.0, area)
+                if sip.AreaFile:
+                    area = jnp.clip(
+                        fl(_load_2d(cfg, sip.AreaFile, dtype,
+                                    cs_fill)[0]), 0.0, 1.0)
+                    heff = jnp.where(area <= 0.0, 0.0, heff)
+                    area = jnp.where(heff <= 0.0, 0.0, area)
+                hsnow = 0.2 * area
+                if sip.HsnowFile:
+                    hsnow = jnp.maximum(
+                        fl(_load_2d(cfg, sip.HsnowFile, dtype,
+                                    cs_fill)[0]), 0.0)
+                ice0 = ice0._replace(uIce=uI, vIce=vI, HEFF=heff,
+                                     AREA=area, HSNOW=hsnow)
             state = State(**{**state.__dict__,
                              "uIce": ice0.uIce, "vIce": ice0.vIce,
                              "siAREA": ice0.AREA, "siHEFF": ice0.HEFF,
                              "siHSNOW": ice0.HSNOW, "siHSALT": ice0.HSALT,
                              "siTICES": ice0.TICES,
-                             "SItracer": ice0.SItracer})
+                             "SItracer": ice0.SItracer,
+                             "siSigma": ice0.sigma})
 
         obcs_obj = None
         if cfg.useOBCS and cfg.obcs is not None:

@@ -23,6 +23,7 @@ sh(a, di=-1)/sh(a, dj=-1) on the cyclic-halo arrays.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
@@ -61,7 +62,7 @@ class SeaiceParams:
     cStar: float = 20.0
     pressReplFac: float = 1.0
     tensilFac: float = 0.0
-    etaZmethod: int = 0
+    etaZmethod: int = 3            # seaice_readparms.F:318 default
     zetaMaxFac: float = 2.5e8
     zetaMin: float = 0.0
     eccen: float = 2.0
@@ -94,6 +95,28 @@ class SeaiceParams:
     diffKhSnow: float = -1.0
     diffKhSalt: float = -1.0
     useFreeDrift: bool = False     # SEAICEuseFREEDRIFT (seaice_freedrift.F)
+    # --- EVP (seaice_evp.F + readparms derivation :748-820) ---
+    useEVP: bool = False           # derived from the three triggers
+    deltaTevp: float = -1.0        # SEAICE_deltaTevp (UNSET=-1)
+    evpAlpha: float = -1.0         # SEAICE_evpAlpha
+    evpBeta: float = -1.0          # SEAICE_evpBeta
+    elasticParm: float = 1.0 / 3.0  # SEAICE_elasticParm
+    evpTauRelax: float = -1.0      # SEAICE_evpTauRelax
+    nEVPstarSteps: int = -1        # SEAICEnEVPstarSteps
+    useEVPstar: bool = True        # SEAICEuseEVPstar (readparms:254)
+    useEVPrev: bool = True         # SEAICEuseEVPrev (readparms:255)
+    aEVPcoeff: float = -1.0        # SEAICEaEVPcoeff (UNSET=-1 -> no aEVP)
+    aEVPcStar: float = 4.0         # SEAICEaEVPcStar
+    aEVPalphaMin: float = 5.0      # SEAICEaEVPalphaMin
+    useHB87stressCoupling: bool = False
+    # initial-condition files (seaice_init_varia.F:285-367)
+    AreaFile: str = ""
+    HeffFile: str = ""
+    HsnowFile: str = ""
+    uIceFile: str = ""
+    vIceFile: str = ""
+    useFluxForm: bool = True       # SEAICEuseFluxForm (advect.F / diffus.F)
+    DIFF1: float = 0.0             # legacy harmonic+biharmonic diffusion
     lhEvap: float = 2.5e6
     lhFusion: float = 3.34e5
     mcPheePiston: float = 0.0      # derived: STANTON*USTAR if unset
@@ -197,6 +220,18 @@ _NML_MAP = {
     "seaicediffkharea": "diffKhArea", "seaicediffkhheff": "diffKhHeff",
     "seaicediffkhsnow": "diffKhSnow", "seaicediffkhsalt": "diffKhSalt",
     "seaice_frazilfrac": "frazilFrac",
+    "seaice_deltatevp": "deltaTevp", "seaice_evpalpha": "evpAlpha",
+    "seaice_evpbeta": "evpBeta", "seaice_elasticparm": "elasticParm",
+    "seaice_evptaurelax": "evpTauRelax",
+    "seaicenevpstarsteps": "nEVPstarSteps",
+    "seaiceuseevpstar": "useEVPstar", "seaiceuseevprev": "useEVPrev",
+    "seaiceaevpcoeff": "aEVPcoeff", "seaiceaevpcstar": "aEVPcStar",
+    "seaiceaevpalphamin": "aEVPalphaMin",
+    "usehb87stresscoupling": "useHB87stressCoupling",
+    "seaiceusefluxform": "useFluxForm", "diff1": "DIFF1",
+    "areafile": "AreaFile", "hefffile": "HeffFile",
+    "hsnowfile": "HsnowFile", "hsaltfile": None,
+    "uicefile": "uIceFile", "vicefile": "vIceFile",
 }
 
 
@@ -216,6 +251,8 @@ def params_from_namelists(cfg: Config, nml01: dict, nml03: dict
                 setattr(p, tgt, bool(v))
             elif isinstance(cur, int) and not isinstance(cur, bool):
                 setattr(p, tgt, int(v))
+            elif isinstance(cur, str):
+                setattr(p, tgt, str(v).strip())
             else:
                 setattr(p, tgt, float(v))
         # silently keep unknowns out: seaice_check.F validates; the
@@ -250,6 +287,35 @@ def params_from_namelists(cfg: Config, nml01: dict, nml03: dict
         p.waterDrag_south = p.waterDrag
     if p.drag_south == SeaiceParams.drag_south:
         p.drag_south = p.drag
+    # EVP triggers + derived parameters (seaice_readparms.F:748-820)
+    p.useEVP = (p.deltaTevp > 0.0 or p.evpAlpha > 0.0 or p.evpBeta > 0.0
+                or p.aEVPcoeff > 0.0)
+    if p.useEVP:
+        if p.evpTauRelax <= 0.0:
+            p.evpTauRelax = p.deltaTdyn * p.elasticParm
+        if p.nEVPstarSteps < 0:
+            if p.deltaTevp <= 0.0:
+                raise ValueError("SEAICEnEVPstarSteps or SEAICE_deltaTevp "
+                                 "must be set for EVP")
+            p.nEVPstarSteps = int(p.deltaTdyn / p.deltaTevp)
+        if p.evpAlpha > 0.0 and p.evpBeta <= 0.0:
+            p.evpBeta = p.evpAlpha
+        if p.evpBeta > 0.0 and p.evpAlpha <= 0.0:
+            p.evpAlpha = p.evpBeta
+        if p.evpBeta <= 0.0:
+            p.evpBeta = p.deltaTdyn / p.deltaTevp
+        else:
+            p.deltaTevp = p.deltaTdyn / p.evpBeta
+        if p.evpAlpha <= 0.0:
+            p.evpAlpha = 2.0 * p.evpTauRelax / p.deltaTevp
+        else:
+            p.evpTauRelax = 0.5 * p.evpAlpha * p.deltaTevp
+        if p.aEVPcoeff > 0.0:
+            # adaptive EVP: alpha/beta computed per-cell each subcycle
+            p.evpAlpha = -1.0
+            p.evpBeta = -1.0
+    if p.useFreeDrift:
+        p.useEVP = False
     if p.mcPheePiston == 0.0:
         # seaice_init_fixed.F:92-104: MCPHEE_TAPER_FAC*STANTON*USTAR
         # capped by dzSurf/deltaTtherm; dzSurf in meters (p-coords:
@@ -296,6 +362,9 @@ class IceState(NamedTuple):
     HSALT: jnp.ndarray
     TICES: jnp.ndarray      # [multDim, nyp, nxp]
     SItracer: jnp.ndarray   # [nTr, nyp, nxp]
+    # EVP internal stresses seaice_sigma1/2/12 (SEAICE.h), stacked [3,...];
+    # persistent across model steps (and in EVP pickups upstream)
+    sigma: jnp.ndarray = None
 
 
 # ----------------------------------------------------------------------
@@ -395,8 +464,10 @@ class SeaIce:
         for i, nm in enumerate(self.p.SItrName):
             if nm == "one":
                 sitr = sitr.at[i].set(1.0)
+        sig = jnp.zeros((3, nyp, nxp), dtype) if self.p.useEVP else \
+            jnp.zeros((0, nyp, nxp), dtype)
         return IceState(uIce=z2, vIce=z2, AREA=z2, HEFF=z2, HSNOW=z2,
-                        HSALT=z2, TICES=tice, SItracer=sitr)
+                        HSALT=z2, TICES=tice, SItracer=sitr, sigma=sig)
 
     # ------------------------------------------------------------------
     # dynamics
@@ -976,6 +1047,193 @@ class SeaIce:
         return out[0], out[1]
 
     # ------------------------------------------------------------------
+    def evp(self, ice: IceState, forc, uVel0, vVel0, press0,
+            massC, massU, massV, forcex0, forcey0):
+        """SEAICE_EVP (seaice_evp.F): (adaptive) elastic-viscous-plastic
+        explicit subcycling — nEVPstarSteps stencil-only iterations in a
+        lax.fori_loop (the TPU-friendly VP solver: no tridiagonals, no
+        convergence branches).
+
+        Implements the EVP* / revised-EVP time discretization (Bouillon
+        et al. 2013; seaice_evp.F:218-235) and adaptive alpha/beta
+        (Kimmritz, Danilov & Losch 2015; seaice_evp.F:417-436) on the
+        C grid.  Build assumptions match the lab_sea code dir: CLIPZETA,
+        TEM, SMOOTHREG, MOM_ADVECTION and EVP_ELIMINATE_UNDERFLOWS all
+        undefined; bottom drag compiled but SEAICEbasalDragK2=0.
+
+        Returns (uIce, vIce, dwatn, sigma, stressDivX, stressDivY)."""
+        p = self.p
+        g = self.grid
+        dtype = ice.uIce.dtype
+        recip_dt = 1.0 / p.deltaTdyn
+        sinwat = math.sin(math.radians(p.waterTurnAngle))
+        coswat = math.cos(math.radians(p.waterTurnAngle))
+        adaptive = p.aEVPcoeff > 0.0
+        ecc2 = p.eccen * p.eccen
+        recip_ecc2 = 1.0 / ecc2
+        if p.useEVPrev:
+            evpRevFac, evpStarFac = 1.0, 1.0
+            recip_evpRevFac = recip_ecc2
+        else:
+            evpRevFac = 0.0
+            recip_evpRevFac = 1.0
+            evpStarFac = 1.0 if p.useEVPstar else 0.0
+        EVPcFac = (p.deltaTdyn * p.aEVPcStar
+                   * (p.aEVPcoeff * math.pi) ** 2 if adaptive else 0.0)
+        hm = self.HEFFM
+        sumNorm = (hm + sh(hm, di=-1) + sh(hm, dj=-1)
+                   + sh(sh(hm, di=-1), dj=-1))
+        sumNorm = jnp.where(sumNorm > 0.0,
+                            1.0 / jnp.where(sumNorm > 0.0, sumNorm, 1.0),
+                            0.0)
+        if p.scaleSurfStress:
+            areaW = 0.5 * (ice.AREA + sh(ice.AREA, di=-1))
+            areaS = 0.5 * (ice.AREA + sh(ice.AREA, dj=-1))
+        else:
+            areaW = jnp.ones_like(ice.uIce)
+            areaS = jnp.ones_like(ice.uIce)
+        sgn = jnp.sign(g.fCori)
+        sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+        locMaskU = jnp.where(massU != 0.0, 1.0, 0.0)
+        locMaskV = jnp.where(massV != 0.0, 1.0, 0.0)
+        uNm1, vNm1 = ice.uIce, ice.vIce
+        if not adaptive:
+            alphaC0 = jnp.full_like(press0, p.evpAlpha)
+            betaU0 = jnp.full_like(press0, p.evpBeta)
+            betaV0 = betaU0
+
+        def subcycle(_it, carry):
+            u, v, s1, s2, s12, _dw = carry
+            e11, e22, e12 = self.strainrates(u, v)
+            ep = e11 + e22
+            em = e11 - e22
+            if p.etaZmethod == 3:
+                # area-weighted mean of e12^2 (Bouillon et al 2013 eq 11,
+                # seaice_evp.F:379-391)
+                rze = g.rAz * e12 * e12
+                e12Csq = 0.25 * g.recip_rA * (
+                    rze + sh(rze, di=1) + sh(rze, dj=1)
+                    + sh(sh(rze, di=1), dj=1))
+            else:
+                e12sum = (e12 + sh(e12, di=1) + sh(e12, dj=1)
+                          + sh(sh(e12, di=1), dj=1))
+                e12Csq = (0.25 * e12sum) ** 2
+            deltaSq = ep * ep + recip_ecc2 * (em * em + 4.0 * e12Csq)
+            deltaC = jnp.sqrt(deltaSq)
+            deltaCreg = jnp.maximum(deltaC, p.deltaMin)
+            zetaC = 0.5 * press0 / deltaCreg
+            if adaptive:
+                alphaC = jnp.sqrt(
+                    zetaC * EVPcFac / jnp.maximum(massC, 1.0e-4)
+                    * g.recip_rA) * hm
+                alphaC = jnp.maximum(alphaC, p.aEVPalphaMin)
+            else:
+                alphaC = alphaC0
+            # zetaZ/deltaZ by simple HEFFM-normalized averaging
+            # (seaice_evp.F:437-451)
+            zetaZ = sumNorm * (zetaC + sh(zetaC, di=-1) + sh(zetaC, dj=-1)
+                               + sh(sh(zetaC, di=-1), dj=-1))
+            pressC = (press0 * (1.0 - p.pressReplFac)
+                      + 2.0 * zetaC * deltaC * p.pressReplFac)
+            seaice_div = (2.0 * zetaC * ep - pressC) * hm
+            seaice_tension = 2.0 * zetaC * em * hm
+            seaice_shear = 2.0 * zetaZ * e12
+            # stress equations (seaice_evp.F:590-649)
+            s1 = ((s1 * (alphaC - evpRevFac) + seaice_div)
+                  / alphaC * hm) if p.useEVPrev or adaptive else \
+                ((s1 * (alphaC - evpRevFac) + seaice_div)
+                 / (alphaC + 1.0) * hm)
+            den2C = alphaC if (p.useEVPrev or adaptive) else alphaC + ecc2
+            s2 = (s2 * (alphaC - evpRevFac)
+                  + seaice_tension * recip_evpRevFac) / den2C * hm
+            sig11 = 0.5 * (s1 + s2)
+            sig22 = 0.5 * (s1 - s2)
+            alphaZ = 0.25 * (alphaC + sh(alphaC, di=-1)
+                             + sh(alphaC, dj=-1)
+                             + sh(sh(alphaC, di=-1), dj=-1))
+            den12 = alphaZ if (p.useEVPrev or adaptive) else alphaZ + ecc2
+            s12 = (s12 * (alphaZ - evpRevFac)
+                   + seaice_shear * recip_evpRevFac) / den12
+            # divergence of the stress tensor (seaice_evp.F:653-668)
+            t11 = sig11 * g.dyF
+            t12x = s12 * g.dxV
+            divX = (t11 - sh(t11, di=-1)
+                    + sh(t12x, dj=1) - t12x) * g.recip_rAw
+            t22 = sig22 * g.dxF
+            t12y = s12 * g.dyU
+            divY = (t22 - sh(t22, dj=-1)
+                    + sh(t12y, di=1) - t12y) * g.recip_rAs
+            # momentum rhs (seaice_evp.F:757-818)
+            dwatn = self.oceandrag(u, v, uVel0, vVel0)
+            dwU = 0.5 * (dwatn + sh(dwatn, di=-1))
+            dwV = 0.5 * (dwatn + sh(dwatn, dj=-1))
+            dv = vVel0 - v
+            frcU = forcex0 + (
+                dwU * coswat * uVel0
+                - sgn * sinwat * 0.5
+                * (dwatn * 0.5 * (dv + sh(dv, dj=1))
+                   + sh(dwatn, di=-1) * 0.5
+                   * (sh(dv, di=-1) + sh(sh(dv, dj=1), di=-1)))
+                * locMaskU) * areaW
+            du = uVel0 - u
+            frcV = forcey0 + (
+                dwV * coswat * vVel0
+                + sgn * sinwat * 0.5
+                * (dwatn * 0.5 * (du + sh(du, di=1))
+                   + sh(dwatn, dj=-1) * 0.5
+                   * (sh(du, dj=-1) + sh(sh(du, di=1), dj=-1)))
+                * locMaskV) * areaS
+            mfv = massC * g.fCori * 0.5 * (v + sh(v, dj=1))
+            frcU = frcU + 0.5 * (mfv + sh(mfv, di=-1))
+            mfu = massC * g.fCori * 0.5 * (u + sh(u, di=1))
+            frcV = frcV - 0.5 * (mfu + sh(mfu, dj=-1))
+            # implicit ice-ocean-drag velocity update (seaice_evp.F:866-906)
+            if adaptive:
+                betaU = 0.5 * (alphaC + sh(alphaC, di=-1))
+                betaV = 0.5 * (alphaC + sh(alphaC, dj=-1))
+            else:
+                betaU, betaV = betaU0, betaV0
+            betaFacU = betaU * recip_dt
+            betaFacV = betaV * recip_dt
+            betaFacP1U = betaFacU + evpStarFac * recip_dt
+            betaFacP1V = betaFacV + evpStarFac * recip_dt
+            denomU = massU * betaFacP1U + dwU * coswat * areaW
+            denomV = massV * betaFacP1V + dwV * coswat * areaS
+            denomU = jnp.where(denomU == 0.0, 1.0, denomU)
+            denomV = jnp.where(denomV == 0.0, 1.0, denomV)
+            u_new = self.seaiceMaskU * (
+                massU * betaFacU * u
+                + massU * recip_dt * evpStarFac * uNm1
+                + frcU + divX) / denomU
+            v_new = self.seaiceMaskV * (
+                massV * betaFacV * v
+                + massV * recip_dt * evpStarFac * vNm1
+                + frcV + divY) / denomV
+            u_new, v_new = self.fill_uv(u_new, v_new)
+            return (u_new, v_new, s1, s2, s12, dwatn)
+
+        sig = ice.sigma
+        if sig is None or sig.shape[0] != 3:
+            sig = jnp.zeros((3,) + ice.uIce.shape, dtype)
+        u, v, s1, s2, s12, dwatn = jax.lax.fori_loop(
+            0, p.nEVPstarSteps, subcycle,
+            (ice.uIce, ice.vIce, sig[0], sig[1], sig[2],
+             jnp.zeros_like(ice.uIce)))
+        # NOTE: no masking/clipping here — the reference clips AFTER
+        # SEAICE_OCEAN_STRESS (seaice_dynsolver.F:387-405), handled by
+        # the caller
+        uIce, vIce = u, v
+        sig11 = 0.5 * (s1 + s2)
+        sig22 = 0.5 * (s1 - s2)
+        t11 = sig11 * g.dyF
+        t12x = s12 * g.dxV
+        divX = (t11 - sh(t11, di=-1) + sh(t12x, dj=1) - t12x) * g.recip_rAw
+        t22 = sig22 * g.dxF
+        t12y = s12 * g.dyU
+        divY = (t22 - sh(t22, dj=-1) + sh(t12y, di=1) - t12y) * g.recip_rAs
+        return uIce, vIce, dwatn, jnp.stack([s1, s2, s12]), divX, divY
+
+    # ------------------------------------------------------------------
     def freedrift(self, ice: IceState, uVel0, vVel0, forcex0, forcey0):
         """seaice_freedrift.F: analytic free-drift ice velocity from the
         2-term balance (surface stress + Coriolis) against quadratic
@@ -1017,6 +1275,19 @@ class SeaIce:
         uFD = 0.5 * (sh(uic, di=-1) + uic) * self.SIMaskU
         vFD = 0.5 * (sh(vic, dj=-1) + vic) * self.SIMaskV
         return self.fill_uv(uFD, vFD)
+
+    def ocean_stress_hb87(self, ice, windTauX, windTauY, stressDivX,
+                          stressDivY, fu, fv):
+        """seaice_ocean_stress.F:66-100 (useHB87StressCoupling): integral
+        over ice and ocean surface layer (Hibler & Bryan 1987)."""
+        p = self.p
+        areaW = 0.5 * (ice.AREA + sh(ice.AREA, di=-1)) * p.stressFactor
+        areaS = 0.5 * (ice.AREA + sh(ice.AREA, dj=-1)) * p.stressFactor
+        fu_new = ((1.0 - areaW) * fu + areaW * windTauX
+                  + stressDivX * p.stressFactor)
+        fv_new = ((1.0 - areaS) * fv + areaS * windTauY
+                  + stressDivY * p.stressFactor)
+        return self.fill_uv(fu_new, fv_new)
 
     def ocean_stress(self, ice, dwatn, uVel0, vVel0, fu, fv):
         """seaice_ocean_stress.F (non-HB87): blend ice-ocean drag."""
@@ -1153,6 +1424,44 @@ class SeaIce:
             localT = xm * updX + ym * updY + (1.0 - xm - ym) * localT
         return (localT - fld) / dt
 
+    def _diffus(self, fld, DIFFA, iceMsk):
+        """pkg/seaice/diffus.F (SEAICEuseFluxForm): Laplacian of fld with
+        spatially varying coefficient, interior only (halos zeroed)."""
+        g = self.grid
+        dfx = (g.dyG * g.recip_dxC * (fld - sh(fld, di=-1)) * g.cosFacU
+               * iceMsk * sh(iceMsk, di=-1)
+               * 0.5 * (DIFFA + sh(DIFFA, di=-1)))
+        dfy = (g.dxG * g.recip_dyC * (fld - sh(fld, dj=-1))
+               * iceMsk * sh(iceMsk, dj=-1)
+               * 0.5 * (DIFFA + sh(DIFFA, dj=-1)))
+        out = ((sh(dfx, di=1) - dfx) + (sh(dfy, dj=1) - dfy)) * g.recip_rA
+        return jnp.where(self.interior > 0, out, 0.0)
+
+    def _advect_legacy(self, uc, vc, fld, iceMsk):
+        """pkg/seaice/advect.F: legacy 2-pass centered (Heun) advection
+        (SEAICEadvScheme=2, SEAICEuseFluxForm) + DIFF1 harmonic+biharmonic
+        diffusion.  Returns the updated field (not a tendency)."""
+        p = self.p
+        g = self.grid
+        dt = p.deltaTtherm
+        fldNm1 = fld
+        for _k in range(2):
+            tmpFld = 0.5 * (fld + fldNm1)
+            afx = g.dyG * uc * 0.5 * (tmpFld + sh(tmpFld, di=-1))
+            afy = g.dxG * vc * 0.5 * (tmpFld + sh(tmpFld, dj=-1))
+            upd = fldNm1 - dt * ((sh(afx, di=1) - afx)
+                                 + (sh(afy, dj=1) - afy)) \
+                * g.recip_rA * self.maskInCx
+            fld = self.fill(jnp.where(self.interior > 0, upd, fld))
+        if p.DIFF1 > 0.0:
+            DIFFA = jnp.minimum(g.dxF, g.dyF)
+            lap = self._diffus(fldNm1, DIFFA, iceMsk)
+            fld = (fld + lap * p.DIFF1 * dt) * iceMsk
+            lap = self.fill(lap)
+            bilap = self._diffus(lap, -DIFFA * DIFFA, iceMsk)
+            fld = (fld + bilap * p.DIFF1 * dt) * iceMsk
+        return fld
+
     def advdiff(self, ice: IceState):
         """seaice_advdiff.F (multidim)."""
         p = self.p
@@ -1164,6 +1473,24 @@ class SeaIce:
         vTrans = ice.vIce * yA
         hm = self.HEFFM
         heffNm1, areaNm1 = ice.HEFF, ice.AREA
+        if p.advScheme in (2, 3, 4):
+            # SEAICEmultiDimAdvection=.FALSE. (readparms:1023-1030):
+            # legacy ADVECT path for all transported fields
+            if p.SItrNumInUse:
+                raise NotImplementedError(
+                    "SItracers with legacy (non-multidim) advection")
+            heff = self._advect_legacy(ice.uIce, ice.vIce, ice.HEFF, hm)
+            area = self._advect_legacy(ice.uIce, ice.vIce, ice.AREA, hm)
+            hsnow = self._advect_legacy(ice.uIce, ice.vIce, ice.HSNOW, hm)
+            if p.diffKhHeff > 0.0 or p.diffKhArea > 0.0 \
+                    or p.diffKhSnow > 0.0:
+                heff = heff + dt * self._diffuse_field(
+                    heffNm1, p.diffKhHeff, xA, yA)
+                area = area + dt * self._diffuse_field(
+                    areaNm1, p.diffKhArea, xA, yA)
+                hsnow = hsnow + dt * self._diffuse_field(
+                    ice.HSNOW, p.diffKhSnow, xA, yA)
+            return ice._replace(HEFF=heff, AREA=area, HSNOW=hsnow)
         def adv_plus_diff(fld, scheme, diffKh):
             gFld = self._advect_field(ice.uIce, ice.vIce, uTrans, vTrans,
                                       fld, dt, scheme)
@@ -1688,6 +2015,7 @@ class SeaIce:
             forcey0 = forcey0 - massV * g.recip_dyC * (
                 phiSurf - sh(phiSurf, dj=-1))
 
+        stressDivX = stressDivY = None
         if p.useDYNAMICS and p.useFreeDrift:
             # seaice_dynsolver.F:303-321: uIce := uice_fd; nothing in
             # the free-drift path updates DWATN, so SEAICE_OCEAN_STRESS
@@ -1696,6 +2024,11 @@ class SeaIce:
                                         forcex0, forcey0)
             ice = ice._replace(uIce=uIce, vIce=vIce)
             dwatn = jnp.zeros_like(press0)
+        elif p.useDYNAMICS and p.useEVP:
+            (uIce, vIce, dwatn, sigma, stressDivX,
+             stressDivY) = self.evp(ice, forc, uVel0, vVel0, press0,
+                                    massC, massU, massV, forcex0, forcey0)
+            ice = ice._replace(uIce=uIce, vIce=vIce, sigma=sigma)
         elif p.useDYNAMICS:
             uIce, vIce, dwatn = self.lsr(
                 ice, forc, uVel0, vVel0, etaN, press0, zMax, zMin,
@@ -1706,9 +2039,22 @@ class SeaIce:
 
         upd = {}
         if p.updateOceanStress:
-            fu2, fv2 = self.ocean_stress(ice, dwatn, uVel0, vVel0, fu, fv)
+            if p.useHB87stressCoupling:
+                if stressDivX is None:
+                    raise NotImplementedError(
+                        "useHB87StressCoupling needs the C-grid stress "
+                        "divergence (EVP/LSR solver)")
+                fu2, fv2 = self.ocean_stress_hb87(
+                    ice, taux, tauy, stressDivX, stressDivY, fu, fv)
+            else:
+                fu2, fv2 = self.ocean_stress(ice, dwatn, uVel0, vVel0,
+                                             fu, fv)
             upd["fu"] = fu2
             upd["fv"] = fv2
+        if p.useDYNAMICS and p.useEVP and p.clipVelocities:
+            # seaice_dynsolver.F:387-405: cap AFTER the ocean stress
+            ice = ice._replace(uIce=jnp.clip(ice.uIce, -0.40, 0.40),
+                               vIce=jnp.clip(ice.vIce, -0.40, 0.40))
 
         ice = self.advdiff(ice)
         ice, dHn, dSn = self.reg_ridge(ice)

@@ -144,6 +144,20 @@ def load_fields(cfg: Config, forcing: Forcing, myTime) -> Forcing:
         else:
             out[name] = (w1 * jnp.take(a, rec1, axis=0)
                          + w2 * jnp.take(a, rec2, axis=0))
+    if forcing.pLoad is not None:
+        a = forcing.pLoad
+        if "pLoad" in forcing.tknots:
+            tk = forcing.tknots["pLoad"]
+            i = jnp.clip(jnp.searchsorted(tk, myTime, side="right") - 1,
+                         0, tk.shape[0] - 2)
+            fac = (tk[i + 1] - myTime) / (tk[i + 1] - tk[i])
+            out["pLoad"] = (fac * jnp.take(a, i, axis=0)
+                            + (1.0 - fac) * jnp.take(a, i + 1, axis=0))
+        elif a.shape[0] == 1 or not cfg.periodicExternalForcing:
+            out["pLoad"] = a[0]
+        else:
+            out["pLoad"] = (w1 * jnp.take(a, rec1, axis=0)
+                            + w2 * jnp.take(a, rec2, axis=0))
     return Forcing(tknots={}, **out)
 
 
@@ -721,6 +735,10 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # pkg/seaice (do_oceanic_phys.F:448 SEAICE_MODEL): updates the ice
     # state and overwrites fu/fv/Qnet/Qsw/EmPmR/saltFlux seen by the ocean
     phi0surf_dyn = None
+    if cfg.usingZCoords and forc.pLoad is not None:
+        # ATMOSPHERIC_LOADING (external_forcing_surf.F:360-377):
+        # atmospheric surface-pressure loading, Z-coords only
+        phi0surf_dyn = forc.pLoad * cfg.recip_rhoConst
     if seaice is not None:
         from mitgcm_tpu.model import seaice as seaice_mod
         if cfg.usingZCoords and cfg.useRealFreshWaterFlux:
@@ -732,12 +750,14 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             # state is the right vintage here
             sIceLoad = (seaice.p.rhoIce * state.siHEFF
                         + seaice.p.rhoSnow * state.siHSNOW)
-            phi0surf_dyn = (sIceLoad * cfg.gravity * cfg.sIceLoadFac
+            phi0surf_dyn = ((0.0 if phi0surf_dyn is None else phi0surf_dyn)
+                            + sIceLoad * cfg.gravity * cfg.sIceLoadFac
                             * cfg.recip_rhoConst)
         ice_in = seaice_mod.IceState(
             uIce=state.uIce, vIce=state.vIce, AREA=state.siAREA,
             HEFF=state.siHEFF, HSNOW=state.siHSNOW, HSALT=state.siHSALT,
-            TICES=state.siTICES, SItracer=state.SItracer)
+            TICES=state.siTICES, SItracer=state.SItracer,
+            sigma=state.siSigma)
         kSrf = 0 if not cfg.usingPCoords else cfg.nr - 1
         ice_out, si_upd = seaice.step(
             ice_in, forc, state.uVel[kSrf], state.vVel[kSrf], state.etaN,
@@ -750,7 +770,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                          "siHSNOW": ice_out.HSNOW,
                          "siHSALT": ice_out.HSALT,
                          "siTICES": ice_out.TICES,
-                         "SItracer": ice_out.SItracer})
+                         "SItracer": ice_out.SItracer,
+                         "siSigma": ice_out.sigma})
 
     # DO_OCEANIC_PHYS
     theta0 = state.theta
