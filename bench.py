@@ -41,6 +41,24 @@ DECKS = {
     # step count small so the f64 row fits the per-measurement timeout
     "lab_sea_20x16x23":
         (f"{VERIF}/lab_sea/input", 12, 1, dict(nx=20, ny=16, nr=23)),
+    # EVP (aEVP, 500 fixed subcycles as one fori_loop) — the TPU-shaped
+    # VP solver: no tridiagonal sweeps, no convergence branches
+    "lab_sea_evp_20x16x23":
+        (f"{VERIF}/lab_sea/input.hb87", 12, None,
+         dict(nx=20, ny=16, nr=23,
+              grid_dir=f"{VERIF}/lab_sea/input.hb87"
+                       f"{os.pathsep}{VERIF}/lab_sea/input")),
+    # the cubed-sphere flagship (p-coords ocean + seaice LSR + GGL90 +
+    # exf), driver-designated target config
+    "cs32x15_in_p_6x32x32x15":
+        (f"{VERIF}/global_ocean.cs32x15/input.in_p", 8, None,
+         dict(nx=32, ny=32, nr=15, strict_config=False,
+              grid_dir=os.pathsep.join([
+                  f"{VERIF}/global_ocean.cs32x15/input.in_p",
+                  f"{VERIF}/global_ocean.cs32x15/input.seaice",
+                  f"{VERIF}/global_ocean.cs32x15/input.icedyn",
+                  f"{VERIF}/global_ocean.cs32x15/input",
+                  f"{VERIF}/tutorial_held_suarez_cs/input"]))),
 }
 
 
@@ -63,7 +81,7 @@ def worker_deck(name, tag):
     if pickup is not None:
         read_pickup(exp, deck, pickup)
     dt = _time_scan(exp, n_steps)
-    pts = exp.cfg.nx * exp.cfg.ny * exp.cfg.nr
+    pts = exp.cfg.nFaces * exp.cfg.nx * exp.cfg.ny * exp.cfg.nr
     print(json.dumps({"rate": pts * n_steps / dt}))
 
 

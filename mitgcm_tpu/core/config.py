@@ -157,6 +157,9 @@ class Config:
     rhoConstFresh: float = UNSET
     allowFreezing: bool = False
     shortwaveHeating: bool = False   # CPP SHORTWAVE_HEATING
+    # CPP ALLOW_3D_DIFFKR: one 3-D vertical diffusivity for all tracers,
+    # initialised from the diffKrNrS profile (ini_mixing.F:45)
+    allow3dDiffKr: bool = False
     buoyancyRelation: str = "OCEANIC"
     atm_Rq: float = 0.0
     top_Pres: float = 0.0
@@ -357,6 +360,14 @@ class Config:
     useLand: bool = False
     useThSIce: bool = False
     useZONAL_FILT: bool = False
+    # pkg/grdchk: finite-difference gradient checks (driven offline by
+    # mitgcm_tpu.ad.grdchk, not inside the step)
+    useGrdchk: bool = False
+    # PARM02 useNSACGSolver selects cg2d_nsa.F (fixed-iteration, AD-safe
+    # "no solver assumptions" CG). Our cg2d is already AD-safe via its
+    # custom implicit-function VJP (solver/cg2d.py), so the flag only
+    # records the deck's intent.
+    useNSACGSolver: bool = False
 
     # package parameter groups (loaded from data.<pkg>)
     gmredi: Any = None
@@ -386,11 +397,20 @@ class Config:
         the parent experiment's code/)."""
         cands = [self.run_dir] + (self.grid_dir.split(os.pathsep)
                                   if self.grid_dir else [])
+        # AD decks (input_ad/input_tap) build from code_ad/code_tap,
+        # which themselves fall back to the forward code/ dir
+        subs = ["code"]
+        base = os.path.basename(os.path.abspath(self.run_dir))
+        if base.startswith("input_ad"):
+            subs = ["code_ad", "code"]
+        elif base.startswith("input_tap"):
+            subs = ["code_tap", "code_ad", "code"]
         for d in cands:
-            p = os.path.join(os.path.dirname(os.path.abspath(d)),
-                             "code", fname)
-            if os.path.exists(p):
-                return p
+            for sub in subs:
+                p = os.path.join(os.path.dirname(os.path.abspath(d)),
+                                 sub, fname)
+                if os.path.exists(p):
+                    return p
         return ""
 
     def find_file(self, fname: str) -> str:
@@ -445,8 +465,11 @@ class Config:
         if c.startTime is UNSET and c.nIter0 is not None:
             # ini_parms.F: startTime = baseTime + nIter0*deltaTClock
             c.startTime = c.baseTime + c.nIter0 * (c.deltaTClock or 0.0)
-        if c.nTimeSteps == 0 and c.endTime is not UNSET and c.endTime and dt:
-            c.nTimeSteps = int(round((c.endTime - c.startTime) / dt))
+        if (c.nTimeSteps == 0 and c.endTime is not UNSET and c.endTime
+                and c.deltaTClock):
+            # ini_parms.F:1112: NINT((endTime-startTime)/deltaTClock)
+            c.nTimeSteps = int(round((c.endTime - c.startTime)
+                                     / c.deltaTClock))
         # vertical mixing coefficient aliases (z-coords)
         if c.viscAz is not UNSET:
             c.viscAr = c.viscAz
@@ -580,6 +603,20 @@ def _set_attr(cfg: Config, key: str, val: Any) -> None:
         setattr(cfg, target, tuple(val) if val else cur)
     else:
         setattr(cfg, target, val)
+
+
+def _code_dirs(input_dir: str):
+    """Candidate code dirs for a deck: input_ad builds from code_ad (falling
+    back to code/), input_tap from code_tap, plain input from code/."""
+    parent = os.path.dirname(os.path.abspath(input_dir))
+    base = os.path.basename(os.path.abspath(input_dir))
+    if base.startswith("input_ad"):
+        subs = ["code_ad", "code"]
+    elif base.startswith("input_tap"):
+        subs = ["code_tap", "code_ad", "code"]
+    else:
+        subs = ["code"]
+    return [os.path.join(parent, s) for s in subs]
 
 
 def read_size_h(code_dir: str):
@@ -732,8 +769,11 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
     if not (cfg.nx and cfg.ny):
         # uniform-spacing decks (dXspacing + no delX vector) bake the
         # domain size into code/SIZE.h only: nx = sNx*nSx*nPx
-        _sz = read_size_h(os.path.join(
-            os.path.dirname(os.path.abspath(input_dir)), "code"))
+        _sz = {}
+        for _cd in _code_dirs(input_dir):
+            _sz = read_size_h(_cd)
+            if _sz:
+                break
         if "sNx" in _sz:
             cfg.nx = cfg.nx or (_sz["sNx"] * _sz.get("nSx", 1)
                                 * _sz.get("nPx", 1))
@@ -748,8 +788,11 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
             raise ValueError("dySpacing given without delY: pass ny=")
         cfg.delY = tuple([float(cfg.dySpacing)] * cfg.ny)
     cfg.nr = nr or max(len(cfg.delR), 1)
-    sz = read_size_h(os.path.join(
-        os.path.dirname(os.path.abspath(input_dir)), "code"))
+    sz = {}
+    for _cd in _code_dirs(input_dir):
+        sz = read_size_h(_cd)
+        if sz:
+            break
     if not (olx and oly):
         olx = olx or sz.get("OLx", 2)
         oly = oly or sz.get("OLy", 2)
@@ -760,12 +803,18 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
     # SHORTWAVE_HEATING compile flag (model/inc/CPP_OPTIONS.h:22, default
     # undef): penetrating-SW interior heating; decks opt in via a custom
     # code/CPP_OPTIONS.h (lab_sea, global_with_exf, ...)
-    cpp_path = os.path.join(os.path.dirname(os.path.abspath(input_dir)),
-                            "code", "CPP_OPTIONS.h")
-    if os.path.exists(cpp_path):
-        with open(cpp_path, errors="replace") as f:
-            if "#define SHORTWAVE_HEATING" in f.read():
+    for _cd in _code_dirs(input_dir):
+        cpp_path = os.path.join(_cd, "CPP_OPTIONS.h")
+        if os.path.exists(cpp_path):
+            with open(cpp_path, errors="replace") as f:
+                txt = f.read()
+            if "#define SHORTWAVE_HEATING" in txt:
                 cfg.shortwaveHeating = True
+            if "#define ALLOW_3D_DIFFKR" in txt:
+                # ini_mixing.F:45: the 3-D diffusivity is initialised
+                # from the diffKrNrS profile and used for ALL tracers
+                cfg.allow3dDiffKr = True
+            break
     cfg.olx = olx
     cfg.oly = oly
     if not (cfg.usingCartesianGrid or cfg.usingSphericalPolarGrid

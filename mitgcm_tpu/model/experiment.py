@@ -966,6 +966,49 @@ def write_pickup(exp: "Experiment", out_dir: str, myIter: int) -> str:
                   itr=myIter, dataprec="float64",
                   nrecords=tke.shape[0], fldlist=["GGL90TKE"],
                   timestep_number=myIter)
+    if cfg.useSEAICE and st.siHEFF is not None and st.siHEFF.ndim == 2:
+        # pkg/seaice/seaice_write_pickup.F (old per-field format + the
+        # multDim 'siTICES' stack + EVP sigmas); tracers as siTracNN
+        si_names = []   # one name per FIELD (siTICES spans md records)
+        si_recs = []    # one (gy, gx) array per RECORD
+        md = st.siTICES.shape[0] if st.siTICES.ndim == 3 else 0
+        if md > 1:
+            si_names.append("siTICES")
+            si_recs += [_interior(cfg, st.siTICES[i]) for i in range(md)]
+        elif md == 1:
+            si_names.append("siTICE")
+            si_recs.append(_interior(cfg, st.siTICES[0]))
+        for nm, fld in (("siAREA", st.siAREA), ("siHEFF", st.siHEFF),
+                        ("siHSNOW", st.siHSNOW)):
+            si_names.append(nm)
+            si_recs.append(_interior(cfg, fld))
+        if st.SItracer is not None and st.SItracer.ndim == 3:
+            for i in range(st.SItracer.shape[0]):
+                si_names.append(f"siTrac{i + 1:02d}")
+                si_recs.append(_interior(cfg, st.SItracer[i]))
+        si_names += ["siUICE", "siVICE"]
+        si_recs += [_interior(cfg, st.uIce), _interior(cfg, st.vIce)]
+        if st.siSigma is not None and st.siSigma.ndim == 3 \
+                and st.siSigma.shape[0] == 3:
+            si_names += ["siSigm1", "siSigm2", "siSigm12"]
+            si_recs += [_interior(cfg, st.siSigma[i]) for i in range(3)]
+        si_stack = np.stack(si_recs, axis=0)
+        mds.wrmds(os.path.join(out_dir, "pickup_seaice"), si_stack,
+                  itr=myIter, dataprec="float64",
+                  nrecords=si_stack.shape[0], fldlist=si_names,
+                  timestep_number=myIter)
+    if cfg.useCDscheme and st.uVelD is not None and st.uVelD.ndim == 3:
+        # pkg/cd_code/cd_code_write_pickup.F: uVelD,vVelD,uNM1,vNM1
+        # (Nr records each) then etaNm1 — matches our reader above
+        cd_stack = np.concatenate(
+            [_interior(cfg, st.uVelD), _interior(cfg, st.vVelD),
+             _interior(cfg, st.uNM1), _interior(cfg, st.vNM1),
+             _interior(cfg, st.etaNm1)[None]], axis=0)
+        mds.wrmds(os.path.join(out_dir, "pickup_cd"), cd_stack,
+                  itr=myIter, dataprec="float64",
+                  nrecords=cd_stack.shape[0],
+                  fldlist=["uVelD", "vVelD", "uNM1", "vNM1", "etaNm1"],
+                  timestep_number=myIter)
     froot = os.path.join(out_dir, "pickup")
     mds.wrmds(froot, stack, itr=myIter, dataprec="float64",
               nrecords=stack.shape[0],
@@ -1140,21 +1183,47 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
         sstack = sfields["__records__"]
         snames = [n.strip() for n in smeta.get("fldList", [])
                   if n and n.strip()]
-        svals = {nm: pad2(sstack[i]) for i, nm in enumerate(snames)}
+        md = exp.state.siTICES.shape[0]
+        svals = {}
+        rec = 0
+        for nm in snames:
+            if nm == "siTICES":
+                # multDim>1: one record per thickness category
+                svals[nm] = jnp.stack(
+                    [pad2(sstack[rec + i]) for i in range(md)])
+                rec += md
+            else:
+                svals[nm] = pad2(sstack[rec])
+                rec += 1
         su = {}
         if "siTICE" in svals:
-            md = exp.state.siTICES.shape[0]
             su["siTICES"] = jnp.broadcast_to(
                 svals["siTICE"], (md,) + svals["siTICE"].shape)
         if "siTICES" in svals:
-            raise NotImplementedError("multi-category siTICES pickup")
+            su["siTICES"] = svals["siTICES"]
+        ntr = exp.state.SItracer.shape[0] \
+            if exp.state.SItracer is not None \
+            and exp.state.SItracer.ndim == 3 else 0
+        if ntr and all(f"siTrac{i + 1:02d}" in svals for i in range(ntr)):
+            su["SItracer"] = jnp.stack(
+                [svals[f"siTrac{i + 1:02d}"] for i in range(ntr)])
         for pk, sk in (("siAREA", "siAREA"), ("siHEFF", "siHEFF"),
                        ("siHSNOW", "siHSNOW"), ("siHSALT", "siHSALT"),
                        ("siUICE", "uIce"), ("siVICE", "vIce")):
             if pk in svals:
                 su[sk] = svals[pk]
+        # EVP internal stresses (seaice_write_pickup.F:171-192)
+        if all(k in svals for k in ("siSigm1", "siSigm2", "siSigm12")):
+            su["siSigma"] = jnp.stack([svals["siSigm1"],
+                                       svals["siSigm2"],
+                                       svals["siSigm12"]])
         exp.state = State(**{**exp.state.__dict__, **su})
     exp.cfg.startFromPickup = True
+    # keep (startTime, nIter0) consistent: myTime = startTime +
+    # (myIter-nIter0)*deltaTClock, so startTime must move with nIter0
+    # (the reference reads both from the restart namelist together)
+    exp.cfg.startTime = (exp.cfg.startTime
+                         + (myIter - exp.cfg.nIter0) * exp.cfg.deltaTClock)
     exp.cfg.nIter0 = myIter
     exp._cur_iter = None   # restart run() iteration tracking
     if "Wvel" in vals:

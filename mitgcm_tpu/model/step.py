@@ -1083,6 +1083,14 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         salt = fill(salt)
         theta, salt = zonfilt.apply_ts(grid_new, theta, salt)
 
+    # legacy convective adjustment (tracers_correction_step.F:115-119:
+    # after the filters, skipped when OPPS handles convection)
+    if opps is None and thermo_mod.cadj_active(cfg):
+        theta, salt, cpTr = thermo_mod.convective_adjustment(
+            cfg, grid_new, theta, salt, pTr if pTr.size else None)
+        if cpTr is not None:
+            pTr = cpTr
+
     new_state = State(
         uVel=u, vVel=v, wVel=w,
         theta=fill(theta), salt=fill(salt),
@@ -1124,6 +1132,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         uIce=state.uIce, vIce=state.vIce, siAREA=state.siAREA,
         siHEFF=state.siHEFF, siHSNOW=state.siHSNOW,
         siHSALT=state.siHSALT, siTICES=state.siTICES,
+        siSigma=state.siSigma,
         SItracer=state.SItracer,
         # pkg/land state was updated in-place after AIM physics
         landEnthalp=state.landEnthalp, landW=state.landW,

@@ -196,6 +196,73 @@ def calc_ivdc(cfg: Config, grid: Grid, rhoInSitu, theta, salt,
     return jnp.where(unstable, 1.0, 0.0)
 
 
+def convective_adjustment(cfg: Config, grid: Grid, theta, salt, pTr=None):
+    """Legacy convective adjustment (model/src/convective_adjustment.F +
+    convective_weights.F + convectively_mixtracer.F), cAdjFreq != 0.
+
+    Sequential sweep over interior interfaces (z-coords: surface down,
+    k=2..Nr; p-coords: k=Nr..2 i.e. also surface down): where the pair
+    straddling interface k is statically unstable (densities compared at
+    the common reference level k+deltaK, convective_adjustment.F:126-140),
+    mix T/S/passive tracers conserving volume.  The cascade is inherently
+    sequential in k (a mixed pair can destabilize the next interface), so
+    this is an unrolled per-level loop of 2-D ops."""
+    import dataclasses as _dc
+    from mitgcm_tpu.ops import eos as eos_mod
+    if cfg.eosType.upper() == "POLY3":
+        raise NotImplementedError("convective_adjustment with POLY3 EOS")
+    nr = cfg.nr
+    hf = grid.hFacC
+    drF = grid.drF
+
+    def rho2d(t2, s2, kref):
+        g1 = _dc.replace(grid, rC=grid.rC[kref:kref + 1])
+        return eos_mod.find_rho(cfg, g1, t2[None], s2[None])[0]
+
+    if cfg.usingZCoords:
+        pairs = [(km, km + 1, km) for km in range(nr - 1)]
+        sgn = cfg.rkSign * cfg.gravitySign       # = +1
+    else:
+        pairs = [(kk - 1, kk, kk) for kk in range(nr - 1, 0, -1)]
+        sgn = cfg.rkSign * cfg.gravitySign       # = -1
+    ptr_on = pTr is not None and pTr.ndim == 4 and pTr.shape[0] > 0
+    for km, kk, kref in pairs:
+        rhoKm1 = rho2d(theta[km], salt[km], kref)
+        rhoK = rho2d(theta[kk], salt[kk], kref)
+        unstable = jnp.logical_and(hf[km] * hf[kk] > 0.0,
+                                   (rhoK - rhoKm1) * sgn < 0.0)
+        d1 = hf[km] * drF[km]
+        d2 = hf[kk] * drF[kk]
+        dS = jnp.where(d1 + d2 > 0.0, d1 + d2, 1.0)
+        wA = jnp.where(unstable, d2 / dS, 0.0)
+        wB = jnp.where(unstable, d1 / dS, 0.0)
+
+        def mix(fld):
+            dT = fld[kk] - fld[km]
+            return fld.at[km].add(wA * dT).at[kk].add(-wB * dT)
+
+        theta = mix(theta)
+        salt = mix(salt)
+        if ptr_on:
+            dP = pTr[:, kk] - pTr[:, km]
+            pTr = pTr.at[:, km].add(wA[None] * dP) \
+                     .at[:, kk].add(-wB[None] * dP)
+    return theta, salt, pTr
+
+
+def cadj_active(cfg: Config) -> bool:
+    """DIFFERENT_MULTIPLE(cAdjFreq, ., deltaTClock) resolved statically:
+    any |cAdjFreq| < deltaTClock (incl. the conventional -1) fires every
+    step; 0 = off; a slower positive period is not supported in-jit."""
+    if cfg.cAdjFreq == 0.0:
+        return False
+    if cfg.cAdjFreq < 0.0 or abs(cfg.deltaTClock) > cfg.cAdjFreq:
+        return True
+    raise NotImplementedError(
+        f"cAdjFreq={cfg.cAdjFreq} slower than deltaTClock (time-gated "
+        "convective adjustment inside jit)")
+
+
 def tracer_kappa(cfg: Config, grid: Grid, conv_count, diffKr: float, dtype,
                  gm_tensor=None):
     """calc_3d_diffusivity.F: interface diffusivity [nr,...]; GM-Redi adds
@@ -418,7 +485,9 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             if gm_tensor is not None:
                 kapT = kapT + gm_tensor.Kwz * grid.maskInC
         else:
-            kapT = tracer_kappa(cfg, grid, conv_count, cfg.diffKrT,
+            kapT = tracer_kappa(cfg, grid, conv_count,
+                                cfg.diffKrS if cfg.allow3dDiffKr
+                                else cfg.diffKrT,
                                 theta.dtype, gm_tensor=gm_tensor)
             if ggl90_fields is not None:
                 # ggl90_calc_diff.F: KappaRx += GGL90diffKr - diffKrNrS

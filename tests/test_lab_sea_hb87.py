@@ -15,7 +15,8 @@ Digit floors vs results/output.hb87.txt:
   * step 1 matches at >=10 digits on every physical stat (measured
     12-13) — all EVP/advect/HB87 machinery exercised (ice moves and is
     advected within step 1).
-  * steps 2-3 hold >=3 digits (measured 3-6).  The reference documents
+  * steps 2-3 hold >=4 digits (measured 4-6 after carrying the EVP
+    sigma state across steps — dropping it costs ~2 digits at step 2).  The reference documents
     this deck's extreme sensitivity to floating-point association order:
     seaice_evp.F:901-905 notes that re-writing the velocity update as
     the algebraically identical uIceNm1+(uIce-uIceNm1) "changes results

@@ -75,3 +75,36 @@ def test_pickup_roundtrip(tmp_path):
         a = np.asarray(getattr(e.state, name))[..., ol:-ol, ol:-ol]
         b = np.asarray(getattr(e2.state, name))[..., ol:-ol, ol:-ol]
         assert np.array_equal(a, b), name
+
+
+def test_2plus2_seaice_labsea(tmp_path):
+    """Seaice/CD-scheme 2+2 restart on the real lab_sea deck: pickup +
+    pickup_seaice (incl. multDim TICES stack + SItracers) + pickup_cd
+    must reproduce the straight 4-step run bit-for-bit."""
+    import os
+    from tests.conftest import reference_exp
+    DIR = reference_exp("lab_sea")
+
+    def make():
+        e = Experiment.from_dir(DIR + "/input", nx=20, ny=16, nr=23)
+        exp_mod.read_pickup(e, DIR + "/input", 1)
+        return e
+
+    e4 = make()
+    e4.run(n_steps=4, collect_monitor=False)
+
+    e2 = make()
+    e2.run(n_steps=2, collect_monitor=False)
+    exp_mod.write_pickup(e2, str(tmp_path), myIter=3)
+
+    e22 = make()
+    exp_mod.read_pickup(e22, str(tmp_path), myIter=3)
+    e22.run(n_steps=2, collect_monitor=False)
+
+    ol = e4.cfg.olx
+    for name in ("uVel", "vVel", "theta", "salt", "etaN", "guNm1",
+                 "uVelD", "vVelD", "etaNm1", "uIce", "vIce", "siAREA",
+                 "siHEFF", "siHSNOW", "siTICES", "SItracer"):
+        a = np.asarray(getattr(e4.state, name))[..., ol:-ol, ol:-ol]
+        b = np.asarray(getattr(e22.state, name))[..., ol:-ol, ol:-ol]
+        assert np.array_equal(a, b), f"{name} differs after restart"
