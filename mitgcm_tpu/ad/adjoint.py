@@ -29,7 +29,7 @@ from mitgcm_tpu.model import step as step_mod
 
 def run_steps(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
               n_steps: int, checkpoint_chunks: Optional[int] = None,
-              hooks: Optional[dict] = None, cs_fill=None):
+              hooks: Optional[dict] = None, cs_fill=None, step_cost=None):
     """Run n_steps with adjoint-friendly checkpointing.
 
     checkpoint_chunks: number of outer checkpoint segments (the analog of
@@ -39,6 +39,10 @@ def run_steps(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
 
     hooks: package objects forwarded to forward_step (kpp/ggl90/vmix/
     opps/seaice/obcs); cs_fill: cubed-sphere exchange object.
+
+    step_cost: optional f(state_after_step, myIter) -> scalar, accumulated
+    over all steps (the COST_TILE hook at the end of each forward_step,
+    forward_step.F:1197).  When given, returns (final_state, cost_sum).
     """
     kw = {k: v for k, v in (hooks or {}).items() if v is not None}
     if cs_fill is not None:
@@ -52,9 +56,12 @@ def run_steps(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
 
     if n_steps <= 4:
         s = state
+        acc = jnp.zeros((), state.theta.dtype)
         for i in range(n_steps):
             s, _ = body(s, jnp.asarray(cfg.nIter0 + i))
-        return s
+            if step_cost is not None:
+                acc = acc + step_cost(s, cfg.nIter0 + i)
+        return (s, acc) if step_cost is not None else s
 
     chunks = checkpoint_chunks or max(1, int(math.sqrt(n_steps)))
     chunk_len = -(-n_steps // chunks)
@@ -64,12 +71,15 @@ def run_steps(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     valid = jnp.arange(n_pad) < n_steps
 
     def body_masked(carry, inp):
+        st, acc = carry
         myIter, ok = inp
         new_state, _ = step_mod.forward_step(
-            cfg, grid, op, carry, forcing, myIter, **kw)
+            cfg, grid, op, st, forcing, myIter, **kw)
         out = jax.tree.map(
-            lambda a, b: jnp.where(ok, a, b), new_state, carry)
-        return out, None
+            lambda a, b: jnp.where(ok, a, b), new_state, st)
+        if step_cost is not None:
+            acc = acc + jnp.where(ok, step_cost(out, myIter), 0.0)
+        return (out, acc), None
 
     body_ckpt2 = jax.checkpoint(body_masked)
 
@@ -77,10 +87,11 @@ def run_steps(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         s, _ = jax.lax.scan(body_ckpt2, carry, inp)
         return s, None
 
-    s, _ = jax.lax.scan(
-        jax.checkpoint(inner2), state,
+    (s, acc), _ = jax.lax.scan(
+        jax.checkpoint(inner2),
+        (state, jnp.zeros((), state.theta.dtype)),
         (iters.reshape(chunks, chunk_len), valid.reshape(chunks, chunk_len)))
-    return s
+    return (s, acc) if step_cost is not None else s
 
 
 # ----------------------------------------------------------------------

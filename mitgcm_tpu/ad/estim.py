@@ -63,6 +63,10 @@ _GENARR3D_TARGETS = {
     # forward effect (ctrl_map_ini_genarr.F:392-396 compiled out)
     "xx_kapgm": ("inert", ""),
     "xx_kapredi": ("inert", ""),
+    # passive-tracer initial conditions (ctrl_map_ini_genarr.F xx_ptr):
+    "xx_ptr1": ("ptracer", 0),
+    "xx_ptr2": ("ptracer", 1),
+    "xx_ptr3": ("ptracer", 2),
 }
 _GENTIM2D_TARGETS = {
     # applied as additive anomaly on the recurring forcing record
@@ -167,6 +171,7 @@ class CtrlProblem:
             path = exp.cfg.find_file("data.ctrl")
             ctrls = parse_data_ctrl(path) if path else []
         self.ctrls = ctrls
+        self.step_cost_fns = []
         if cost_fns is None:
             path = exp.cfg.find_file("data.cost")
             cp = parse_data_cost(path) if path else {}
@@ -174,6 +179,18 @@ class CtrlProblem:
             if cp.get("mult_test"):
                 cost_fns.append(cost_test(exp.cfg, exp.grid,
                                           float(cp["mult_test"])))
+            if cp.get("mult_tracer") and exp.cfg.usePTRACERS:
+                # cost_tracer needs ALLOW_COST_TRACER compiled — check
+                # the deck's COST_OPTIONS.h like genmake2 would
+                copt = exp.cfg.find_code_file("COST_OPTIONS.h")
+                on = copt and "#define ALLOW_COST_TRACER" in open(
+                    copt, errors="replace").read()
+                if on:
+                    tau = float((exp.cfg.ptracers or {}).get(
+                        "tautr1climrelax", 0.0))
+                    lam = 1.0 / tau if tau else 0.0
+                    self.step_cost_fns.append(cost_tracer(
+                        exp.cfg, exp.grid, float(cp["mult_tracer"]), lam))
         self.cost_fns = cost_fns
         self._J = None
 
@@ -208,6 +225,10 @@ class CtrlProblem:
                 if where is None:
                     raise NotImplementedError(f"genarr3d control {c.name}")
                 if where == "inert":
+                    continue
+                if where == "ptracer":
+                    new = st.pTr.at[tgt].add(v * self.grid.maskC)
+                    st = State(**{**st.__dict__, "pTr": new})
                     continue
                 if where == "forcing":
                     cur = getattr(fc, tgt)
@@ -249,15 +270,27 @@ class CtrlProblem:
         exp = self.exp
         cfg, grid = self.cfg, self.grid
 
+        step_cost = None
+        if self.step_cost_fns:
+            fns = list(self.step_cost_fns)
+
+            def step_cost(s, myIter):          # noqa: F811
+                return sum(f(s, myIter) for f in fns)
+
         def J(xx):
             st, fc = self.apply(exp.state, exp.forcing, xx)
-            s = run_steps(cfg, grid, exp.op, st, fc, self.n_steps,
-                          checkpoint_chunks=self.chunks,
-                          hooks=dict(kpp=exp.kpp, ggl90=exp.ggl90,
-                                     vmix=exp.vmix, opps=exp.opps,
-                                     seaice=exp.seaice, obcs=exp.obcs),
-                          cs_fill=exp.cs_fill)
-            return sum(f(s) for f in self.cost_fns)
+            out = run_steps(cfg, grid, exp.op, st, fc, self.n_steps,
+                            checkpoint_chunks=self.chunks,
+                            hooks=dict(kpp=exp.kpp, ggl90=exp.ggl90,
+                                       vmix=exp.vmix, opps=exp.opps,
+                                       seaice=exp.seaice, obcs=exp.obcs),
+                            cs_fill=exp.cs_fill,
+                            step_cost=step_cost)
+            if step_cost is not None:
+                s, acc = out
+            else:
+                s, acc = out, 0.0
+            return acc + sum(f(s) for f in self.cost_fns)
 
         self._J = J
         return J
@@ -351,6 +384,42 @@ def cost_test(cfg, grid, mult_test: float = 1.0):
     def fc(state: State):
         t = state.theta[0, oly:oly + cfg.ny, olx:olx + cfg.nx]
         return mult_test * jnp.sum(t * t)
+
+    return fc
+
+
+def cost_tracer(cfg, grid, mult_tracer: float = 1.0,
+                lambdaTr1: float = 0.0):
+    """pkg/cost/cost_tracer.F (ALLOW_COST_TRACER): surface-layer volume
+    integral of passive tracer 1, accumulated EVERY step (COST_TILE at
+    forward_step.F:1197):
+
+        objf += sum_ij hFacC(k=1)*lambdaTr1ClimRelax*ptr1(k=1)
+                      *rA*drF(1)*dTtracerLev(1)
+
+    Under nonlinFreeSurf the hFacC at cost time is the r* geometry of
+    the CURRENT step (hFac last updated by UPDATE_R_STAR at
+    forward_step.F:838 from etaH^n = the post-step state's etaHm1).
+    Returns a per-step cost f(state, myIter) for run_steps(step_cost=)."""
+    oly, olx = cfg.oly, cfg.olx
+    if cfg.nFaces > 1:
+        raise NotImplementedError("cost_tracer on the cube")
+    ks = cfg.ksurf0
+    w0 = grid.rA * grid.drF[ks] * cfg.deltaTTracer
+
+    def fc(state: State, myIter):
+        hf = grid.hFacC[ks]
+        if cfg.nonlinFreeSurf > 0 and cfg.select_rStar > 0:
+            from mitgcm_tpu.model import rstar as rstar_mod
+            facC, _w, _s = rstar_mod.rstar_facs(cfg, grid, state.etaHm1)
+            hf = hf * facC
+        elif cfg.nonlinFreeSurf > 0:
+            from mitgcm_tpu.model import nlfs
+            hs = nlfs.surf_dr_facs(cfg, grid, state.etaHm1)
+            hf = hs["hFacC"][ks] if isinstance(hs, dict) else hf
+        loc = (hf * lambdaTr1 * state.pTr[0, ks] * w0)
+        return mult_tracer * jnp.sum(
+            loc[oly:oly + cfg.ny, olx:olx + cfg.nx])
 
     return fc
 

@@ -160,6 +160,9 @@ class Config:
     # CPP ALLOW_3D_DIFFKR: one 3-D vertical diffusivity for all tracers,
     # initialised from the diffKrNrS profile (ini_mixing.F:45)
     allow3dDiffKr: bool = False
+    # deck-override ptracers_forcing_surf.F applying surfaceForcingS to
+    # every passive tracer (tutorial_tracer_adjsens code_ad)
+    ptracersForcingLikeSalt: bool = False
     buoyancyRelation: str = "OCEANIC"
     atm_Rq: float = 0.0
     top_Pres: float = 0.0
@@ -455,8 +458,10 @@ class Config:
             c.atm_kappa = c.atm_Rd / c.atm_Cp
         if c.omega is UNSET:
             c.omega = 2.0 * math.pi / c.rotationPeriod if c.rotationPeriod else 0.0
-        # deltaT family (ini_parms.F): any unset member defaults to deltaT
-        dt = c.deltaT or c.deltaTMom or c.deltaTTracer or c.deltaTClock
+        # deltaT family (ini_parms.F:1013-1016): deltaT defaults from
+        # deltaTClock FIRST, then deltaTtracer, deltaTMom, deltaTFreeSurf
+        dt = (c.deltaT or c.deltaTClock or c.deltaTTracer or c.deltaTMom
+              or c.deltaTFreeSurf)
         c.deltaT = c.deltaT or dt
         c.deltaTMom = c.deltaTMom or dt
         c.deltaTTracer = c.deltaTTracer or dt
@@ -814,6 +819,17 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
                 # ini_mixing.F:45: the 3-D diffusivity is initialised
                 # from the diffKrNrS profile and used for ALL tracers
                 cfg.allow3dDiffKr = True
+            break
+    for _cd in _code_dirs(input_dir):
+        pfs = os.path.join(_cd, "ptracers_forcing_surf.F")
+        if os.path.exists(pfs):
+            body = open(pfs, errors="replace").read()
+            # active (non-comment) surfaceForcingS line in the override
+            for ln in body.splitlines():
+                if (ln[:1] not in ("C", "c", "!") and
+                        "surfaceForcingS" in ln and "&" in ln):
+                    cfg.ptracersForcingLikeSalt = True
+                    break
             break
     cfg.olx = olx
     cfg.oly = oly

@@ -623,6 +623,23 @@ class Experiment:
             state = State(**{**state.__dict__, **upd})
             obcs_obj.ob0 = ob0
 
+        if cfg.cAdjFreq != 0.0 and cfg.nIter0 == 0:
+            # initialise_varia.F:283-296 (INCLUDE_CONVECT_INI_CALL):
+            # "Initial conditions are convectively adjusted (for
+            # historical reasons)" when startTime==baseTime
+            from mitgcm_tpu.model import thermodynamics as thermo_mod
+            t0, s0, p0 = thermo_mod.convective_adjustment(
+                cfg, grid, state.theta, state.salt,
+                state.pTr if cfg.usePTRACERS and state.pTr.shape[0]
+                else None)
+            fillc = ((lambda a: cs_fill.fill(a)) if cs_fill is not None
+                     else (lambda a: cyclic_fill_halo(a, cfg.oly,
+                                                      cfg.olx)))
+            updc = {"theta": fillc(t0), "salt": fillc(s0)}
+            if p0 is not None:
+                updc["pTr"] = fillc(p0)
+            state = State(**{**state.__dict__, **updc})
+
         exp = cls(cfg=cfg, grid=grid, state=state, forcing=forcing, op=op,
                   cs_fill=cs_fill, kpp=kpp_obj, ggl90=ggl90_obj,
                   vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj,
@@ -1220,10 +1237,10 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
         exp.state = State(**{**exp.state.__dict__, **su})
     exp.cfg.startFromPickup = True
     # keep (startTime, nIter0) consistent: myTime = startTime +
-    # (myIter-nIter0)*deltaTClock, so startTime must move with nIter0
-    # (the reference reads both from the restart namelist together)
-    exp.cfg.startTime = (exp.cfg.startTime
-                         + (myIter - exp.cfg.nIter0) * exp.cfg.deltaTClock)
+    # (myIter-nIter0)*deltaTClock, and the reference's invariant is
+    # startTime = baseTime + nIter0*deltaTClock (ini_parms.F:1126)
+    exp.cfg.startTime = (exp.cfg.baseTime
+                         + myIter * exp.cfg.deltaTClock)
     exp.cfg.nIter0 = myIter
     exp._cur_iter = None   # restart run() iteration tracking
     if "Wvel" in vals:

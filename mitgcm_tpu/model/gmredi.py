@@ -148,14 +148,23 @@ def _slope_limit(gm: GMParams, dSigmaDx, dSigmaDy, dSigmaDr,
             jnp.sqrt(maxSlopeSqr / jnp.where(ssq == 0.0, 1.0, ssq)), taper)
     elif scheme == "dm95":
         smod = jnp.sqrt(ssq) * runit       # Smod in z-slope units
+        # clamp the tanh argument: tanh saturates to +-1 well before
+        # |x|=30, and XLA:CPU's vectorized tanh can emit NaN for huge
+        # magnitudes ((e^2x-1)/(e^2x+1) -> inf/inf) in some SIMD
+        # dispatch paths — |S| reaches bigSlope=1e+40 on unstratified
+        # columns, which makes the whole run NaN out under certain
+        # process memory layouts (observed: same binary, same inputs,
+        # result flipped by the presence of an unrelated env var)
+        arg = jnp.clip((gm.Scrit - smod) / gm.Sd, -30.0, 30.0)
         taper = jnp.where(
             (ssq != 0.0) & (ssq < sqCut),
-            0.5 * (1.0 + jnp.tanh((gm.Scrit - smod) / gm.Sd)), taper)
+            0.5 * (1.0 + jnp.tanh(arg)), taper)
     elif scheme == "ldd97":
         # Large et al. 97: dm95's f1 times the near-boundary sine ramp
         # f2(Rnondim = rDepth / (Lrho * |S|))
         smod_r = jnp.sqrt(ssq)                 # r-slope units
-        f1 = 0.5 * (1.0 + jnp.tanh((gm.Scrit - smod_r * runit) / gm.Sd))
+        arg = jnp.clip((gm.Scrit - smod_r * runit) / gm.Sd, -30.0, 30.0)
+        f1 = 0.5 * (1.0 + jnp.tanh(arg))
         denom = Lrho * jnp.where(smod_r == 0.0, 1.0, smod_r)
         rnon = rDepth / denom                  # Pa/(m * Pa/m): unitless
         f2 = jnp.where(rnon >= 1.0, 1.0,
@@ -372,8 +381,12 @@ def _slope_psi(gm: GMParams, slope, dSigmaDr, unit=1.0):
     elif scheme == "dm95":
         # NB: the reference dm95 psi branch overwrites taper with no
         # slopeCutoff guard (gmredi_slope_psi.F:314-327); Smod converted
-        # to z-slope units (*rVel2wUnit(k)) for the Scrit comparison
-        taper = 0.5 * (1.0 + jnp.tanh((gm.Scrit - smod * runit) / gm.Sd))
+        # to z-slope units (*rVel2wUnit(k)) for the Scrit comparison.
+        # tanh argument clamped — saturates identically in f64 beyond
+        # |x|=30 and XLA:CPU's vectorized tanh can NaN on huge lanes
+        # (see _slope_limit dm95 note)
+        arg = jnp.clip((gm.Scrit - smod * runit) / gm.Sd, -30.0, 30.0)
+        taper = 0.5 * (1.0 + jnp.tanh(arg))
     else:
         raise NotImplementedError(
             f"GM_taper_scheme={scheme} for GM_AdvForm (slope_psi)")

@@ -564,6 +564,12 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                        * grid.drF[0] * grid.hFacC[0])
                 intF = jnp.ones_like(pTr[itr]) * grid.maskC
                 intF = intF.at[0].set(0.0)
+            elif getattr(cfg, "ptracersForcingLikeSalt", False):
+                # deck-override ptracers_forcing_surf.F (e.g.
+                # tutorial_tracer_adjsens/code_ad): surfaceForcingPTr =
+                # surfaceForcingS — the tracer "imitates salt"
+                sfP = sfS
+                intF = None
             else:
                 sfP = jnp.zeros_like(sfT)
                 intF = None
