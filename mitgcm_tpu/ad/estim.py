@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from mitgcm_tpu.core import nml
 from mitgcm_tpu.core.state import State
+from mitgcm_tpu.ops.stencil import cyclic_fill_halo as _cyc
 from mitgcm_tpu.ad.adjoint import run_steps
 
 
@@ -277,8 +278,31 @@ class CtrlProblem:
             def step_cost(s, myIter):          # noqa: F811
                 return sum(f(s, myIter) for f in fns)
 
+        preconv = getattr(exp, "preconvect_state", None)
+
         def J(xx):
-            st, fc = self.apply(exp.state, exp.forcing, xx)
+            st0 = exp.state
+            if preconv is not None:
+                # reference order (initialise_varia.F:265 vs :292): the
+                # ctrl map applies BEFORE the initial convective
+                # adjustment, which then mixes the perturbation
+                st0 = State(**{**st0.__dict__,
+                               "theta": preconv.theta,
+                               "salt": preconv.salt,
+                               "pTr": preconv.pTr})
+            st, fc = self.apply(st0, exp.forcing, xx)
+            if preconv is not None:
+                from mitgcm_tpu.model import thermodynamics as thermo
+                t0, s0, p0 = thermo.convective_adjustment(
+                    cfg, grid, st.theta, st.salt,
+                    st.pTr if cfg.usePTRACERS and st.pTr.shape[0]
+                    else None)
+                fill = (exp.cs_fill.fill if exp.cs_fill is not None
+                        else (lambda a: _cyc(a, cfg.oly, cfg.olx)))
+                upd = {"theta": fill(t0), "salt": fill(s0)}
+                if p0 is not None:
+                    upd["pTr"] = fill(p0)
+                st = State(**{**st.__dict__, **upd})
             out = run_steps(cfg, grid, exp.op, st, fc, self.n_steps,
                             checkpoint_chunks=self.chunks,
                             hooks=dict(kpp=exp.kpp, ggl90=exp.ggl90,

@@ -144,15 +144,18 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
     if "hflux" in fields:
         stack, knots = masked_records("hflux", maskC0)
         upd["Qnet"] = jnp.asarray(refill(stack))
-        tknots["Qnet"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["Qnet"] = jnp.asarray(knots)
     if "swflux" in fields:
         stack, knots = masked_records("swflux", maskC0)
         upd["Qsw"] = jnp.asarray(refill(stack))
-        tknots["Qsw"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["Qsw"] = jnp.asarray(knots)
     if "sflux" in fields:
         stack, knots = masked_records("sflux", maskC0)
         upd["EmPmR"] = jnp.asarray(refill(stack * cfg.rhoConstFresh))
-        tknots["EmPmR"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["EmPmR"] = jnp.asarray(knots)
     if "ustress" in fields:
         # stressIsOnCgrid: the file is already at U points (masked with
         # maskW at load, exf_init_fixed.F:63-65); else A-grid averaged
@@ -169,7 +172,8 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
             fu = 0.5 * (stack + np.concatenate(
                 [stack[..., -1:], stack[..., :-1]], axis=-1)) * maskW0[None]
         upd["fu"] = jnp.asarray(refill(fu))
-        tknots["fu"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["fu"] = jnp.asarray(knots)
     if "vstress" in fields:
         mV = maskS0 if exfobj.stressIsOnCgrid else maskC0
         stack, knots = masked_records("vstress", mV)
@@ -181,23 +185,27 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
                 [stack[..., -1:, :], stack[..., :-1, :]], axis=-2)) \
                 * maskS0[None]
         upd["fv"] = jnp.asarray(refill(fv))
-        tknots["fv"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["fv"] = jnp.asarray(knots)
     if "climsst" in fields:
         stack, knots = masked_records("climsst", maskC0)
         upd["SST"] = jnp.asarray(refill(stack))
-        tknots["SST"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["SST"] = jnp.asarray(knots)
         cfg.exf_climtempfreeze = exfobj.climtempfreeze
     if "climsss" in fields:
         stack, knots = masked_records("climsss", maskC0)
         upd["SSS"] = jnp.asarray(refill(stack))
-        tknots["SSS"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["SSS"] = jnp.asarray(knots)
     if "apressure" in fields:
         # exf_mapfields.F:314-321: pLoad = apressure - surf_pRef
         # (pressure ANOMALY, ATMOSPHERIC_LOADING)
         stack, knots = masked_records("apressure", maskC0)
         upd["pLoad"] = jnp.asarray(refill(
             (stack - cfg.surf_pRef) * maskC0[None]))
-        tknots["pLoad"] = jnp.asarray(knots)
+        if knots is not None:
+            tknots["pLoad"] = jnp.asarray(knots)
     # bulk-formulae mode (ALLOW_ATM_TEMP/ALLOW_ATM_WIND): carry the raw
     # atmospheric state; fluxes are computed per step in forward_step
     if "snowprecip" in fields:
@@ -212,7 +220,8 @@ def _exf_to_forcing(cfg, grid, exfobj, fields, forcing, dtype, cs_fill):
             stack, knots = masked_records(name, maskC0)
             upd[fkey] = jnp.asarray(refill(stack))
             if knots is not None:
-                tknots[fkey] = jnp.asarray(knots)
+                if knots is not None:
+                    tknots[fkey] = jnp.asarray(knots)
     if "atemp" in fields:
         cfg.exf_useBulk = True
     return Forcing(**{**forcing.__dict__, **upd, "tknots": tknots})
@@ -623,10 +632,17 @@ class Experiment:
             state = State(**{**state.__dict__, **upd})
             obcs_obj.ob0 = ob0
 
+        preconv_state = None
         if cfg.cAdjFreq != 0.0 and cfg.nIter0 == 0:
             # initialise_varia.F:283-296 (INCLUDE_CONVECT_INI_CALL):
             # "Initial conditions are convectively adjusted (for
-            # historical reasons)" when startTime==baseTime
+            # historical reasons)" when startTime==baseTime.  The
+            # pre-adjustment state is kept: the ctrl map runs BEFORE
+            # this call in the reference (PACKAGES_INIT_VARIABLES at
+            # initialise_varia.F:265), so AD control perturbations must
+            # be applied to the un-adjusted state and re-adjusted
+            # (see ad/estim.CtrlProblem.objective)
+            preconv_state = state
             from mitgcm_tpu.model import thermodynamics as thermo_mod
             t0, s0, p0 = thermo_mod.convective_adjustment(
                 cfg, grid, state.theta, state.salt,
@@ -645,6 +661,7 @@ class Experiment:
                   vmix=vmix_obj, opps=opps_obj, seaice=seaice_obj,
                   obcs=obcs_obj, op3=op3, rbcs=rbcs_obj,
                   aim=aim_obj, zonfilt=zonfilt_obj)
+        exp.preconvect_state = preconv_state
         exp.init_continuity()
         return exp
 

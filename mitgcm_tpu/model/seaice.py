@@ -95,6 +95,9 @@ class SeaiceParams:
     diffKhSnow: float = -1.0
     diffKhSalt: float = -1.0
     useFreeDrift: bool = False     # SEAICEuseFREEDRIFT (seaice_freedrift.F)
+    restoreUnderIce: bool = False  # SEAICErestoreUnderIce
+    LSR_mixIniGuess: int = -1      # LSR initial-guess mode (seaice_lsr.F)
+    saltFrac: float = 0.0          # SEAICE_saltFrac (HSALT init/growth)
     # --- EVP (seaice_evp.F + readparms derivation :748-820) ---
     useEVP: bool = False           # derived from the three triggers
     deltaTevp: float = -1.0        # SEAICE_deltaTevp (UNSET=-1)
@@ -229,6 +232,12 @@ _NML_MAP = {
     "seaiceaevpalphamin": "aEVPalphaMin",
     "usehb87stresscoupling": "useHB87stressCoupling",
     "seaiceusefluxform": "useFluxForm", "diff1": "DIFF1",
+    "seaiceusedynamics": "useDYNAMICS",
+    "seaicerestoreunderice": "restoreUnderIce",
+    "seaicelinearitermax": "linearIterMax",
+    "lsr_mixiniguess": "LSR_mixIniGuess",
+    "seaice_area_floor": "area_floor",
+    "seaice_saltfrac": "saltFrac",
     "areafile": "AreaFile", "hefffile": "HeffFile",
     "hsnowfile": "HsnowFile", "hsaltfile": None,
     "uicefile": "uIceFile", "vicefile": "vIceFile",

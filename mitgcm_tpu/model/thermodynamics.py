@@ -580,7 +580,8 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
             trn, gn, _, _som = tracer_integrate(
                 cfg, grid, flow, state_adv, pTr[itr], gPtrNm1[itr], kapP, sfP,
                 scheme, scheme, pp["diffKh"], 0.0, myIter,
-                gm_tensor=gm_tensor, interior_forc=intF)
+                gm_tensor=gm_tensor, interior_forc=intF,
+                rstar_ratio=ratioC)
             new_p.append(trn)
             new_g.append(gn)
         pTr = jnp.stack(new_p)
