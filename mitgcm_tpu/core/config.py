@@ -55,7 +55,7 @@ class Config:
     fPrime: float = 0.0
     omega: float = UNSET           # default 2pi/86164 s (set_parms)
     rotationPeriod: float = 86164.0
-    rhoConst: float = 999.8
+    rhoConst: float = UNSET        # defaults to rhoNil (ini_parms.F:476)
     rhoNil: float = 999.8
     gravity: float = 9.81
     sIceLoadFac: float = 1.0       # scale of sea-ice mass loading (PARM01)
@@ -491,6 +491,9 @@ class Config:
             c.implicitNHPress = c.implicSurfPress
         # freeSurfFac (ini_parms.F:473)
         c.freeSurfFac = 0.0 if c.rigidLid else 1.0
+        # rhoConst defaults to rhoNil (ini_parms.F:476)
+        if c.rhoConst is UNSET:
+            c.rhoConst = c.rhoNil
         # mass <-> r-unit conversion (ini_parms.F:1542-1545)
         c.recip_rhoConst = 1.0 / c.rhoConst
         if c.usingPCoords:

@@ -76,6 +76,16 @@ class State:
     siTICES: jnp.ndarray = None      # [multDim, ny, nx]
     SItracer: jnp.ndarray = None     # [nTr, ny, nx]
     siSigma: jnp.ndarray = None      # [3, ny, nx] EVP sigma1/2/12 ([0,..])
+    # pkg/thsice Winton 3-layer state (THSICE_VARS.h)
+    thIceMask: jnp.ndarray = None
+    thIceH: jnp.ndarray = None
+    thSnowH: jnp.ndarray = None
+    thSnowAge: jnp.ndarray = None
+    thTsrf: jnp.ndarray = None
+    thTice1: jnp.ndarray = None
+    thTice2: jnp.ndarray = None
+    thQice1: jnp.ndarray = None
+    thQice2: jnp.ndarray = None
     # non-hydrostatic pressure + wVel AB tendency history
     # (model/inc/NH_VARS.h phi_nh/gwNm1/gwNm2); zero-size when hydrostatic
     phi_nh: jnp.ndarray = None
@@ -181,6 +191,8 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         siHSNOW=z2 if cfg.useSEAICE else z0,
         siHSALT=z2 if cfg.useSEAICE else z0,
         siTICES=z0, SItracer=z0, siSigma=z0,
+        thIceMask=z0, thIceH=z0, thSnowH=z0, thSnowAge=z0, thTsrf=z0,
+        thTice1=z0, thTice2=z0, thQice1=z0, thQice2=z0,
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,
         etaN=z2, etaH=z2, dEtaHdt=z2, PmEpR=z2,
         guNm1=z3, gvNm1=z3, gtNm1=z3, gsNm1=z3,

@@ -1027,7 +1027,7 @@ class AIM:
         nlev = self.nlev
         yearLength = 86400.0 * 360.0
         tyear = jnp.mod(myTime / yearLength, 1.0)
-        (fmask, alb1, stl1, sst1, sti1, soilw1, snow1,
+        (fmask, alb1, sst1, stl1, sti1, soilw1, snow1,
          oice1) = self.surf_bc(myTime, tyear, land_state)
         TA, QA, ThA, PSA, dpFac, Vsurf2, WVS = self.dyn2aim(
             grid, theta, salt, uVel, vVel)

@@ -470,6 +470,22 @@ class Experiment:
                 grp = nml.read_namelist(opath).get("OPPS_PARM01", {})
             opps_obj = opps_mod.OPPS(cfg, grid, grp)
 
+        thsice_obj = None
+        if cfg.useThSIce:
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import thsice as thsice_mod
+            tc, t1 = {}, {}
+            tpath = cfg.find_file("data.ice")
+            if os.path.exists(tpath):
+                tnl = nml.read_namelist(tpath)
+                tc = tnl.get("THSICE_CONST", {})
+                t1 = tnl.get("THSICE_PARM01", {})
+            thp = thsice_mod.params_from_namelists(cfg, tc, t1)
+            thsice_obj = thsice_mod.ThSIce(cfg, grid, thp, fills=cs_fill)
+            th0 = thsice_obj.init_state(
+                lambda f: _load_2d(cfg, f, dtype, cs_fill), dtype)
+            state = State(**{**state.__dict__, **th0})
+
         seaice_obj = None
         if cfg.useSEAICE:
             from mitgcm_tpu.core import nml
@@ -662,6 +678,7 @@ class Experiment:
                   obcs=obcs_obj, op3=op3, rbcs=rbcs_obj,
                   aim=aim_obj, zonfilt=zonfilt_obj)
         exp.preconvect_state = preconv_state
+        exp.thsice = thsice_obj
         exp.init_continuity()
         return exp
 
@@ -720,7 +737,9 @@ class Experiment:
                                          seaice=self.seaice,
                                          obcs=self.obcs, op3=self.op3,
                                          rbcs=self.rbcs, aim=self.aim,
-                                         zonfilt=self.zonfilt, **hooks)
+                                         zonfilt=self.zonfilt,
+                                         thsice=getattr(self, "thsice",
+                                                        None), **hooks)
 
         self._step_fn = jax.jit(fn)
         return self._step_fn
@@ -799,6 +818,19 @@ class Experiment:
                                                 mk, ar, drn)
                         for k2, v2 in st.items():
                             stats[f"seaice_{nm}_{k2}"] = v2
+                if self.aim is not None \
+                        and getattr(self.aim, "land", None) is not None:
+                    from mitgcm_tpu.model import land as land_mod
+                    lst = land_mod.LandState(
+                        s.landEnthalp, s.landW, s.landT, s.landSkinT,
+                        s.landHSnow, s.landSnowAge)
+                    stats.update(self.aim.land.monitor(lst, cfg, grid))
+                if getattr(self, "thsice", None) is not None:
+                    th = {k: getattr(s, k) for k in
+                          ("thIceMask", "thIceH", "thSnowH", "thSnowAge",
+                           "thTsrf", "thTice1", "thTice2", "thQice1",
+                           "thQice2")}
+                    stats.update(self.thsice.monitor(th))
                 return stats
 
             self._monitor_fn = jax.jit(mon)

@@ -477,3 +477,87 @@ class Land:
             skinT=sel(skinT, st.skinT),
             hSnow=sel(hSnow, st.hSnow),
             snowAge=sel(snowAge, st.snowAge)), runOff, enRnOf
+
+    # ------------------------------------------------------------------
+    def monitor(self, st: LandState, cfg, grid):
+        """land_monitor.F %MON land_* statistics.
+
+        MON_STATS_LATBND_RL over 3 latitude bands split at -24/+24 deg
+        (land_monitor.F:42 yBand), suffixes _S/_T/_N plus global _G;
+        volume weight rA*maskInC*land_frc (continuous land fraction),
+        min/max unweighted over frc!=0 interior cells.  TotEnerg =
+        -rhoSnow*Lfreez*Sum(w*hSnow) + Sum_k(w*dzF(k)*enthalp(k)) per
+        band (land_monitor.F:104,226)."""
+        p = self.p
+        oly, olx = cfg.oly, cfg.olx
+        nyp = cfg.ny + 2 * oly
+        it = jnp.zeros_like(grid.rA)
+        for f in range(cfg.nFaces):
+            it = it.at[f * nyp + oly:f * nyp + oly + cfg.ny,
+                       olx:olx + cfg.nx].set(1.0)
+        base = grid.rA * it
+        frc = self.landFr
+        bS = jnp.where(grid.yC <= -24.0, 1.0, 0.0)
+        bN = jnp.where(grid.yC > 24.0, 1.0, 0.0)
+        bT = (1.0 - bS) * (1.0 - bN)
+        big = jnp.asarray(1e38, grid.rA.dtype)
+
+        def stats(fld, dr=None):
+            """fld [ny,nx] or [nlev,ny,nx]; returns per-band
+            (vol, mean, mn, mx) tuples for S,T,N."""
+            f3 = fld if fld.ndim == 3 else fld[None]
+            drv = (jnp.ones((f3.shape[0],)) if dr is None
+                   else jnp.asarray(dr)[:f3.shape[0]])
+            w = base * frc
+            out = []
+            for b in (bS, bT, bN):
+                wb = w * b
+                vol = jnp.sum(wb[None] * drv[:, None, None]
+                              * jnp.ones_like(f3))
+                s = jnp.sum(wb[None] * drv[:, None, None] * f3)
+                mean = jnp.where(vol > 0.0,
+                                 s / jnp.where(vol > 0, vol, 1.0), 0.0)
+                sel = (frc != 0.0) & (it != 0.0) & (b != 0.0)
+                has = jnp.any(sel)
+                mn = jnp.min(jnp.where(sel[None], f3, big))
+                mx = jnp.max(jnp.where(sel[None], f3, -big))
+                mn = jnp.where(has & (vol > 0.0), mn, 0.0)
+                mx = jnp.where(has & (vol > 0.0), mx, 0.0)
+                out.append((vol, mean, mn, mx))
+            return out
+
+        def emit(out, nm, res, ave=True, mn=False, mx=False):
+            volG = sum(r[0] for r in res)
+            meanG = sum(r[1] * r[0] for r in res)
+            meanG = jnp.where(volG > 0.0,
+                              meanG / jnp.where(volG > 0, volG, 1.0), 0.0)
+            if ave:
+                out[f"land_{nm}_ave_G"] = meanG
+                for sfx, r in zip("STN", res):
+                    out[f"land_{nm}_ave_{sfx}"] = r[1]
+            if mn:
+                for sfx, r in zip("STN", res):
+                    out[f"land_{nm}_min_{sfx}"] = r[2]
+            if mx:
+                for sfx, r in zip("STN", res):
+                    out[f"land_{nm}_max_{sfx}"] = r[3]
+            return volG
+
+        out = {}
+        res = stats(st.hSnow)
+        emit(out, "SnwH", res, mx=True)
+        eng = [-p.land_rhoSnow * p.land_Lfreez * r[1] * r[0] for r in res]
+        res = stats(st.skinT)
+        emit(out, "Tsrf", res, mn=True, mx=True)
+        res = stats(st.groundT[0])
+        emit(out, "Tgr1", res, mn=True, mx=True)
+        res = stats(st.groundT[1])
+        emit(out, "Tgr2", res, mn=True, mx=True)
+        res = stats(st.enthalp, dr=self.dzF)
+        eng = [e + r[1] * r[0] for e, r in zip(eng, res)]
+        out["land_TotEnerg_G"] = sum(eng)
+        for sfx, e in zip("STN", eng):
+            out[f"land_TotEnerg_{sfx}"] = e
+        res = stats(st.groundW, dr=self.dzF)
+        emit(out, "grdW", res, mn=True)
+        return out

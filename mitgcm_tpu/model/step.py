@@ -660,7 +660,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
                  opps=None, seaice=None, obcs=None,
                  op3=None, rbcs=None, aim=None,
-                 zonfilt=None) -> Tuple[State, StepDiag]:
+                 zonfilt=None, thsice=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -731,6 +731,24 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                           "Qnet": bf["Qnet"], "Qsw": bf["Qsw"],
                           "EmPmR": bf["EmPmR"], "wspeed": bf["wspeed"],
                           "evap": bf["evap"]})
+
+    # pkg/thsice (do_oceanic_phys.F:397 THSICE_MAIN, BEFORE seaice):
+    # Winton thermodynamics; overwrites Qnet/Qsw/EmPmR/saltFlux
+    if thsice is not None:
+        kSrf_th = cfg.ksurf0
+        th_in = {k: getattr(state, k) for k in (
+            "thIceMask", "thIceH", "thSnowH", "thSnowAge", "thTsrf",
+            "thTice1", "thTice2", "thQice1", "thQice2")}
+        th_out, th_upd = thsice.step(
+            th_in, forc, state.theta[kSrf_th], state.salt[kSrf_th],
+            state.uVel[kSrf_th], state.vVel[kSrf_th],
+            grid.hFacC[kSrf_th], forc.Qnet, forc.Qsw, forc.EmPmR,
+            forc.saltFlux,
+            uIce=state.uIce if cfg.useSEAICE else None,
+            vIce=state.vIce if cfg.useSEAICE else None)
+        sIceLoad_th = th_upd.pop("sIceLoad")
+        forc = Forcing(**{**forc.__dict__, **th_upd})
+        state = State(**{**state.__dict__, **th_out})
 
     # pkg/seaice (do_oceanic_phys.F:448 SEAICE_MODEL): updates the ice
     # state and overwrites fu/fv/Qnet/Qsw/EmPmR/saltFlux seen by the ocean
@@ -1133,6 +1151,11 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         siHEFF=state.siHEFF, siHSNOW=state.siHSNOW,
         siHSALT=state.siHSALT, siTICES=state.siTICES,
         siSigma=state.siSigma,
+        thIceMask=state.thIceMask, thIceH=state.thIceH,
+        thSnowH=state.thSnowH, thSnowAge=state.thSnowAge,
+        thTsrf=state.thTsrf, thTice1=state.thTice1,
+        thTice2=state.thTice2, thQice1=state.thQice1,
+        thQice2=state.thQice2,
         SItracer=state.SItracer,
         # pkg/land state was updated in-place after AIM physics
         landEnthalp=state.landEnthalp, landW=state.landW,

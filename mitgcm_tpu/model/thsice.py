@@ -18,11 +18,12 @@ into /root/reference/pkg/thsice/):
   * thsice_step_fwd.F    -- snow aging, flux bookkeeping, ocean fluxes
 
 All per-cell branch ladders become jnp.where cascades; the surface
-temperature solve is a fixed nitMaxTsf-iteration loop of elementwise
-2-D ops — embarrassingly parallel on the TPU vector units.  The
-THSICE_FRACEN_POWERLAW block is NOT compiled in the verification decks
-(offline_exf_seaice/code/THSICE_OPTIONS.h keeps the default), so the
-simple hThinIce/hThickIce partition logic is used.
+temperature solve is a nitMaxTsf-iteration fori_loop of elementwise
+2-D ops with the reference's per-cell Terrmax freeze-out (a cell stops
+updating once |dTsrf| < Terrmax, solve4temp:358-362) — embarrassingly
+parallel on the TPU vector units.  THSICE_FRACEN_POWERLAW is compiled
+in by default (THSICE_OPTIONS.h:11, powerLawExp2=2 in THSICE_SIZE.h)
+so the vertical/lateral energy partition uses the degree-5 power law.
 """
 
 from __future__ import annotations
@@ -441,9 +442,12 @@ class ThSIce:
     def calc_thickn(self, iceMask, tFrz, tOce, v2oc, snowP, prcAtm,
                     sHeat, flxCnB, icFrac, hIce, hSnow, tSrf, qIc1, qIc2,
                     frwAtm, fzMlOc, flx2oc):
-        """thsice_calc_thickn.F (no THSICE_FRACEN_POWERLAW): top/bottom
-        growth & melt, sublimation, flooding, Winton layer reshaping,
-        lateral melt, and the ocean fluxes.
+        """thsice_calc_thickn.F: top/bottom growth & melt, sublimation,
+        flooding, Winton layer reshaping, lateral melt, and the ocean
+        fluxes.  THSICE_FRACEN_POWERLAW is defined by default
+        (THSICE_OPTIONS.h:11) with compile-time powerLawExp2=2
+        (THSICE_SIZE.h:14) so the vertical/lateral energy partition is
+        the smooth degree-5 power law (calc_thickn:253-269,317-340).
 
         Returns (icFrac, hIce, hSnow, tSrf, qIc1, qIc2, frwAtm, fzMlOc,
         flx2oc, frw2oc, fsalt, frzSeaWat)."""
@@ -461,14 +465,28 @@ class ThSIce:
 
         q1, q2 = qIc1, qIc2
         evapLoc = jnp.where(on, frwAtm, z)
-        # --- Fbot: ocean heat flux to the ice base (calc_thickn:361-409)
+        # --- powerlaw vertical/lateral energy-partition coefficients
+        # (calc_thickn:253-269 with powerLaw = 1+2**powerLawExp2 = 5)
+        powerLaw = 5
+        rec_pLaw = 1.0 / powerLaw
+        c1Mlt = p.fracEnMelt ** rec_pLaw
+        c2Mlt = (1.0 - p.fracEnMelt) ** rec_pLaw
+        aMlt = (c1Mlt + c2Mlt) / (p.hThickIce - p.hThinIce)
+        hMlt = p.hThinIce + c2Mlt / aMlt
+        c1Frz = p.fracEnFreez ** rec_pLaw
+        c2Frz = (1.0 - p.fracEnFreez) ** rec_pLaw
+        aFrz = (c1Frz + c2Frz) / (p.hThickIce - p.hThinIce)
+        hFrz = p.hThinIce + c2Frz / aFrz
+        # enFrc* = clip(fracEn* - [a*(hi-h*)]^powerLaw, 0, 1)
+        # (calc_thickn:317-340)
+        xxMlt = (aMlt * (hIce - hMlt)) ** powerLaw
+        xxFrz = (aFrz * (hIce - hFrz)) ** powerLaw
+        enFrcMlt = jnp.clip(p.fracEnMelt - xxMlt, 0.0, 1.0)
+        enFrcFrz = jnp.clip(p.fracEnFreez - xxFrz, 0.0, 1.0)
+        # --- Fbot: ocean heat flux to the ice base (calc_thickn:343-409)
         frz = fzMlOc >= 0.0
-        fb_frz = jnp.where(
-            icFrac < p.iceMaskMax,
-            jnp.where(hIce > p.hThickIce, 0.0,
-                      jnp.where(hIce >= p.hThinIce,
-                                (1.0 - p.fracEnFreez) * fzMlOc, fzMlOc)),
-            fzMlOc)
+        fb_frz = jnp.where(icFrac < p.iceMaskMax, enFrcFrz * fzMlOc,
+                           fzMlOc)
         ustar = jnp.maximum(5.0e-3, jnp.sqrt(0.00536 * v2oc))
         fb_mlt = jnp.minimum(jnp.maximum(cpchr * (tFrz - tOce) * ustar,
                                          fzMlOc), 0.0)
@@ -476,14 +494,12 @@ class ThSIce:
         mwater0 = p.rhos * hSnow + p.rhoi * hIce
         msalt0 = p.rhoi * hIce * p.saltIce
 
-        # --- energy partition (calc_thickn:434-495)
-        frace = jnp.where(
-            jnp.logical_or(hIce > p.hThickIce, p.fracEnMelt == 0.0), 0.0,
-            jnp.where(hIce < p.hThinIce, 1.0, p.fracEnMelt))
-        frace = jnp.where(icFrac <= lowIcFrac1, 0.0,
-                          jnp.where(icFrac <= lowIcFrac2,
-                                    jnp.minimum(frace, p.fracEnMelt),
-                                    frace))
+        # --- lateral-melt energy fraction (calc_thickn:436-442 powerlaw)
+        if p.fracEnMelt == 0.0:
+            frace = z
+        else:
+            frace = (icFrac - lowIcFrac1) / (lowIcFrac2 - p.iceMaskMin)
+            frace = jnp.minimum(enFrcMlt, jnp.maximum(0.0, frace))
         pos = sHeat > 0.0
         etop = jnp.where(on & pos, (1.0 - frace) * sHeat * dt, z)
         etope = jnp.where(on & pos, frace * sHeat * dt, z)
@@ -834,14 +850,19 @@ class ThSIce:
         icFlxAtm = jnp.where(on, icFlxAtm - p.Lfresh * snowPrc + qPrcRnO,
                              icFlxAtm)
 
+        # step_fwd part 2 recomputes tFrz UNMASKED (thsice_step_fwd.F:197:
+        # tFrzOce = -mu_Tf*sOceMxL for every cell) so frzmlt is 0 on
+        # open water at the freezing point -- the step_temp-masked
+        # version above is only for solve4temp
+        tFrzAll = -p.mu_Tf * sOceMxL
         cphm = p.cpWater * p.rhosw * hOceMxL
-        frzmltMxL = (tFrzOce - tOceMxL) * cphm / p.ocean_deltaT
+        frzmltMxL = (tFrzAll - tOceMxL) * cphm / p.ocean_deltaT
         icFrac = iceMask
         flx2oc = icFlxSW + qPrcRnO
 
         (icFrac, hIce, hSnow, tSrf, q1, q2, icFrwAtm, frzmltMxL, flx2oc,
          frw2oc, fsalt, frzSeaWat) = self.calc_thickn(
-            iceMask, tFrzOce, tOceMxL, v2ocMxL, snowPrc, totPrc,
+            iceMask, tFrzAll, tOceMxL, v2ocMxL, snowPrc, totPrc,
             sHeating, flxCndBt, icFrac, hIce, hSnow, tSrf, q1, q2,
             icFrwAtm, frzmltMxL, flx2oc)
 
@@ -858,7 +879,7 @@ class ThSIce:
         # --- THSICE_EXTEND (freeze open water) ---
         (icFrac, hIce, hSnow, tSrf, tIc1, tIc2, q1, q2, flx2oc_e,
          frw2oc_e, fsalt_e) = self.extend(
-            frzmltMxL, tFrzOce, tOceMxL, icFrac, hIce, hSnow, tSrf,
+            frzmltMxL, tFrzAll, tOceMxL, icFrac, hIce, hSnow, tSrf,
             tIc1, tIc2, q1, q2)
         Qnet = Qnet - flx2oc_e
         EmPmR = EmPmR - frw2oc_e
@@ -891,25 +912,104 @@ class ThSIce:
 
     # ------------------------------------------------------------------
     def monitor(self, th, area_fn=None):
-        """thsice_monitor.F %MON thSI_* statistics."""
+        """thsice_monitor.F %MON thSI_* statistics.
+
+        Stats use MON_STATS_LATBND_RL (mon_stats_latbnd_rl.F:98-143):
+        volume weight rA*maskInC*iceMask (continuous fraction), latitude
+        bands split at yC>0 (NLATBND: band N iff yLoc > 0), min/max
+        unweighted over mask!=0 interior cells.  Tic1/2 use the weight
+        iceMask*iceHeight (thsice_monitor.F:193).  TotEnerg_G =
+        -rhos*Lfresh*Sum(w*hSnow) - rhoi/2*Sum(w*hIce*(Q1+Q2))
+        (thsice_monitor.F:155,251-257)."""
         g = self.grid
         cfg = self.cfg
+        p = self.p
         oly, olx = cfg.oly, cfg.olx
         nyp = cfg.ny + 2 * oly
         it = jnp.zeros_like(g.rA)
         for f in range(cfg.nFaces):
             it = it.at[f * nyp + oly:f * nyp + oly + cfg.ny,
                        olx:olx + cfg.nx].set(1.0)
-        w = g.rA * self.maskC0 * it
-        north = jnp.where(g.yC >= 0.0, 1.0, 0.0)
+        base = g.rA * self.maskC0 * it
+        north = jnp.where(g.yC > 0.0, 1.0, 0.0)
+        south = 1.0 - north
         m = th["thIceMask"]
+
+        def bands(fld, wmask):
+            """(min_S, min_N, max_S, max_N, mean_G, mean_S, mean_N,
+            vol_S, vol_N) with vol weight base*wmask."""
+            w = base * wmask
+            volS = jnp.sum(w * south)
+            volN = jnp.sum(w * north)
+            sumS = jnp.sum(w * fld * south)
+            sumN = jnp.sum(w * fld * north)
+            meanS = jnp.where(volS > 0.0, sumS / jnp.where(volS > 0, volS,
+                                                           1.0), 0.0)
+            meanN = jnp.where(volN > 0.0, sumN / jnp.where(volN > 0, volN,
+                                                           1.0), 0.0)
+            volG = volS + volN
+            meanG = jnp.where(volG > 0.0, (sumS + sumN)
+                              / jnp.where(volG > 0, volG, 1.0), 0.0)
+            sel = (wmask != 0.0) & (it != 0.0)
+            big = jnp.asarray(1e38, fld.dtype)
+
+            def mnmx(selh, volh):
+                has = jnp.any(selh)
+                mn = jnp.min(jnp.where(selh, fld, big))
+                mx = jnp.max(jnp.where(selh, fld, -big))
+                mn = jnp.where(has & (volh > 0.0), mn, 0.0)
+                mx = jnp.where(has & (volh > 0.0), mx, 0.0)
+                return mn, mx
+            mnS, mxS = mnmx(sel & (south != 0.0), volS)
+            mnN, mxN = mnmx(sel & (north != 0.0), volN)
+            return (mnS, mnN, mxS, mxN, meanG, meanS, meanN, volS, volN)
+
         out = {}
-        out["thSI_Ice_Area_G"] = jnp.sum(m * w)
-        out["thSI_Ice_Area_S"] = jnp.sum(m * w * (1.0 - north))
-        out["thSI_Ice_Area_N"] = jnp.sum(m * w * north)
-        for nm, fld in (("Ice", th["thIceH"]), ("Snow", th["thSnowH"])):
-            v = m * fld
-            out[f"thSI_{nm}_Vol_G"] = jnp.sum(v * w)
-            out[f"thSI_{nm}_Vol_S"] = jnp.sum(v * w * (1.0 - north))
-            out[f"thSI_{nm}_Vol_N"] = jnp.sum(v * w * north)
+        (_, _, mxS, mxN, meanG, meanS, meanN, volS, volN) = bands(
+            th["thIceH"], m)
+        out["thSI_Ice_Area_G"] = volS + volN
+        out["thSI_Ice_Area_S"] = volS
+        out["thSI_Ice_Area_N"] = volN
+        out["thSI_IceH_ave_G"] = meanG
+        out["thSI_IceH_ave_S"] = meanS
+        out["thSI_IceH_ave_N"] = meanN
+        out["thSI_IceH_max_S"] = mxS
+        out["thSI_IceH_max_N"] = mxN
+
+        (_, _, mxS, mxN, meanG, meanS, meanN, volS, volN) = bands(
+            th["thSnowH"], m)
+        snow_sum = meanG * (volS + volN)
+        out["thSI_SnwH_ave_G"] = meanG
+        out["thSI_SnwH_ave_S"] = meanS
+        out["thSI_SnwH_ave_N"] = meanN
+        out["thSI_SnwH_max_S"] = mxS
+        out["thSI_SnwH_max_N"] = mxN
+
+        (mnS, mnN, mxS, mxN, meanG, meanS, meanN, _, _) = bands(
+            th["thTsrf"], m)
+        out["thSI_Tsrf_ave_G"] = meanG
+        out["thSI_Tsrf_ave_S"] = meanS
+        out["thSI_Tsrf_ave_N"] = meanN
+        out["thSI_Tsrf_min_S"] = mnS
+        out["thSI_Tsrf_min_N"] = mnN
+        out["thSI_Tsrf_max_S"] = mxS
+        out["thSI_Tsrf_max_N"] = mxN
+
+        mh = m * th["thIceH"]
+        for lev, (tnm, qfld) in enumerate(
+                ((("Tic1"), th["thTice1"]), (("Tic2"), th["thTice2"]))):
+            (mnS, mnN, mxS, mxN, meanG, meanS, meanN, _, _) = bands(
+                qfld, mh)
+            out[f"thSI_{tnm}_ave_G"] = meanG
+            out[f"thSI_{tnm}_ave_S"] = meanS
+            out[f"thSI_{tnm}_ave_N"] = meanN
+            out[f"thSI_{tnm}_min_S"] = mnS
+            out[f"thSI_{tnm}_min_N"] = mnN
+            out[f"thSI_{tnm}_max_S"] = mxS
+            out[f"thSI_{tnm}_max_N"] = mxN
+
+        wmh = base * mh
+        out["thSI_TotEnerg_G"] = (
+            -p.rhos * p.Lfresh * snow_sum
+            - p.rhoi * 0.5 * jnp.sum(wmh * (th["thQice1"] + th["thQice2"])))
         return out

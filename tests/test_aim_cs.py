@@ -11,11 +11,16 @@ pressure (ini_p_ground.F), non-uniform Bo_surf
 (uniformLin_PhiSurf=.FALSE.), r* (select_rStar=2, nonlinFreeSurf=4).
 
 Digit status vs results/output.txt (modern monitor formulas):
-  * step 0 (restart state): >= 10 digits on all state stats except the
-    diagnosed-w del2/mean (grid-scale w delta under investigation) and
-    pe_b_mean (atmosphere potential-energy monitor not implemented).
-  * steps 1+: >= 2 digits across the board (the AIM+dynamics step holds
-    ~1e-2..1e-3 relative differences — open item).
+  * step 0 (restart state): >= 10 digits on all state stats (incl. the
+    land_* monitor block at 13-16) except the diagnosed-w del2/mean
+    (grid-scale w delta under investigation) and pe_b_mean (atmosphere
+    potential-energy monitor not implemented).
+  * steps 1+: theta/salt at 4-7 digits, momentum/eta at 2-3, the land
+    block at 2-7 (after fixing the FM-mode sst1/stl1 unpack swap in
+    aim.compute -- invisible on the latlon deck where MM-mode feeds the
+    same array for both).  Remaining open item: land skin temperature
+    over snow cells (Tsrf_ave_S ~1 digit) and the eta/cg2d RHS
+    difference feeding the d~2 momentum floor.
 """
 
 import numpy as np
@@ -46,6 +51,20 @@ STEP1_2 = [
     "dynstat_theta_sd", "dynstat_salt_mean", "dynstat_salt_sd",
     "ke_mean", "advcfl_uvel_max", "advcfl_vvel_max",
 ]
+# thermodynamic tracers hold more digits than momentum at steps 1-2
+# (measured 3.8-7.2 after the sst1/stl1 swap fix)
+STEP1_2_THERMO3 = [
+    "dynstat_theta_max", "dynstat_theta_min", "dynstat_theta_mean",
+    "dynstat_theta_sd", "dynstat_salt_mean", "dynstat_salt_sd",
+]
+# pkg/land monitor at step 1-2 (measured floors minus slack)
+LAND_STEP12 = {
+    "land_SnwH_ave_G": 4, "land_grdW_ave_G": 5,
+    "land_TotEnerg_G": 4, "land_Tgr2_ave_G": 6,
+    "land_Tgr1_ave_G": 1,
+    # open item: snow-cell skin temp (Tsrf_ave_G measured d=0.8)
+}
+LAND_STEP0 = 13.0
 
 
 @pytest.fixture(scope="module")
@@ -77,3 +96,28 @@ def test_first_steps(run_and_ref):
         for k in STEP1_2:
             d = refout.matching_digits(ref[step][k], recs[step][k])
             assert d >= 2, (step, k, ref[step][k], recs[step][k])
+        for k in STEP1_2_THERMO3:
+            d = refout.matching_digits(ref[step][k], recs[step][k])
+            assert d >= 3, (step, k, ref[step][k], recs[step][k])
+
+
+def test_land_monitor_restart_state(run_and_ref):
+    """pkg/land monitor block reproduces the pickup_land state stats."""
+    recs, ref = run_and_ref
+    n = 0
+    for k, refv in ref[0].items():
+        if not k.startswith("land_") or k == "land_time_sec":
+            continue
+        assert k in recs[0], f"missing {k}"
+        d = refout.matching_digits(refv, recs[0][k])
+        assert d >= LAND_STEP0, (k, refv, recs[0][k], d)
+        n += 1
+    assert n >= 40
+
+
+def test_land_monitor_first_steps(run_and_ref):
+    recs, ref = run_and_ref
+    for step in (1, 2):
+        for k, fl in LAND_STEP12.items():
+            d = refout.matching_digits(ref[step][k], recs[step][k])
+            assert d >= fl, (step, k, ref[step][k], recs[step][k], d)
