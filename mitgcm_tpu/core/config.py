@@ -363,6 +363,8 @@ class Config:
     useLand: bool = False
     useThSIce: bool = False
     useZONAL_FILT: bool = False
+    useOffLine: bool = False
+    useGCHEM: bool = False
     # pkg/grdchk: finite-difference gradient checks (driven offline by
     # mitgcm_tpu.ad.grdchk, not inside the step)
     useGrdchk: bool = False
@@ -375,6 +377,8 @@ class Config:
     # package parameter groups (loaded from data.<pkg>)
     gmredi: Any = None
     ptracers: Any = None
+    offline: Any = None                # OfflineParams when useOffLine
+    gchem: Any = None                  # data.gchem GCHEM_PARM01 dict
     obcs: Any = None                   # OBCSParams when useOBCS
     custom_obcs_calc: Any = None       # analytic obcs_calc.F override hook
 
@@ -762,6 +766,30 @@ def load_experiment(input_dir: str, nx: int = 0, ny: int = 0, nr: int = 0,
     if cfg.usePTRACERS and os.path.exists(pt_path):
         ptnl = nml.read_namelist(pt_path)
         cfg.ptracers = ptnl.get("PTRACERS_PARM01", {})
+    if cfg.useOffLine:
+        # pkg/offline turns off all prognostic stepping of the ocean
+        # state (offline_reset_parms.F:23-25); exactConserv is forced
+        # off when wVel is read from files (:40-48)
+        cfg.momStepping = False
+        cfg.tempStepping = False
+        cfg.saltStepping = False
+        off_path = cfg.find_file("data.off")
+        if os.path.exists(off_path):
+            from mitgcm_tpu.model import offline as offline_mod
+            offnl = nml.read_namelist(off_path)
+            cfg.offline = offline_mod.params_from_namelists(
+                cfg, offnl.get("OFFLINE_PARM01", {}),
+                offnl.get("OFFLINE_PARM02", {}))
+            if "wvel" in cfg.offline.files:
+                cfg.exactConserv = False
+            elif not cfg.exactConserv:
+                cfg.exactConserv = True
+    if cfg.useGCHEM:
+        gc_path = cfg.find_file("data.gchem")
+        if os.path.exists(gc_path):
+            gcnl = nml.read_namelist(gc_path)
+            cfg.gchem = {k.lower(): v for k, v in
+                         gcnl.get("GCHEM_PARM01", {}).items()}
     # grid-spacing vectors from file (ini_parms.F delXFile/delYFile)
     prec = ">f8" if cfg.readBinaryPrec == 64 else ">f4"
     if cfg.delXfile and not cfg.delX:

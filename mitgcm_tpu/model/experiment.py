@@ -470,6 +470,28 @@ class Experiment:
                 grp = nml.read_namelist(opath).get("OPPS_PARM01", {})
             opps_obj = opps_mod.OPPS(cfg, grid, grp)
 
+        offline_obj = None
+        if cfg.useOffLine and cfg.offline is not None:
+            from mitgcm_tpu.model import offline as offline_mod
+            offline_obj = offline_mod.Offline(
+                cfg, cfg.offline, cfg.run_dir,
+                fill3d=lambda a: _pad_and_fill(cfg, a, dtype, cs_fill),
+                dtype=dtype)
+
+        cfc_obj = None
+        if cfg.useGCHEM and cfg.gchem and cfg.gchem.get("usecfc"):
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import cfc as cfc_mod
+            cfcnl = {}
+            cfc_path = cfg.find_file("data.cfc")
+            if os.path.exists(cfc_path):
+                cfcnl = nml.read_namelist(cfc_path).get("CFC_FORCING", {})
+            cfc_obj = cfc_mod.Cfc(
+                cfg, grid, cfc_mod.params_from_namelists(cfg, cfcnl),
+                cfg.run_dir,
+                fill2d=lambda a: _pad_and_fill(cfg, a, dtype, cs_fill),
+                dtype=dtype)
+
         thsice_obj = None
         if cfg.useThSIce:
             from mitgcm_tpu.core import nml
@@ -679,6 +701,8 @@ class Experiment:
                   aim=aim_obj, zonfilt=zonfilt_obj)
         exp.preconvect_state = preconv_state
         exp.thsice = thsice_obj
+        exp.offline = offline_obj
+        exp.cfc = cfc_obj
         exp.init_continuity()
         return exp
 
@@ -739,7 +763,11 @@ class Experiment:
                                          rbcs=self.rbcs, aim=self.aim,
                                          zonfilt=self.zonfilt,
                                          thsice=getattr(self, "thsice",
-                                                        None), **hooks)
+                                                        None),
+                                         offline=getattr(self, "offline",
+                                                         None),
+                                         cfc=getattr(self, "cfc", None),
+                                         **hooks)
 
         self._step_fn = jax.jit(fn)
         return self._step_fn
@@ -1087,10 +1115,16 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
     """Restore state from a pickup (read_pickup.F); sets startFromPickup."""
     cfg = exp.cfg
     froot = os.path.join(in_dir, "pickup")
-    fields, meta = mds.read_mflds(froot, itr=myIter)
-    stack = fields["__records__"]
     dtype = exp.state.etaN.dtype
     nr = cfg.nr
+    if cfg.useOffLine and not os.path.exists(
+            f"{froot}.{myIter:010d}.meta"):
+        # offline runs restart from the companion pickups only (the
+        # prescribed circulation replaces the main state each step)
+        fields, meta, stack = {}, {}, None
+    else:
+        fields, meta = mds.read_mflds(froot, itr=myIter)
+        stack = fields["__records__"]
 
     if cfg.nFaces > 1:
         # cubed-sphere pickup records are global-layout; scalar-fill the
@@ -1116,8 +1150,9 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
                                     cfg.olx)
 
     # walk the fldList: 3-D fields take nr records, 2-D one
-    fld_names = [n for n in meta.get("fldList", _PICKUP_3D + _PICKUP_2D)
-                 if n and n.strip()]
+    fld_names = [] if stack is None else [
+        n for n in meta.get("fldList", _PICKUP_3D + _PICKUP_2D)
+        if n and n.strip()]
     two_d = {"EtaN", "dEtaHdt", "EtaH", "EtaHnm1", "PmEpR", "Phi_rLow"}
     vals = {}
     off = 0
@@ -1129,19 +1164,22 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
         else:
             vals[name] = pad3(stack[off:off + nr])
             off += nr
-    updates = {
-        "uVel": vals["Uvel"], "vVel": vals["Vvel"],
-        "theta": vals["Theta"], "salt": vals["Salt"],
-        "guNm1": vals["GuNm1"], "gvNm1": vals["GvNm1"],
-        "gtNm1": vals["GtNm1"], "gsNm1": vals["GsNm1"],
-        "etaN": vals["EtaN"],
-    }
+    updates = {}
+    if vals:
+        updates = {
+            "uVel": vals["Uvel"], "vVel": vals["Vvel"],
+            "theta": vals["Theta"], "salt": vals["Salt"],
+            "guNm1": vals["GuNm1"], "gvNm1": vals["GvNm1"],
+            "gtNm1": vals["GtNm1"], "gsNm1": vals["GsNm1"],
+            "etaN": vals["EtaN"],
+        }
     # old-format pickups (e.g. aim.5l_LatLon, pickupStrictlyMatch=F)
     # lack EtaH/dEtaHdt: read_pickup.F falls back to etaH:=etaN and a
     # zero dEtaHdt
     if "dEtaHdt" in vals:
         updates["dEtaHdt"] = vals["dEtaHdt"]
-    updates["etaH"] = vals.get("EtaH", vals["EtaN"])
+    if vals:
+        updates["etaH"] = vals.get("EtaH", vals["EtaN"])
     if "PhiHyd" in vals:
         updates["totPhiHyd"] = vals["PhiHyd"]
     if "Phi_rLow" in vals:
@@ -1155,7 +1193,8 @@ def read_pickup(exp: "Experiment", in_dir: str, myIter: int) -> None:
             updates[sk] = vals[pk]
     # r* restart: old-time factors equal current ones (initialise_varia.F
     # calls CALC_R_STAR then UPDATE_R_STAR from the same etaH)
-    updates["etaHm1"] = vals.get("EtaH", vals["EtaN"])
+    if vals:
+        updates["etaHm1"] = vals.get("EtaH", vals["EtaN"])
     if cfg.nFaces > 1 and exp.cs_fill is not None:
         # read_pickup.F exchanges: u/v get the C-grid VECTOR fill
         for ku, kv in (("uVel", "vVel"), ("guNm1", "gvNm1"),

@@ -660,7 +660,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  fill_uv_cg=None, kpp=None, ggl90=None, vmix=None,
                  opps=None, seaice=None, obcs=None,
                  op3=None, rbcs=None, aim=None,
-                 zonfilt=None, thsice=None) -> Tuple[State, StepDiag]:
+                 zonfilt=None, thsice=None, offline=None,
+                 cfc=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -677,6 +678,35 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # LOAD_FIELDS_DRIVER: interpolate periodic forcing to myTime
     myTime = cfg.startTime + (myIter - cfg.nIter0) * cfg.deltaTClock
     forc = load_fields(cfg, forcing, myTime)
+
+    # pkg/offline (load_fields_driver.F -> OFFLINE_FIELDS_LOAD): the
+    # prognostic state is REPLACED by the stored-record interpolation;
+    # only passive tracers evolve (offline_fields_load.F:283-300)
+    off_fields = None
+    off_gm = None
+    off_conv = None
+    if offline is not None:
+        off_fields = offline.fields_at(myTime)
+        upd = {}
+        for key, attr in (("uvel", "uVel"), ("vvel", "vVel"),
+                          ("wvel", "wVel"), ("thet", "theta"),
+                          ("salt", "salt")):
+            if key in off_fields:
+                upd[attr] = off_fields[key]
+        state = State(**{**state.__dict__, **upd})
+        off_gm = offline.gm_tensor(off_fields, grid)
+        off_conv = off_fields.get("conv")
+
+    # pkg/gchem GCHEM_CALC_TENDENCY (forward_step.F:688, BEFORE the
+    # thermodynamics step, using the freshly loaded theta/salt and the
+    # start-of-step tracers); applied inside the ptracer step as
+    # interior forcing (GCHEM_ADD2TR_TENDENCY via
+    # ptracers_apply_forcing.F:73)
+    gchem_tend = None
+    if cfc is not None and state.pTr.shape[0]:
+        ks = cfg.ksurf0
+        gchem_tend = cfc.tendency(myTime, state.pTr,
+                                  state.theta[ks], state.salt[ks], 0)
 
     # pkg/aim_v23 atmospheric physics (DO_ATMOSPHERIC_PHYS ->
     # AIM_DO_PHYSICS): top-level humidity dump into the ground cell,
@@ -860,7 +890,11 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     # used by CALC_PHI_HYD even though tracers step first). For an
     # atmosphere, "rhoInSitu" holds the virtual potential temperature
     # anomaly instead (do_atmospheric_phys.F:91).
-    if cfg.fluidIsAir:
+    if offline is not None:
+        # pkg/offline: no EOS/density diagnostics; the convective index
+        # and GM tensor come straight from the stored records
+        rhoInSitu = jnp.zeros_like(state.theta)
+    elif cfg.fluidIsAir:
         tref = jnp.asarray(cfg.tRef, theta0.dtype)[:, None, None]
         rhoInSitu = (theta0 * (state.salt * cfg.atm_Rq + 1.0)
                      - tref) * grid.maskC
@@ -870,7 +904,9 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
 
     # convective adjustment mask (model/src/calc_ivdc.F)
     conv_count = None
-    if cfg.ivdc_kappa != 0.0:
+    if off_conv is not None:
+        conv_count = off_conv
+    elif cfg.ivdc_kappa != 0.0 and offline is None:
         conv_count = thermo_mod.calc_ivdc(cfg, grid, rhoInSitu,
                                           theta0, state.salt,
                                           totPhiHyd=state.totPhiHyd)
@@ -881,11 +917,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
     gm_tensor = None
     gm_psi = None
     sigmaR = None
-    if cfg.useGMRedi or ggl90 is not None:
+    if off_gm is not None:
+        gm_tensor = off_gm
+    elif cfg.useGMRedi or ggl90 is not None:
         sigmaR = thermo_mod.calc_sigmaR(cfg, grid, rhoInSitu, theta0,
                                         state.salt,
                                         totPhiHyd=state.totPhiHyd)
-    if cfg.useGMRedi:
+    if cfg.useGMRedi and off_gm is None:
         sigmaX = (grid.maskW * grid.recip_dxC
                   * (rhoInSitu - sh(rhoInSitu, di=-1)))
         sigmaY = (grid.maskS * grid.recip_dyC
@@ -948,7 +986,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=rstar,
             sdr=sdr_thermo, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields,
-            rbcs=rbcs, myTime=myTime, aim_tend=aim_tend)
+            rbcs=rbcs, myTime=myTime, aim_tend=aim_tend,
+            gchem_tend=gchem_tend)
         if ob is not None:
             # thermodynamics.F:353 OBCS_APPLY_TS
             from mitgcm_tpu.model import obcs as obcs_mod
@@ -1078,7 +1117,8 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
             gm_tensor=gm_tensor, gm_psi=gm_psi, rstar=stag_rstar,
             sdr=sdr_thermo, kpp_fields=kpp_fields,
             ggl90_fields=ggl90_fields, vmix_fields=vmix_fields,
-            rbcs=rbcs, myTime=myTime, aim_tend=aim_tend)
+            rbcs=rbcs, myTime=myTime, aim_tend=aim_tend,
+            gchem_tend=gchem_tend)
         if ob is not None:
             from mitgcm_tpu.model import obcs as obcs_mod
             theta, salt = obcs_mod.apply_ts(cfg, obm, ob, theta, salt)

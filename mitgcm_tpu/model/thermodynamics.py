@@ -419,7 +419,7 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                    myIter, conv_count=None, gm_tensor=None, gm_psi=None,
                    rstar=None, sdr=None, kpp_fields=None, ggl90_fields=None,
                    vmix_fields=None, rbcs=None, myTime=0.0,
-                   aim_tend=None):
+                   aim_tend=None, gchem_tend=None):
     """model/src/thermodynamics.F: step theta, salt and passive tracers."""
     theta, salt = state.theta, state.salt
     gtNm1, gsNm1 = state.gtNm1, state.gsNm1
@@ -577,6 +577,10 @@ def thermodynamics(cfg: Config, grid: Grid, state: State, forcing: Forcing,
                 rb = rbcs.tendency_ptr(itr, pTr[itr], myTime)
                 if rb is not None:
                     intF = rb if intF is None else intF + rb
+            if gchem_tend is not None and itr in gchem_tend:
+                # pkg/gchem ADD2TR tendency (ptracers_apply_forcing.F:73)
+                g = gchem_tend[itr]
+                intF = g if intF is None else intF + g
             trn, gn, _, _som = tracer_integrate(
                 cfg, grid, flow, state_adv, pTr[itr], gPtrNm1[itr], kapP, sfP,
                 scheme, scheme, pp["diffKh"], 0.0, myIter,
