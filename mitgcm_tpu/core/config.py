@@ -50,6 +50,12 @@ class Config:
     diffK4S: float = 0.0
     diffKzS: float = UNSET
     diffKrS: float = 0.0
+    # Bryan & Lewis 1979 depth-dependent background diffusivity
+    # (set_defaults.F:159-162; profile formula calc_3d_diffusivity.F:85)
+    diffKrBL79surf: float = 0.0
+    diffKrBL79deep: float = 0.0
+    diffKrBL79scl: float = 200.0
+    diffKrBL79Ho: float = -2000.0
     f0: float = 1.0e-4        # set_defaults.F:111
     beta: float = 0.0
     fPrime: float = 0.0

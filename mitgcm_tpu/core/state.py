@@ -76,6 +76,7 @@ class State:
     siTICES: jnp.ndarray = None      # [multDim, ny, nx]
     SItracer: jnp.ndarray = None     # [nTr, ny, nx]
     siSigma: jnp.ndarray = None      # [3, ny, nx] EVP sigma1/2/12 ([0,..])
+    dicPH: jnp.ndarray = None        # [ny, nx] pkg/dic surface pH
     # pkg/thsice Winton 3-layer state (THSICE_VARS.h)
     thIceMask: jnp.ndarray = None
     thIceH: jnp.ndarray = None
@@ -190,7 +191,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         siHEFF=z2 if cfg.useSEAICE else z0,
         siHSNOW=z2 if cfg.useSEAICE else z0,
         siHSALT=z2 if cfg.useSEAICE else z0,
-        siTICES=z0, SItracer=z0, siSigma=z0,
+        siTICES=z0, SItracer=z0, siSigma=z0, dicPH=z0,
         thIceMask=z0, thIceH=z0, thSnowH=z0, thSnowAge=z0, thTsrf=z0,
         thTice1=z0, thTice2=z0, thQice1=z0, thQice2=z0,
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,

@@ -478,6 +478,7 @@ class Experiment:
                 fill3d=lambda a: _pad_and_fill(cfg, a, dtype, cs_fill),
                 dtype=dtype)
 
+        dic_obj = None
         cfc_obj = None
         if cfg.useGCHEM and cfg.gchem and cfg.gchem.get("usecfc"):
             from mitgcm_tpu.core import nml
@@ -643,6 +644,23 @@ class Experiment:
                 state = State(**{**state.__dict__,
                                  "pTr": jnp.stack(ptr0)})
 
+        if cfg.useGCHEM and cfg.gchem and cfg.gchem.get("usedic"):
+            # constructed after the ptracer initial conditions: the
+            # 10-iteration initial pH spin needs DIC/Alk/PO4
+            from mitgcm_tpu.core import nml
+            from mitgcm_tpu.model import dic as dic_mod
+            dicnl = {}
+            dic_path = cfg.find_file("data.dic")
+            if os.path.exists(dic_path):
+                dicnl = nml.read_namelist(dic_path)
+            dic_obj = dic_mod.Dic(
+                cfg, grid, dic_mod.params_from_namelists(cfg, dicnl),
+                fill2d=lambda a: _pad_and_fill(cfg, a, dtype, cs_fill),
+                dtype=dtype)
+            ksd = cfg.ksurf0
+            state = State(**{**state.__dict__, "dicPH": dic_obj.init_ph(
+                state.pTr, state.theta[ksd], state.salt[ksd])})
+
         if obcs_obj is not None and cfg.nIter0 == 0:
             # obcs_init_variables.F:386-449: at nIter0=0 compute the OB
             # values at startTime (OBCS_CALC + prescribed records) and
@@ -703,6 +721,7 @@ class Experiment:
         exp.thsice = thsice_obj
         exp.offline = offline_obj
         exp.cfc = cfc_obj
+        exp.dic = dic_obj
         exp.init_continuity()
         return exp
 
@@ -767,6 +786,7 @@ class Experiment:
                                          offline=getattr(self, "offline",
                                                          None),
                                          cfc=getattr(self, "cfc", None),
+                                         dic=getattr(self, "dic", None),
                                          **hooks)
 
         self._step_fn = jax.jit(fn)

@@ -661,7 +661,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
                  opps=None, seaice=None, obcs=None,
                  op3=None, rbcs=None, aim=None,
                  zonfilt=None, thsice=None, offline=None,
-                 cfc=None) -> Tuple[State, StepDiag]:
+                 cfc=None, dic=None) -> Tuple[State, StepDiag]:
     """One full timestep; myIter is the start-of-step iteration number.
 
     fill/psum: halo-exchange and global-reduction hooks. Defaults are the
@@ -1149,6 +1149,13 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         if cpTr is not None:
             pTr = cpTr
 
+    # pkg/gchem separate-forcing chemistry (GCHEM_FORCING_SEP,
+    # forward_step.F:1108, AFTER the ptracer advection-diffusion and
+    # the time bump at :806): pkg/dic fractional step
+    dicPH = state.dicPH
+    if dic is not None and pTr.shape[0]:
+        pTr, dicPH = dic.forcing_sep(pTr, theta, salt, dicPH, myTime)
+
     new_state = State(
         uVel=u, vVel=v, wVel=w,
         theta=fill(theta), salt=fill(salt),
@@ -1190,7 +1197,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         uIce=state.uIce, vIce=state.vIce, siAREA=state.siAREA,
         siHEFF=state.siHEFF, siHSNOW=state.siHSNOW,
         siHSALT=state.siHSALT, siTICES=state.siTICES,
-        siSigma=state.siSigma,
+        siSigma=state.siSigma, dicPH=dicPH,
         thIceMask=state.thIceMask, thIceH=state.thIceH,
         thSnowH=state.thSnowH, thSnowAge=state.thSnowAge,
         thTsrf=state.thTsrf, thTice1=state.thTice1,

@@ -268,6 +268,15 @@ def tracer_kappa(cfg: Config, grid: Grid, conv_count, diffKr: float, dtype,
     """calc_3d_diffusivity.F: interface diffusivity [nr,...]; GM-Redi adds
     its Kwz component for the implicit solve (gmredi_calc_diff.F)."""
     base = jnp.full((cfg.nr,) + grid.rA.shape, diffKr, dtype)
+    if cfg.diffKrBL79surf != 0.0 or cfg.diffKrBL79deep != 0.0:
+        # Bryan & Lewis 79 background profile at interfaces
+        # (calc_3d_diffusivity.F:85-86)
+        import numpy as _np
+        bl = (cfg.diffKrBL79surf
+              + (cfg.diffKrBL79deep - cfg.diffKrBL79surf)
+              * (jnp.arctan(-(grid.rF[:cfg.nr] - cfg.diffKrBL79Ho)
+                            / cfg.diffKrBL79scl) / _np.pi + 0.5))
+        base = base + bl.astype(dtype)[:, None, None]
     if cfg.ivdc_kappa != 0.0 and conv_count is not None:
         base = jnp.asarray(conv_count * cfg.ivdc_kappa + base)
     if gm_tensor is not None:
