@@ -192,6 +192,15 @@ class CtrlProblem:
                     lam = 1.0 / tau if tau else 0.0
                     self.step_cost_fns.append(cost_tracer(
                         exp.cfg, exp.grid, float(cp["mult_tracer"]), lam))
+            # pkg/dic totcost override (cost_final.F:197-200: with
+            # ALLOW_DIC_COST compiled, 'fc = totcost' REPLACES every
+            # other contribution): J = final-state dicCost accumulator
+            copt = exp.cfg.find_code_file("COST_OPTIONS.h")
+            dic_cost_on = copt and "#define ALLOW_DIC_COST" in open(
+                copt, errors="replace").read()
+            if dic_cost_on and getattr(exp, "dic", None) is not None:
+                cost_fns = [lambda s: s.dicCost]
+                self.step_cost_fns = []
         self.cost_fns = cost_fns
         self._J = None
 
@@ -241,6 +250,17 @@ class CtrlProblem:
                 st = State(**{**st.__dict__,
                               tgt: getattr(st, tgt) + v * self.grid.maskC})
             elif c.kind == "genarr2d":
+                if c.name == "xx_alpha":
+                    # pkg/dic alpha control (ctrl_map_ini_genarr.F:325
+                    # CTRL_MAP_GENARR2D( alpha, ... )): additive anomaly
+                    # on the 2-D production-rate field, maskC-masked
+                    ks = self.cfg.ksurf0
+                    anom = v * self.grid.maskC[ks]
+                    cur = fc.dicAlpha
+                    fc = type(fc)(**{**fc.__dict__,
+                                     "dicAlpha": anom if cur is None
+                                     else cur + anom})
+                    continue
                 tgt = _GENTIM2D_TARGETS.get(c.name)
                 if tgt is None:
                     raise NotImplementedError(f"genarr2d control {c.name}")
@@ -307,7 +327,13 @@ class CtrlProblem:
                             checkpoint_chunks=self.chunks,
                             hooks=dict(kpp=exp.kpp, ggl90=exp.ggl90,
                                        vmix=exp.vmix, opps=exp.opps,
-                                       seaice=exp.seaice, obcs=exp.obcs),
+                                       seaice=exp.seaice, obcs=exp.obcs,
+                                       offline=getattr(exp, "offline",
+                                                       None),
+                                       dic=getattr(exp, "dic", None),
+                                       cfc=getattr(exp, "cfc", None),
+                                       thsice=getattr(exp, "thsice",
+                                                      None)),
                             cs_fill=exp.cs_fill,
                             step_cost=step_cost)
             if step_cost is not None:
@@ -376,6 +402,8 @@ class CtrlProblem:
         for n in range(nend):
             ig = wet_i[n * nstep]
             idx = (k0 - 1, cfg.oly + j0 - 1, cfg.olx + ig - 1)
+            if xx[var].ndim == 2:      # genarr2d control (e.g. xx_alpha)
+                idx = idx[1:]
             if mode == "adj":
                 gval = float(g[var][idx])
             else:

@@ -589,6 +589,10 @@ _ALIASES = {
     # delP for p-coords, both land in delRDefault)
     "delz": "delR",
     "delp": "delR",
+    # ini_parms.F:637-638: hFacMinDr takes hFacMinDz (z-coords) or
+    # hFacMinDp (p-coords) when not set directly
+    "hfacmindz": "hFacMinDr",
+    "hfacmindp": "hFacMinDr",
 }
 
 

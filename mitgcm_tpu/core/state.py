@@ -77,6 +77,10 @@ class State:
     SItracer: jnp.ndarray = None     # [nTr, ny, nx]
     siSigma: jnp.ndarray = None      # [3, ny, nx] EVP sigma1/2/12 ([0,..])
     dicPH: jnp.ndarray = None        # [ny, nx] pkg/dic surface pH
+    # pkg/dic totcost accumulator (DIC_COST.h totcost, dic_cost.F:57):
+    # running sum of FluxCO2*rA*maskC*dt — the ALLOW_DIC_COST objective
+    # (cost_final.F:199 'fc = totcost'). Scalar; zero when dic is off.
+    dicCost: jnp.ndarray = None
     # pkg/thsice Winton 3-layer state (THSICE_VARS.h)
     thIceMask: jnp.ndarray = None
     thIceH: jnp.ndarray = None
@@ -156,6 +160,11 @@ class Forcing:
     # [nr, ny, nx] on top of the diffKrNr profile — the xx_diffkr control
     # target (ctrl_map_ini_genarr.F:399-402)
     diffKr3d: jnp.ndarray = None
+    # pkg/dic alpha (maximum-production-rate) anomaly [ny, nx]: the
+    # xx_alpha genarr2d control target (ctrl_map_ini_genarr.F:325-326
+    # CTRL_MAP_GENARR2D( alpha, ... ) — additive on the DicParams
+    # alphaUniform base field). None when no control is active.
+    dicAlpha: jnp.ndarray = None
 
 
 jax.tree_util.register_dataclass(
@@ -192,6 +201,7 @@ def init_state(cfg: Config, grid: Grid, dtype=jnp.float64) -> State:
         siHSNOW=z2 if cfg.useSEAICE else z0,
         siHSALT=z2 if cfg.useSEAICE else z0,
         siTICES=z0, SItracer=z0, siSigma=z0, dicPH=z0,
+        dicCost=jnp.zeros((), dtype=dtype),
         thIceMask=z0, thIceH=z0, thSnowH=z0, thSnowAge=z0, thTsrf=z0,
         thTice1=z0, thTice2=z0, thQice1=z0, thQice2=z0,
         uVel=z3, vVel=z3, wVel=z3, theta=theta, salt=salt,

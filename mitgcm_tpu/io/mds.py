@@ -21,12 +21,18 @@ import numpy as np
 def read_raw(path: str, shape: Sequence[int], dtype: str = ">f4") -> np.ndarray:
     """Read a raw big-endian binary field file (no .meta)."""
     arr = np.fromfile(path, dtype=dtype)
-    n = int(np.prod(shape))
+    shape = tuple(shape)
+    if any(s == -1 for s in shape):
+        # one inferred axis: use every whole record the file holds
+        fixed = int(np.prod([s for s in shape if s != -1]))
+        n = (arr.size // fixed) * fixed
+    else:
+        n = int(np.prod(shape))
     if arr.size < n:
         raise ValueError(f"{path}: expected {n} values, found {arr.size}")
     # Fortran record layout: i fastest, then j, then k -> C order with
     # reversed shape [k, j, i]
-    return arr[:n].reshape(tuple(shape))
+    return arr[:n].reshape(shape)
 
 
 def write_raw(path: str, arr: np.ndarray, dtype: str = ">f4") -> None:

@@ -217,7 +217,7 @@ class Dic:
     TR_DIC, TR_ALK, TR_PO4, TR_DOP, TR_O2, TR_FE = range(6)
 
     def __init__(self, cfg: Config, grid, p: DicParams, fill2d,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, ad_safe=False):
         from mitgcm_tpu.io import mds
         self.cfg = cfg
         self.grid = grid
@@ -252,8 +252,22 @@ class Dic:
         self.iron = stack2d(p.DIC_ironFile, 0.0)
         # AtmospCO2 (dic_int1=0): constant dic_pCO2 (dic_ini_atmos.F)
         self.atmos_pco2 = p.dic_pCO2
-        self.alpha = p.alphaUniform
-        self.rain_ratio = p.rainRatioUniform
+        # 2-D parameter fields (dic_init_varia.F:74-78) — control targets
+        # for xx_alpha / xx_dic (dic_set_control.F)
+        self.alpha = p.alphaUniform * jnp.ones_like(self.maskC0)
+        self.rain_ratio = p.rainRatioUniform * jnp.ones_like(self.maskC0)
+        # DIC_AD_SAFE (bio_export.F:128-134): tanh blend replacing the
+        # min() in the nutrient limitation — compiled in the AD decks
+        # (tutorial_dic_adjoffline code_ad/DIC_OPTIONS.h) so their
+        # forward series uses it too
+        self.ad_safe = ad_safe
+        # interior (non-halo) indicator for the DIC_COST global sum —
+        # per-face halo-aware (dic_cost.F sums i=1..sNx, j=1..sNy only)
+        ny2, nx2 = cfg.ny + 2 * cfg.oly, cfg.nx + 2 * cfg.olx
+        im = np.zeros((cfg.nFaces, ny2, nx2))
+        im[:, cfg.oly:ny2 - cfg.oly, cfg.olx:nx2 - cfg.olx] = 1.0
+        self.intmask = jnp.asarray(im.reshape(cfg.nFaces * ny2, nx2),
+                                   dtype)
 
     # ------------------------------------------------------------------
     def _cyclic(self, myTime):
@@ -285,10 +299,15 @@ class Dic:
     # ------------------------------------------------------------------
     def init_ph(self, pTr, theta_ks, salt_ks, n_iter=10):
         """dic_surfforcing_init.F: 10 CALC_PCO2_APPROX iterations from
-        pH=8 (dic_ini_forcing.F reads RECORD 1 of each forcing file at
-        init -- not the time interpolation)."""
+        pH=8. dic_ini_forcing.F reads RECORD 1 of each forcing file --
+        except silicaSurf, which (when DIC_forcingCycle>0) is
+        re-interpolated to startTime (dic_ini_forcing.F:174-200)."""
         f = {k: getattr(self, k)[0]
              for k in ("wind", "atmosp", "fice", "silica", "iron")}
+        if self.nrec > 1:
+            rec0, rec1, bW, aW = self._cyclic(self.cfg.startTime)
+            f["silica"] = (bW * jnp.take(self.silica, rec0, axis=0)
+                           + aW * jnp.take(self.silica, rec1, axis=0))
         co = carbon_coeffs(jnp.where(self.maskC0 != 0, theta_ks, 0.0),
                            jnp.where(self.maskC0 != 0, salt_ks, 0.0))
         pH = 8.0 * jnp.ones_like(theta_ks)
@@ -304,9 +323,12 @@ class Dic:
         return pH
 
     # ------------------------------------------------------------------
-    def forcing_sep(self, pTr, theta, salt, pH, myTime):
+    def forcing_sep(self, pTr, theta, salt, pH, myTime, alpha_anom=None):
         """DIC_BIOTIC_FORCING: fractional-step update of the 6 tracers;
-        returns (pTr', pH')."""
+        returns (pTr', pH', FluxCO2 [mol/m2/s]).
+
+        alpha_anom: optional additive xx_alpha control anomaly
+        (CTRL_MAP_GENARR2D on alpha, ctrl_map_ini_genarr.F:325)."""
         cfg = self.cfg
         grid = self.grid
         p = self.p
@@ -321,6 +343,8 @@ class Dic:
         f = self.fields_at(myTime)
         t_s = theta[ks]
         s_s = salt[ks]
+        alpha2d = self.alpha if alpha_anom is None \
+            else self.alpha + alpha_anom
 
         # --- DIC_SURFFORCING: CO2 flux + pH update -------------------
         co = carbon_coeffs(jnp.where(m0 != 0, t_s, 0.0),
@@ -375,10 +399,11 @@ class Dic:
 
         # --- BIO_EXPORT (light from INSOL, nutrient limitation) ------
         # GCHEM_FORCING_SEP runs AFTER the forward_step time bump
-        # (forward_step.F:806,1108) so INSOL sees the end-of-step time,
+        # (forward_step.F:807,1108) so INSOL sees the end-of-step time,
         # while the wind/ice/silica records were interpolated at the
-        # start-of-step time by GCHEM_FIELDS_LOAD (load_fields_driver)
-        sfac = self._insol(myTime + cfg.deltaTClock)
+        # start-of-step time by GCHEM_FIELDS_LOAD -> DIC_FIELDS_LOAD
+        # (load_fields_driver.F:183)
+        sfac = self._insol(myTime + self.cfg.deltaTClock)
         lit = sfac * (1.0 - f["fice"])
         dzh = 0.5 * p.k0 * drF[:, None, None] * hFacC
         bioac = []
@@ -387,9 +412,20 @@ class Dic:
             lit = lit * jnp.exp(-atten)
             po4k = pTr[self.TR_PO4, k]
             fek = pTr[self.TR_FE, k]
-            nutlimit = jnp.minimum(po4k / (po4k + p.KPO4),
-                                   fek / (fek + p.KFE))
-            bioac.append(self.alpha * lit / (lit + p.lit0)
+            thx = po4k / (po4k + p.KPO4)
+            thy = fek / (fek + p.KFE)
+            if self.ad_safe:
+                # DIC_AD_SAFE (bio_export.F:128-134): smooth min();
+                # tanh arg clamped — XLA:CPU's vectorized tanh NaNs on
+                # huge magnitudes (same guard as gmredi.py:151-158),
+                # and tanh saturates identically in f64 beyond |x|=30
+                thaux = jnp.tanh(jnp.clip((thx - thy) * 1.0e6,
+                                          -30.0, 30.0))
+                nutlimit = (0.5 * (1.0 - thaux) * thx
+                            + 0.5 * (1.0 + thaux) * thy)
+            else:
+                nutlimit = jnp.minimum(thx, thy)
+            bioac.append(alpha2d * lit / (lit + p.lit0)
                          * mC[k] * nutlimit)
         bioac = jnp.stack(bioac)
 
@@ -425,7 +461,7 @@ class Dic:
         out = jnp.stack(new)
         if pTr.shape[0] > 6:
             out = jnp.concatenate([out, pTr[6:]], axis=0)
-        return out, pH_new
+        return out, pH_new, fluxco2
 
     # ------------------------------------------------------------------
     def _insol(self, myTime):

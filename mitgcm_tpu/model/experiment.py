@@ -653,13 +653,26 @@ class Experiment:
             dic_path = cfg.find_file("data.dic")
             if os.path.exists(dic_path):
                 dicnl = nml.read_namelist(dic_path)
+            # DIC_AD_SAFE from the deck's DIC_OPTIONS.h (genmake2-style
+            # compile-flag check): changes the forward nutrient limit
+            dopt = cfg.find_code_file("DIC_OPTIONS.h")
+            ad_safe = bool(dopt) and "#define DIC_AD_SAFE" in open(
+                dopt, errors="replace").read()
             dic_obj = dic_mod.Dic(
                 cfg, grid, dic_mod.params_from_namelists(cfg, dicnl),
                 fill2d=lambda a: _pad_and_fill(cfg, a, dtype, cs_fill),
-                dtype=dtype)
+                dtype=dtype, ad_safe=ad_safe)
             ksd = cfg.ksurf0
+            # OFFLINE_INIT_VARIA runs before GCHEM_INIT_VARI
+            # (packages_init_variables.F:184 vs :347): the pH spin sees
+            # the offline-loaded theta/salt at startTime, not tRef
+            th_ini, sa_ini = state.theta, state.salt
+            if offline_obj is not None:
+                off0 = offline_obj.fields_at(cfg.startTime)
+                th_ini = off0.get("thet", th_ini)
+                sa_ini = off0.get("salt", sa_ini)
             state = State(**{**state.__dict__, "dicPH": dic_obj.init_ph(
-                state.pTr, state.theta[ksd], state.salt[ksd])})
+                state.pTr, th_ini[ksd], sa_ini[ksd])})
 
         if obcs_obj is not None and cfg.nIter0 == 0:
             # obcs_init_variables.F:386-449: at nIter0=0 compute the OB

@@ -1149,12 +1149,39 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         if cpTr is not None:
             pTr = cpTr
 
+    # pkg/offline: after the time bump (forward_step.F:807) the state
+    # variables are RE-loaded at the end-of-step time
+    # (forward_step.F:823 OFFLINE_FIELDS_LOAD) — so the gchem chemistry
+    # below, the monitor, and the next step's start state all see the
+    # end-of-step circulation/hydrography
+    if offline is not None:
+        off_end = offline.fields_at(myTime + cfg.deltaTClock)
+        theta = off_end.get("thet", theta)
+        salt = off_end.get("salt", salt)
+        u = off_end.get("uvel", u)
+        v = off_end.get("vvel", v)
+        w = off_end.get("wvel", w)
+
     # pkg/gchem separate-forcing chemistry (GCHEM_FORCING_SEP,
     # forward_step.F:1108, AFTER the ptracer advection-diffusion and
     # the time bump at :806): pkg/dic fractional step
     dicPH = state.dicPH
+    dicCost = state.dicCost
     if dic is not None and pTr.shape[0]:
-        pTr, dicPH = dic.forcing_sep(pTr, theta, salt, dicPH, myTime)
+        # under pkg/offline the chemistry sees the END-of-step
+        # theta/salt (re-loaded above after the forward_step.F:807 time
+        # bump), while the dic forcing records interpolate at the
+        # START-of-step time (GCHEM_FIELDS_LOAD in load_fields_driver)
+        pTr, dicPH, fluxCO2 = dic.forcing_sep(
+            pTr, theta, salt, dicPH, myTime,
+            alpha_anom=forcing.dicAlpha)
+        # DIC_COST (pkg/dic/dic_cost.F:42-57): totcost accumulates the
+        # global air-sea CO2 flux integral sum(FluxCO2*rA*maskC*dt);
+        # the ALLOW_DIC_COST objective is fc = totcost (cost_final.F:199)
+        if dicCost is not None:
+            dicCost = dicCost + jnp.sum(
+                fluxCO2 * grid.rA * dic.maskC0 * dic.intmask
+            ) * cfg.deltaTTracer
 
     new_state = State(
         uVel=u, vVel=v, wVel=w,
@@ -1197,7 +1224,7 @@ def forward_step(cfg: Config, grid: Grid, op, state: State, forcing: Forcing,
         uIce=state.uIce, vIce=state.vIce, siAREA=state.siAREA,
         siHEFF=state.siHEFF, siHSNOW=state.siHSNOW,
         siHSALT=state.siHSALT, siTICES=state.siTICES,
-        siSigma=state.siSigma, dicPH=dicPH,
+        siSigma=state.siSigma, dicPH=dicPH, dicCost=dicCost,
         thIceMask=state.thIceMask, thIceH=state.thIceH,
         thSnowH=state.thSnowH, thSnowAge=state.thSnowAge,
         thTsrf=state.thTsrf, thTice1=state.thTice1,
