@@ -145,8 +145,21 @@ class Config:
     viscA4Grid: float = 0.0
     viscAhMax: float = 1.0e21
     viscA4Max: float = 1.0e21
+    viscAhGridMax: float = 1.0e21  # coeff on the L2/(4dt) CFL cap
+    viscAhGridMin: float = 0.0
     viscA4GridMax: float = 1.0e21  # factor applied as coeff*rA^2/dt caps
     viscA4GridMin: float = 0.0
+    # grid-Reynolds-number viscosity floors (mom_calc_visc.F:103-112)
+    viscAhReMax: float = 0.0
+    viscA4ReMax: float = 0.0
+    # background viscosities split by location: Div (C) / vort (Z) points
+    # (ini_parms.F: default to viscAh/viscA4 when unset)
+    viscAhD: float = UNSET
+    viscAhZ: float = UNSET
+    viscA4D: float = UNSET
+    viscA4Z: float = UNSET
+    useAreaViscLength: bool = False
+    viscC2LeithQG: float = 0.0
     viscC2leith: float = 0.0
     viscC2leithD: float = 0.0
     viscC4leith: float = 0.0
@@ -492,11 +505,20 @@ class Config:
             c.diffKrT = c.diffKzT
         if c.diffKzS is not UNSET:
             c.diffKrS = c.diffKzS
+        # Div/vort-point background viscosities (ini_parms.F:505-508)
+        if c.viscAhD is UNSET:
+            c.viscAhD = c.viscAh
+        if c.viscAhZ is UNSET:
+            c.viscAhZ = c.viscAh
+        if c.viscA4D is UNSET:
+            c.viscA4D = c.viscA4
+        if c.viscA4Z is UNSET:
+            c.viscA4Z = c.viscA4
         # wVel viscosities (ini_parms.F:510-511, viscAhD/viscA4D chain)
         if c.viscAhW is UNSET:
-            c.viscAhW = c.viscAh
+            c.viscAhW = c.viscAhD
         if c.viscA4W is UNSET:
-            c.viscA4W = c.viscA4
+            c.viscA4W = c.viscA4D
         if c.implicitNHPress is UNSET:
             c.implicitNHPress = c.implicSurfPress
         # freeSurfFac (ini_parms.F:473)

@@ -231,11 +231,31 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
 
     # ---------------- dissipation ----------------
     if cfg.momViscosity:
-        viscAh_D = jnp.asarray(cfg.viscAh, dt)
-        viscAh_Z = jnp.asarray(cfg.viscAh, dt)
-        viscA4_D = jnp.asarray(cfg.viscA4, dt)
-        viscA4_Z = jnp.asarray(cfg.viscA4, dt)
-        use_bih = cfg.viscA4 != 0.0
+        from mitgcm_tpu.model import mom_visc
+        if mom_visc.use_variable_visc(cfg):
+            # mom_fluxform.F:330-351 + :452: nonlinear Smag/Leith
+            # viscosities from (hDiv, vort3, tension, strain); vort3 and
+            # strain carry sideMaskFac at closed corners
+            from mitgcm_tpu.model import mom_vecinv as _vi
+            sideMaskFac = (cfg.sideDragFactor if cfg.no_slip_sides
+                           else 0.0)
+            hDiv = _vi.calc_hdiv(cfg, grid, u, v)
+            vort3 = _vi.calc_relvort3(cfg, grid, u, v)
+            vort3 = jnp.where(hFacZ == 0.0, sideMaskFac * vort3, vort3)
+            tension = mom_visc.calc_tension(cfg, grid, u, v)
+            strain = mom_visc.calc_strain(cfg, grid, u, v)
+            strain = jnp.where(hFacZ == 0.0, sideMaskFac * strain,
+                               strain)
+            scales = mom_visc.length_scales(cfg, grid)
+            viscAh_Z, viscAh_D, viscA4_Z, viscA4_D = mom_visc.calc_visc(
+                cfg, grid, scales, hDiv, vort3, tension, strain, KE,
+                hFacZ)
+        else:
+            viscAh_D = jnp.asarray(cfg.viscAhD, dt)
+            viscAh_Z = jnp.asarray(cfg.viscAhZ, dt)
+            viscA4_D = jnp.asarray(cfg.viscA4D, dt)
+            viscA4_Z = jnp.asarray(cfg.viscA4Z, dt)
+        use_bih = mom_visc.use_biharmonic_visc(cfg)
         if use_bih:
             del2u, del2v = _del2uv(cfg, grid, u, v, hFacZ, h0FacZ,
                                    h0W=h0W, h0S=h0S)
@@ -290,14 +310,19 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
         # mom_fluxform.F:632 passes h0FacZ, and the NONLIN_FRSURF branch
         # uses h0FacW/h0FacS for the closed fractions
         if cfg.no_slip_sides:
+            # per-wall viscosities (mom_u_sidedrag.F:90-113: viscAh_Z at
+            # (i,j) for the S wall, (i,j+1) for the N wall — identical
+            # when constant)
+            AhZb = jnp.broadcast_to(viscAh_Z, u.shape)
+            A4Zb = jnp.broadcast_to(viscA4_Z, u.shape)
             hClosedS = h0W - h0FacZ
             hClosedN = h0W - sh(h0FacZ, dj=1)
             uDrag = -(
                 grid.recip_hFacW * recip_drF * grid.recip_rAw
                 * (hClosedS * grid.dxV * grid.recip_dyU
-                   * (viscAh_Z * u - viscA4_Z * del2u)
+                   * (AhZb * u - A4Zb * del2u)
                    + hClosedN * sh(grid.dxV, dj=1) * sh(grid.recip_dyU, dj=1)
-                   * (viscAh_Z * u - viscA4_Z * del2u))
+                   * (sh(AhZb, dj=1) * u - sh(A4Zb, dj=1) * del2u))
                 * drF * cfg.sideDragFactor
             )
             hClosedW = h0S - h0FacZ
@@ -305,9 +330,10 @@ def mom_fluxform(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV,
             vDrag = -(
                 grid.recip_hFacS * recip_drF * grid.recip_rAs
                 * (hClosedW * grid.dyU * grid.recip_dxV
-                   * (viscAh_Z * v * grid.cosFacV - viscA4_Z * del2v * grid.cosFacV)
+                   * (AhZb * v * grid.cosFacV - A4Zb * del2v * grid.cosFacV)
                    + hClosedE * sh(grid.dyU, di=1) * sh(grid.recip_dxV, di=1)
-                   * (viscAh_Z * v * grid.cosFacV - viscA4_Z * del2v * grid.cosFacV))
+                   * (sh(AhZb, di=1) * v * grid.cosFacV
+                      - sh(A4Zb, di=1) * del2v * grid.cosFacV))
                 * drF * cfg.sideDragFactor
             )
             guDiss = guDiss + uDrag

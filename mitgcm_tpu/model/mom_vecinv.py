@@ -225,40 +225,100 @@ def mom_vecinv(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
     gvDiss = jnp.zeros_like(v)
 
     if cfg.momViscosity:
+        from mitgcm_tpu.model import mom_visc
         hDiv = calc_hdiv(cfg, grid, u, v)
-        # harmonic dissipation in divergence/vorticity form
-        # (mom_vi_hdissip.F, constant-viscosity branch)
-        viscAhD = cfg.viscAh
-        viscAhZ = cfg.viscAh
-        Z = hFacZ * vort3
-        uD2 = (viscAhD * grid.cosFacU * (hDiv - sh(hDiv, di=-1))
-               * grid.recip_dxC
-               - viscAhZ * grid.recip_hFacW * (sh(Z, dj=1) - Z)
-               * grid.recip_dyG * grid.cosFacU)
-        vD2 = (viscAhZ * grid.recip_hFacS * grid.cosFacV
-               * (sh(Z, di=1) - Z) * grid.recip_dxG
-               + viscAhD * (hDiv - sh(hDiv, dj=-1)) * grid.recip_dyC
-               * grid.cosFacV)
-        guDiss = uD2 * grid.maskW
-        gvDiss = vD2 * grid.maskS
-        if cfg.viscA4 != 0.0:
-            # biharmonic (mom_vecinv.F:404-409 + mom_vi_hdissip.F:200-262):
-            # Laplacian of (u,v) from (hDiv,vort3), then its divergence/
-            # vorticity, then the same grad-curl form with -viscA4
+        use_var = mom_visc.use_variable_visc(cfg)
+        use_st = cfg.useStrainTensionVisc
+        use_bih = mom_visc.use_biharmonic_visc(cfg)
+        tension = strain0 = strainBC = None
+        if use_var or use_st:
+            # mom_vecinv.F:334-336 + :345-351: strainBC keeps the
+            # sideMaskFac value at closed corners (input to
+            # MOM_CALC_VISC), strain0 is zeroed there (input to
+            # MOM_HDISSIP)
+            tension = mom_visc.calc_tension(cfg, grid, u, v)
+            s = mom_visc.calc_strain(cfg, grid, u, v)
+            strain0 = jnp.where(hFacZ == 0.0, 0.0, s)
+            strainBC = jnp.where(hFacZ == 0.0, sideMaskFac * s, s)
+        if use_var:
+            scales = mom_visc.length_scales(cfg, grid)
+            vAhZ, vAhD, vA4Z, vA4D = mom_visc.calc_visc(
+                cfg, grid, scales, hDiv, vort3, tension, strainBC,
+                KE, hFacZ)
+        d2u = d2v = dStar = zStar = None
+        if use_bih:
+            # biharmonic (mom_vecinv.F:404-409): Laplacian of (u,v) from
+            # (hDiv,vort3), then its divergence/vorticity
             d2u, d2v = del2uv(cfg, grid, hDiv, vort3, hFacZ)
             dStar = calc_hdiv(cfg, grid, d2u, d2v)
             zStar = calc_relvort3(cfg, grid, d2u, d2v)
-            hz4 = hFacZ * zStar
-            uD4 = (cfg.viscA4 * grid.cosFacU
-                   * (dStar - sh(dStar, di=-1)) * grid.recip_dxC
-                   - cfg.viscA4 * grid.recip_hFacW
-                   * (sh(hz4, dj=1) - hz4) * grid.recip_dyG)
-            vD4 = (cfg.viscA4 * grid.recip_hFacS * grid.cosFacV
-                   * (sh(hz4, di=1) - hz4) * grid.recip_dxG
-                   + cfg.viscA4
-                   * (dStar - sh(dStar, dj=-1)) * grid.recip_dyC)
-            guDiss = guDiss - uD4 * grid.maskW
-            gvDiss = gvDiss - vD4 * grid.maskS
+        if use_st:
+            # strain-tension dissipation form (mom_vecinv.F:422-429)
+            if use_bih:
+                raise NotImplementedError(
+                    "biharmonic not allowed with strain-tension "
+                    "(mom_hdissip.F)")
+            vs = vAhZ if use_var else jnp.asarray(cfg.viscAhZ, dt)
+            vt = vAhD if use_var else jnp.asarray(cfg.viscAhD, dt)
+            uD2, vD2 = mom_visc.hdissip_strain_tension(
+                cfg, grid, tension, strain0, vs, vt)
+            guDiss = uD2 * grid.maskW
+            gvDiss = vD2 * grid.maskS
+        elif use_var:
+            # mom_vi_hdissip.F variable-viscosity branch: the viscosity
+            # multiplies each D/Z point BEFORE the differencing
+            Dv = hDiv * vAhD
+            Z = hFacZ * vort3 * vAhZ
+            uD2 = (grid.cosFacU * (Dv - sh(Dv, di=-1)) * grid.recip_dxC
+                   - grid.recip_hFacW * (sh(Z, dj=1) - Z)
+                   * grid.recip_dyG * grid.cosFacU)
+            vD2 = (grid.recip_hFacS * grid.cosFacV
+                   * (sh(Z, di=1) - Z) * grid.recip_dxG
+                   + (Dv - sh(Dv, dj=-1)) * grid.recip_dyC
+                   * grid.cosFacV)
+            guDiss = uD2 * grid.maskW
+            gvDiss = vD2 * grid.maskS
+            if use_bih:
+                D4 = dStar * vA4D
+                hz4 = hFacZ * zStar * vA4Z
+                uD4 = (grid.cosFacU * (D4 - sh(D4, di=-1))
+                       * grid.recip_dxC
+                       - grid.recip_hFacW * (sh(hz4, dj=1) - hz4)
+                       * grid.recip_dyG)
+                vD4 = (grid.recip_hFacS * grid.cosFacV
+                       * (sh(hz4, di=1) - hz4) * grid.recip_dxG
+                       + (D4 - sh(D4, dj=-1)) * grid.recip_dyC)
+                guDiss = guDiss - uD4 * grid.maskW
+                gvDiss = gvDiss - vD4 * grid.maskS
+        else:
+            # harmonic dissipation in divergence/vorticity form
+            # (mom_vi_hdissip.F, constant-viscosity branch)
+            viscAhD = cfg.viscAh
+            viscAhZ = cfg.viscAh
+            Z = hFacZ * vort3
+            uD2 = (viscAhD * grid.cosFacU * (hDiv - sh(hDiv, di=-1))
+                   * grid.recip_dxC
+                   - viscAhZ * grid.recip_hFacW * (sh(Z, dj=1) - Z)
+                   * grid.recip_dyG * grid.cosFacU)
+            vD2 = (viscAhZ * grid.recip_hFacS * grid.cosFacV
+                   * (sh(Z, di=1) - Z) * grid.recip_dxG
+                   + viscAhD * (hDiv - sh(hDiv, dj=-1)) * grid.recip_dyC
+                   * grid.cosFacV)
+            guDiss = uD2 * grid.maskW
+            gvDiss = vD2 * grid.maskS
+            if cfg.viscA4 != 0.0:
+                # constant-viscosity biharmonic (mom_vi_hdissip.F:200-262)
+                hz4 = hFacZ * zStar
+                uD4 = (cfg.viscA4 * grid.cosFacU
+                       * (dStar - sh(dStar, di=-1)) * grid.recip_dxC
+                       - cfg.viscA4 * grid.recip_hFacW
+                       * (sh(hz4, dj=1) - hz4) * grid.recip_dyG)
+                vD4 = (cfg.viscA4 * grid.recip_hFacS * grid.cosFacV
+                       * (sh(hz4, di=1) - hz4) * grid.recip_dxG
+                       + cfg.viscA4
+                       * (dStar - sh(dStar, dj=-1)) * grid.recip_dyC)
+                guDiss = guDiss - uD4 * grid.maskW
+                gvDiss = gvDiss - vD4 * grid.maskS
 
         if not cfg.implicitViscosity:
             rvU_mid = (-kappaRU[1:nr] * grid.rAw
@@ -280,23 +340,35 @@ def mom_vecinv(cfg: Config, grid: Grid, u, v, w, kappaRU, kappaRV) -> MomTend:
                 * (rViscV[1:] - rViscV[:-1]) * cfg.rkSign)
 
         if cfg.no_slip_sides:
-            # mom_u_sidedrag.F (as in the flux-form path; del2u=0 here
-            # without biharmonic)
+            # mom_u_sidedrag.F sideDragFactor>0 branch: per-wall
+            # viscAh_Z/viscA4_Z (constant-filled when not variable)
+            sdAhZ = vAhZ if use_var else jnp.asarray(cfg.viscAhZ, dt)
+            sdA4Z = vA4Z if use_var else jnp.asarray(cfg.viscA4Z, dt)
+            du_sd = d2u if d2u is not None else jnp.zeros_like(u)
+            dv_sd = d2v if d2v is not None else jnp.zeros_like(v)
+            sdAhZb = jnp.broadcast_to(sdAhZ, u.shape)
+            sdA4Zb = jnp.broadcast_to(sdA4Z, u.shape)
             hClosedS = grid.hFacW - hFacZ
             hClosedN = grid.hFacW - sh(hFacZ, dj=1)
             guDiss = guDiss - (
                 grid.recip_hFacW * recip_drF * grid.recip_rAw
                 * (hClosedS * grid.dxV * grid.recip_dyU
-                   + hClosedN * sh(grid.dxV, dj=1) * sh(grid.recip_dyU, dj=1))
-                * drF * cfg.sideDragFactor * (viscAhZ * u)) * grid.maskW
+                   * (sdAhZb * u - sdA4Zb * du_sd)
+                   + hClosedN * sh(grid.dxV, dj=1)
+                   * sh(grid.recip_dyU, dj=1)
+                   * (sh(sdAhZb, dj=1) * u - sh(sdA4Zb, dj=1) * du_sd))
+                * drF * cfg.sideDragFactor) * grid.maskW
             hClosedW = grid.hFacS - hFacZ
             hClosedE = grid.hFacS - sh(hFacZ, di=1)
             gvDiss = gvDiss - (
                 grid.recip_hFacS * recip_drF * grid.recip_rAs
                 * (hClosedW * grid.dyU * grid.recip_dxV
-                   + hClosedE * sh(grid.dyU, di=1) * sh(grid.recip_dxV, di=1))
-                * drF * cfg.sideDragFactor * (viscAhZ * v * grid.cosFacV)
-            ) * grid.maskS
+                   * (sdAhZb * v * grid.cosFacV - sdA4Zb * dv_sd)
+                   + hClosedE * sh(grid.dyU, di=1)
+                   * sh(grid.recip_dxV, di=1)
+                   * (sh(sdAhZb, di=1) * v * grid.cosFacV
+                      - sh(sdA4Zb, di=1) * dv_sd))
+                * drF * cfg.sideDragFactor) * grid.maskS
 
         if (cfg.no_slip_bottom or cfg.selectBotDragQuadr >= 0
                 or cfg.bottomDragLinear != 0.0):
